@@ -1,0 +1,324 @@
+"""Deduplication suite over the documents table.
+
+Four families, all shuffle-conscious:
+
+- exact:        hash-groupBy on a canonical fingerprint (one shuffle on the
+                16-byte hash, not the document text).
+- ngram-jaccard: shingle inverted index -> candidate pairs -> exact Jaccard
+                verification. Candidate generation is the scale lever: we
+                join on shingle hash (small key), never doc x doc.
+- minhash-lsh:  k-permutation MinHash signatures (shared deterministic
+                md5-based hash so the DuckDB oracle reproduces them bit-for
+                bit) -> banded LSH bucket join -> verified Jaccard.
+- simhash:      bitwise majority over token hashes; near-dup = small
+                Hamming distance. Signature computation shown here.
+
+100 TB posture: every stage keys on fixed-width hashes; shingle explosion
+is the only row-multiplying step and collapses immediately into per-doc
+(min-)aggregates; candidate pairs are bounded by bucket collision counts,
+and the band join is an equi-join Catalyst can shuffle-hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from carrot_transform_spark.queries import load, register
+
+# shared deterministic 32-bit hash: identical in Spark and DuckDB
+#   spark : conv(substring(md5(s), 1, 8), 16, 10)::bigint
+#   duckdb: CAST('0x' || substring(md5(s), 1, 8) AS UBIGINT)
+
+
+def _h32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _h32_sql(expr: str) -> str:
+    return f"CAST(CONCAT('0x', substring(md5({expr}), 1, 8)) AS UBIGINT)"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+_SHINGLES_SQL = """
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
+                   i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                        regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                        regexp_split_to_array(trim(text), '\\s+')[i+2])) AS shingles
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+"""
+
+
+def _shingles(col: Column) -> Column:
+    """Distinct 3-word shingles, as strings 'w1 w2 w3'."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_exact_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY fingerprint
+    ORDER BY fingerprint
+    """,
+    tags=("dedup", "exact"),
+)
+def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
+        .orderBy("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: inverted index -> candidates -> verify
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM cand
+    WHERE inter * 1.0 / (na + nb - inter) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "jaccard", "bench"),
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with 3-gram Jaccard >= 0.8. Candidate pairs come
+    from the shingle inverted index (equi-join on shingle), so cost is
+    sum-over-shingles(df^2), not |docs|^2."""
+    d = load(spark, sf_dir, "documents").filter(F.size(_tokens(F.col("text"))) >= 3)
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    e = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("a.n")).alias("na"),
+            F.any_value(F.col("b.n")).alias("nb"),
+        )
+    )
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        cand.filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 8  # 8 hash functions -> 4 bands x 2 rows
+
+
+def _minhash_sig_sql() -> str:
+    """DuckDB SQL computing the k minhash values per doc (columns mh0..mh7)."""
+    parts = []
+    for i in range(_MINHASH_K):
+        h = _h32_sql(f"s || '#{i}'")
+        parts.append(f"MIN({h}) AS mh{i}")
+    mins = ", ".join(parts)
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    SELECT doc_id, {mins} FROM e GROUP BY doc_id
+    """
+
+
+@register(
+    "dd_minhash_signatures",
+    oracle=_minhash_sig_sql() + " ORDER BY doc_id",
+    tags=("dedup", "minhash"),
+)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 MinHash signature per document. One explode + one groupBy(min);
+    the k hashes are computed per exploded row as cheap column expressions
+    (salted md5), so there's a single shuffle keyed on doc_id."""
+    d = load(spark, sf_dir, "documents").filter(F.size(_tokens(F.col("text"))) >= 3)
+    e = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    aggs = [
+        F.min(_h32(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(_MINHASH_K)
+    ]
+    return e.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+@register(
+    "dd_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS (
+        SELECT doc_id, 0 AS band, CONCAT(mh0, '_', mh1) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, CONCAT(mh2, '_', mh3) FROM sig
+        UNION ALL SELECT doc_id, 2, CONCAT(mh4, '_', mh5) FROM sig
+        UNION ALL SELECT doc_id, 3, CONCAT(mh6, '_', mh7) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sh AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter,
+               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM cand c
+        JOIN e a ON a.doc_id = c.doc_a
+        JOIN e b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM verified
+    WHERE inter * 1.0 / (na + nb - inter) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "lsh", "bench"),
+)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH (4 bands x 2 rows) over MinHash signatures, then exact
+    Jaccard verification of the candidates. The band join is an equi-join on
+    (band, band-key) — tiny keys, shuffle-hash friendly; verification only
+    touches candidate docs."""
+    d = load(spark, sf_dir, "documents").filter(F.size(_tokens(F.col("text"))) >= 3)
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    e = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(_h32(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(_MINHASH_K)
+    ]
+    sig = e.groupBy("doc_id").agg(*aggs)
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"), F.concat_ws("_", f"mh{2*bi}", f"mh{2*bi+1}").alias("bkey"))
+        for bi in range(_MINHASH_K // 2)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    ba = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ea = e.alias("ea")
+    eb = e.alias("eb")
+    verified = (
+        cand.join(ea, F.col("ea.doc_id") == F.col("doc_a"))
+        .join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.s") == F.col("ea.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("ea.n")).alias("na"),
+            F.any_value(F.col("eb.n")).alias("nb"),
+        )
+    )
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        verified.filter(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "dd_simhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    th AS (SELECT doc_id, {_h32_sql('t')} AS h FROM tok),
+    bits AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        FROM th, UNNEST(generate_series(0, {_SIMHASH_BITS - 1})) AS g(i)
+        GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dd_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-token 32-bit hash, per-bit +1/-1 majority vote,
+    sign -> bit. Near-dups then pair by small Hamming distance (bucketed by
+    hash prefix at scale). Here: token explode x bit explode, two-level
+    aggregate — all JVM-side integer ops."""
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    th = tok.select("doc_id", _h32(F.col("t")).alias("h"))
+    bits = (
+        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("i"))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> i) & 1") == 1, 1).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("w") > 0, F.expr("shiftleft(1L, CAST(i AS INT))")).otherwise(0))
+            .cast("bigint")
+            .alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,188 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- brute-force cosine top-k: the correctness baseline. Dot products are
+  computed JVM-side with zip_with + aggregate (no Python), in double
+  precision so the DuckDB oracle (explicit double math, NOT DuckDB's
+  float32 list_cosine_similarity) matches to 1e-12.
+- IVF-style partitioned top-k: the scale path — restrict candidate pairs to
+  a coarse cell (here the label column stands in for the nearest-centroid
+  assignment an IVF index would produce; at 100 TB cells are built with
+  k-means and the probe fans out to n_probe cells).
+- threshold near-dup pairs: embedding-cosine dedup.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from carrot_transform_spark.queries import load, register
+
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
+
+
+def _to_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+_NORMED_SQL = """
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH n AS ({_NORMED_SQL}),
+    q AS (SELECT * FROM n WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='q.v', b='n.v')} / (q.nrm * n.nrm) AS cs
+        FROM q JOIN n ON n.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "ann", "bench"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 query vectors. Query side is tiny ->
+    broadcast; the corpus scan is embarrassingly parallel; per-query ranking
+    is a windowed top-k (at scale: aggregate partial top-k per partition
+    before the final window)."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", _to_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    q = n.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH n AS ({_NORMED_SQL}),
+    q AS (SELECT * FROM n WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='q.v', b='n.v')} / (q.nrm * n.nrm) AS cs
+        FROM q JOIN n ON n.label = q.label AND n.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: candidates restricted to the query's coarse cell
+    (label = nearest-centroid id). Turns the all-pairs scan into a
+    cell-local equi-join — the 100 TB layout partitions the corpus by cell
+    so each probe touches n_probe partitions."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", _to_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    q = n.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        n.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "sim_neardup_threshold",
+    oracle=f"""
+    WITH n AS ({_NORMED_SQL}),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cs
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cs, 4) AS cosine_sim
+    FROM pairs WHERE cs >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("similarity", "dedup"),
+)
+def sim_neardup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (blocked by coarse cell, cosine
+    >= 0.4). Same blocking trick as sim_ivf_topk; the threshold variant is
+    what an embedding-dedup stage runs corpus-wide."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", _to_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))).select(
+        "vec_a", "vec_b", (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cs")
+    )
+    return (
+        pairs.filter(F.col("cs") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cs", 4).alias("cosine_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,199 @@
+"""Text-analysis operators over the documents table.
+
+Training-data-pipeline staples: token counting, quality scoring, language
+identification (stopword-hit heuristic), and content fingerprinting. All
+pure JVM-side expressions (no Python UDFs) with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from carrot_transform_spark.queries import load, register
+
+# stopword markers per language for the langid heuristic (space-padded so we
+# count whole-word hits via substring replacement)
+_LANG_MARKERS = {
+    "en": " the ",
+    "de": " der ",
+    "fr": " le ",
+    "es": " el ",
+    "zh": " de ",
+}
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """# of non-overlapping occurrences of needle, via replace-length delta —
+    identical semantics in Spark and DuckDB."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def _occurrences_sql(expr: str, needle: str) -> str:
+    return (
+        f"CAST((LENGTH({expr}) - LENGTH(REPLACE({expr}, '{needle}', ''))) / {len(needle)} AS INTEGER)"
+    )
+
+
+@register(
+    "txt_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           LENGTH(text) AS n_chars_actual,
+           ROUND(LENGTH(trim(text)) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+               AS chars_per_token,
+           lang, source
+    FROM documents
+    WHERE LENGTH(trim(text)) > 0
+    """,
+    tags=("text", "tokens"),
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(F.length(F.trim("text")) * F.lit(1.0) / toks, 4).alias("chars_per_token"),
+        "lang",
+        "source",
+    )
+
+
+@register(
+    "txt_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, trim(text) AS txt,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    )
+    SELECT doc_id, lang, n_tokens,
+           CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END AS len_ok,
+           {_occurrences_sql("' ' || txt || ' '", " the ")} AS stopword_hits,
+           ROUND(LENGTH(REPLACE(REPLACE(REPLACE(txt, ' ', ''), '.', ''), ',', '')) * 1.0
+                 / LENGTH(txt), 4) AS alnum_ratio,
+           CASE WHEN n_tokens BETWEEN 20 AND 400
+                     AND {_occurrences_sql("' ' || txt || ' '", " the ")} >= 1
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality gate (length band + stopword presence +
+    punctuation/whitespace density) — the standard cheap pre-filter before
+    expensive dedup/scoring stages."""
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    txt = F.trim("text")
+    padded = F.concat(F.lit(" "), txt, F.lit(" "))
+    n_tokens = F.size(F.split(txt, r"\s+"))
+    stop_hits = _occurrences(padded, " the ")
+    len_ok = F.when(n_tokens.between(20, 400), 1).otherwise(0)
+    stripped = F.replace(F.replace(F.replace(txt, F.lit(" "), F.lit("")), F.lit("."), F.lit("")), F.lit(","), F.lit(""))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        len_ok.alias("len_ok"),
+        stop_hits.alias("stopword_hits"),
+        F.round(F.length(stripped) * F.lit(1.0) / F.length(txt), 4).alias("alnum_ratio"),
+        F.when(n_tokens.between(20, 400) & (stop_hits >= 1), 1).otherwise(0).alias("keep_flag"),
+    )
+
+
+def _langid_sql() -> str:
+    scores = {
+        lang: _occurrences_sql("' ' || trim(text) || ' '", marker)
+        for lang, marker in _LANG_MARKERS.items()
+    }
+    # deterministic argmax: fixed priority order en > de > fr > es > zh
+    order = list(_LANG_MARKERS)
+    cond = []
+    for i, lang in enumerate(order):
+        others = [scores[o] for o in order if o != lang]
+        geq = " AND ".join(f"{scores[lang]} >= {o}" for o in others)
+        cond.append(f"WHEN {geq} THEN '{lang}'")
+    cases = " ".join(cond)
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {cases} ELSE 'und' END AS predicted_lang,
+           {scores['en']} AS score_en
+    FROM documents WHERE LENGTH(trim(text)) > 0
+    """
+
+
+@register("txt_langid", oracle=_langid_sql(), tags=("text", "langid"))
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: per-language marker-hit counts,
+    deterministic argmax with fixed priority tie-break. On real corpora the
+    marker lists are longer; the operator shape (score columns + argmax) is
+    the same."""
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    padded = F.concat(F.lit(" "), F.trim("text"), F.lit(" "))
+    scores = {lang: _occurrences(padded, m) for lang, m in _LANG_MARKERS.items()}
+    order = list(_LANG_MARKERS)
+    expr = None
+    for lang in order:  # first match wins, same as the SQL CASE chain
+        geq = None
+        for other in order:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            geq = c if geq is None else (geq & c)
+        expr = F.when(geq, F.lit(lang)) if expr is None else expr.when(geq, F.lit(lang))
+    expr = expr.otherwise(F.lit("und"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        expr.alias("predicted_lang"),
+        scores["en"].alias("score_en"),
+    )
+
+
+@register(
+    "txt_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           substring(md5(lower(trim(text))), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint: md5 over normalized text. The bucket
+    key for exact dedup; md5 is identical across engines so the oracle is
+    byte-exact."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim("text")))
+    return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix"))
+
+
+@register(
+    "txt_word_freq",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS freq
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) t
+    WHERE w <> ''
+    GROUP BY w ORDER BY freq DESC, word
+    """,
+    tags=("text", "explode", "agg"),
+)
+def txt_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency — explode + count, the building block for
+    TF/IDF and BPE-ish vocab induction. At 100 TB this is the classic
+    map-side-combine aggregation; partial counts collapse before shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+    )
