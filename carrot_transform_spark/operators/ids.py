@@ -1,0 +1,57 @@
+"""Dense sequential ID assignment — scalable row numbering.
+
+The reference assigns ids with mutable driver-side counters in write order
+(run.py:126-132, person_helpers.py:129-151). On Spark a naive equivalent is
+``row_number() over (ORDER BY ...)`` — correct, but a single-partition sort
+at scale. ``with_dense_ids`` keeps dense 1..N semantics without one:
+
+1. range-repartition on the order columns (data ends up globally ordered
+   across partitions),
+2. per-partition row_number (narrow window — partition-local sort only),
+3. per-partition row counts collected to the driver (one tiny job),
+   turned into cumulative offsets and joined back as a broadcast map.
+
+The DataFrame is persisted between steps so the sampled range boundaries
+(and therefore partition membership) are identical in the count job and
+the main job.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Window
+
+_PID = "__ctspark_pid"
+
+
+def with_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str,
+    offset: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_col`` = offset + dense rank 1..N in (order_cols) order."""
+    n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    ranged = (
+        df.repartitionByRange(int(n_parts), *[F.col(c) for c in order_cols])
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = ranged.groupBy(_PID).count().orderBy(_PID).collect()
+    offsets: dict[int, int] = {}
+    acc = offset
+    for row in counts:
+        offsets[row[_PID]] = acc
+        acc += row["count"]
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col(_PID),
+    ) if offsets else F.lit(offset)
+    out = (
+        ranged.withColumn(id_col, (F.row_number().over(w) + offset_expr).cast("long"))
+        .drop(_PID)
+    )
+    return out

@@ -1,0 +1,95 @@
+"""End-to-end carrot-transform run: the Spark equivalent of
+`carrot-transform run mapstream` / `run v2`.
+
+Lifecycle (reference cli/subcommands/run.py:28-341, run_v2.py:16-59):
+  1. parse OMOP DDL + config -> schemas
+  2. load + normalize mapping rules -> IR
+  3. person phase: person-id map from the person file (strict dob
+     validation, dense ids in file order) -> person_ids.tsv
+  4. per target table: compile record plan, auto-number, person join,
+     write TSV
+  5. metrics rollup -> summary_mapstream.tsv
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from carrot_transform_spark.metrics.rollup import SUMMARY_HEADER, MetricsCollector
+from carrot_transform_spark.omop.ddl import OmopSchemas, load_schemas
+from carrot_transform_spark.plans.compiler import CarrotPlanner, RejectStats
+from carrot_transform_spark.rules.ir import RuleSet
+from carrot_transform_spark.rules.loader import load_rules
+from carrot_transform_spark.sinks.tsv import TsvDirSink
+from carrot_transform_spark.sources.registry import CsvDirSource, Source, make_source
+
+DEFAULT_DDL = "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql"
+DEFAULT_CONFIG = "/root/reference/carrottransform/config/config.json"
+
+
+@dataclass
+class RunResult:
+    tables: dict[str, DataFrame]
+    person_map: DataFrame
+    metrics: MetricsCollector
+    stats: RejectStats
+
+
+def run_transform(
+    spark: SparkSession,
+    rules_file: str | Path,
+    inputs: str | Source,
+    output_dir: str | Path | None,
+    person_table: str,
+    ddl_file: str | Path = DEFAULT_DDL,
+    config_file: str | Path = DEFAULT_CONFIG,
+    use_input_person_ids: bool = False,
+    last_used_ids: dict[str, int] | None = None,
+    write_outputs: bool = True,
+    log_threshold: int = 0,
+) -> RunResult:
+    omop: OmopSchemas = load_schemas(ddl_file, config_file)
+    rules: RuleSet = load_rules(rules_file, omop)
+    source = inputs if isinstance(inputs, Source) else make_source(spark, str(inputs))
+    if isinstance(source, CsvDirSource):
+        pass
+
+    planner = CarrotPlanner(
+        spark,
+        rules,
+        omop,
+        person_table=person_table,
+        use_input_person_ids=use_input_person_ids,
+        last_used_ids=last_used_ids,
+    )
+    stats = RejectStats()
+    metrics = MetricsCollector(dataset_name=rules.dataset_name, log_threshold=log_threshold)
+
+    person_map = planner.person_map(source).cache()
+
+    tables: dict[str, DataFrame] = {}
+    for target in rules.targets():
+        if not omop.has_table(target):
+            continue
+        df = planner.target_records(source, target, person_map, stats)
+        tables[target] = df
+        metrics.add_output_records(target, df, omop.table(target).columns)
+
+    metrics.add_reject_stats(stats)
+
+    if write_outputs and output_dir is not None:
+        sink = TsvDirSink(output_dir)
+        for target, df in tables.items():
+            sink.write(target, df, omop.table(target).columns)
+        pm = person_map.orderBy("target_subject" if use_input_person_ids else "__ct_line")
+        sink.write_rows(
+            "person_ids",
+            ["SOURCE_SUBJECT", "TARGET_SUBJECT"],
+            [[r["source_subject"], str(r["target_subject"])] for r in pm.collect()],
+        )
+        sink.write_rows("summary_mapstream", SUMMARY_HEADER, metrics.summary_rows())
+
+    return RunResult(tables=tables, person_map=person_map, metrics=metrics, stats=stats)

@@ -1,0 +1,602 @@
+"""Rules IR -> DataFrame plan compiler: the query engine core.
+
+One plan per OMOP target table:
+
+    for each (target, source_file) mapping:
+      scan (strings + line no)
+        -> permissive event-date normalise (F2; rejects counted)
+        -> [person target] first-row-per-person dedup (J3)
+        -> single-projection record generation:
+             per-field value match (J1 exact-beats-wildcard, F1/F5)
+             merged across fields for person (later-field-wins)
+             clamped-zip combination explode (X1)
+             original-value / person-id / date assembly (P1-P3, D1-D4)
+           == ONE transform()+explode over literal-driven expressions:
+           one scan, no join, no shuffle (rules are compiled INTO the plan
+           as when-chains — cheaper than broadcasting a 10-row dict table)
+    union files per target (implicit UNION ALL)
+      -> dense auto-number ids in write order (W1, scalable range-id op)
+      -> person-map broadcast join (J2; anti-join rejects counted)
+
+All data-plane values stay strings for byte-parity with the reference's
+TSV output. Reference semantics citations are inline; the reference builds
+the same records row-at-a-time in
+/root/reference/carrottransform/tools/record_builder.py and
+orchestrator.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from carrot_transform_spark.functions.dates import (
+    normalise_to8601,
+    strict_date,
+    valid_value,
+)
+from carrot_transform_spark.omop.ddl import OmopSchemas, TableSchema
+from carrot_transform_spark.operators.ids import with_dense_ids
+from carrot_transform_spark.rules.ir import RuleSet, TableMapping
+from carrot_transform_spark.sources.registry import LINE_COL, Source
+
+SRC_COL = "__ct_src"
+FIELD_COL = "__ct_field"
+COMBO_COL = "__ct_combo"
+FILEIDX_COL = "__ct_fileidx"
+
+
+@dataclass
+class RejectStats:
+    """Driver-side reject/input counters feeding the metrics rollup."""
+
+    input_rows: dict[str, int] = dc_field(default_factory=dict)
+    date_reject_rows: dict[str, int] = dc_field(default_factory=dict)
+    # (srcfile, target, field) -> count of blank-cell rejects
+    invalid_source: dict[tuple[str, str, str], int] = dc_field(default_factory=dict)
+    # (srcfile, target, field) -> count of strict-date component failures
+    invalid_date: dict[tuple[str, str, str], int] = dc_field(default_factory=dict)
+    # (srcfile, target) -> count of person-lookup rejects (post-combo records)
+    invalid_person: dict[tuple[str, str], int] = dc_field(default_factory=dict)
+
+
+class CarrotPlanner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        rules: RuleSet,
+        omop: OmopSchemas,
+        person_table: str,
+        use_input_person_ids: bool = False,
+        last_used_ids: dict[str, int] | None = None,
+    ):
+        self.spark = spark
+        self.rules = rules
+        self.omop = omop
+        self.person_table = person_table
+        self.use_input_person_ids = use_input_person_ids
+        self.last_used_ids = last_used_ids or {}
+        self._counted_files: set[str] = set()
+
+    # ------------------------------------------------------------------
+    # person anonymisation map (J2/W2)
+    # ------------------------------------------------------------------
+
+    def person_map(self, source: Source) -> DataFrame:
+        """source person id -> dense int (1..N in file order) over the person
+        FILE, strict dob validation (person_helpers.py:90-151,
+        validation.py:13-63). Returns (source_subject, target_subject)."""
+        dob_field, pid_field = self.rules.person_source_info("person")
+        df = source.read(self.person_table)
+        pid = _resolve(df, pid_field)
+        dob = _resolve(df, dob_field)
+        valid = df.filter(valid_value(pid) & strict_date(dob).isNotNull())
+        first = valid.groupBy(pid.alias("source_subject")).agg(
+            F.min(LINE_COL).alias(LINE_COL)
+        )
+        if self.use_input_person_ids:
+            return first.select(
+                "source_subject", F.col("source_subject").alias("target_subject"), LINE_COL
+            )
+        withids = with_dense_ids(first, [LINE_COL], "target_subject", offset=0)
+        return withids.select(
+            "source_subject", F.col("target_subject").cast("string").alias("target_subject"), LINE_COL
+        )
+
+    # ------------------------------------------------------------------
+    # per-target record plans
+    # ------------------------------------------------------------------
+
+    def target_candidates(
+        self, source: Source, target: str, stats: RejectStats | None = None
+    ) -> DataFrame:
+        """All candidate output records for a target (before the person-map
+        join), with meta columns for ordering and metrics. Auto-number ids
+        are assigned here — the reference consumes an id even for records
+        later rejected by the person lookup (record_builder.py:149-163)."""
+        schema = self.omop.table(target)
+        per_source = self.rules.mappings[target]
+        parts: list[DataFrame] = []
+        for file_idx, (src_file, tm) in enumerate(per_source.items()):
+            df = source.read(tm.source_table)
+            part = self._file_records(df, tm, schema, stats)
+            parts.append(part.withColumn(FILEIDX_COL, F.lit(file_idx)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        auto_col = self.omop.auto_number_col(target)
+        if auto_col and auto_col in schema.columns:
+            out = with_dense_ids(
+                out,
+                [FILEIDX_COL, LINE_COL, FIELD_COL, COMBO_COL],
+                "__ct_auto",
+                offset=self.last_used_ids.get(target, 0),
+            )
+            out = out.withColumn(auto_col, F.col("__ct_auto").cast("string")).drop("__ct_auto")
+        return out
+
+    def target_records(
+        self,
+        source: Source,
+        target: str,
+        person_map: DataFrame,
+        stats: RejectStats | None = None,
+    ) -> DataFrame:
+        """Final records: person ids mapped via broadcast join; rejects
+        counted into stats (run.py:275-299 semantics)."""
+        schema = self.omop.table(target)
+        person_col = self.omop.person_col(target)
+        cand = self.target_candidates(source, target, stats)
+        pmap = F.broadcast(person_map.select("source_subject", "target_subject"))
+        joined = cand.join(pmap, cand[person_col] == pmap.source_subject, "left")
+        kept = joined.filter(F.col("target_subject").isNotNull()).withColumn(
+            person_col, F.col("target_subject").cast("string")
+        ).drop("source_subject", "target_subject")
+        if stats is not None:
+            rejects = (
+                joined.filter(F.col("target_subject").isNull())
+                .groupBy(SRC_COL)
+                .count()
+                .collect()
+            )
+            for r in rejects:
+                key = (r[SRC_COL], target)
+                stats.invalid_person[key] = stats.invalid_person.get(key, 0) + r["count"]
+        return kept
+
+    # ------------------------------------------------------------------
+    # record generation for one (source file, target) pair
+    # ------------------------------------------------------------------
+
+    def _file_records(
+        self,
+        df: DataFrame,
+        tm: TableMapping,
+        schema: TableSchema,
+        stats: RejectStats | None,
+    ) -> DataFrame:
+        target = tm.target_table
+        src_file = tm.source_table
+        is_person = target == "person"
+
+        # input/date-reject rows are counted once per source FILE, not per
+        # (file, target) pair (orchestrator.py:136-158 counts at row level
+        # before the per-target loop)
+        count_file = stats is not None and src_file not in self._counted_files
+        if count_file:
+            self._counted_files.add(src_file)
+            stats.input_rows[src_file] = stats.input_rows.get(src_file, 0) + df.count()
+
+        # F2: permissive row-level date normalisation; invalid rows rejected
+        # (orchestrator.py:146-158)
+        date_src = _resolve(df, tm.date_mapping.source_field) if tm.date_mapping else None
+        if date_src is not None:
+            df = df.withColumn("__ct_norm", normalise_to8601(date_src))
+            if count_file:
+                n_bad = df.filter(F.col("__ct_norm").isNull()).count()
+                if n_bad:
+                    stats.date_reject_rows[src_file] = (
+                        stats.date_reject_rows.get(src_file, 0) + n_bad
+                    )
+            df = df.filter(F.col("__ct_norm").isNotNull())
+        else:
+            df = df.withColumn("__ct_norm", F.lit(None).cast("string"))
+
+        if is_person and tm.person_id_mapping is not None and self.rules.dialect == "v2":
+            # J3: one person record per (source file, person id) — first row
+            # wins (record_builder.py:199-220). Aggregation-based first-row
+            # pick (min line + semi join back) keeps the plan shuffle-light.
+            pid = _resolve(df, tm.person_id_mapping.source_field)
+            firsts = df.groupBy(pid.alias("__ct_pid")).agg(F.min(LINE_COL).alias("__ct_minline"))
+            df = df.join(
+                F.broadcast(firsts),
+                (pid == F.col("__ct_pid")) & (F.col(LINE_COL) == F.col("__ct_minline")),
+                "left_semi",
+            )
+
+        # blank-cell rejects per data column (core.py:158-166 /
+        # record_builder.py:309-323). v1 also counts the person target's
+        # FIRST data column (the per-datacol loop breaks after it,
+        # run.py:301-302); v2's person builder never counts blanks.
+        if stats is not None:
+            count_fields: list[str] = []
+            if not is_person:
+                count_fields = list(tm.concept_mappings)
+            elif self.rules.dialect == "v1" and tm.concept_mappings:
+                count_fields = [next(iter(tm.concept_mappings))]
+            for fname in count_fields:
+                cell = _try_resolve(df, fname)
+                if cell is None:
+                    continue
+                n_blank = df.filter(~F.coalesce(valid_value(cell), F.lit(False))).count()
+                if n_blank:
+                    key = (src_file, target, fname)
+                    stats.invalid_source[key] = stats.invalid_source.get(key, 0) + n_blank
+
+        if is_person:
+            records = (
+                self._person_records_col_v1(df, tm, schema)
+                if self.rules.dialect == "v1"
+                else self._person_records_col(df, tm, schema)
+            )
+        else:
+            records = self._standard_records_col(df, tm, schema)
+        exploded = df.withColumn("__ct_rec", F.explode(records))
+
+        # strict-date component failure drops the whole row's records for
+        # this target (record_builder.py:92-132); counted as
+        # invalid_date_fields
+        comp = self.omop.date_components(target)
+        comp_dests = [d for d in (tm.date_mapping.dest_fields if tm.date_mapping else []) if d in comp]
+        if comp_dests:
+            ok = strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
+            if stats is not None:
+                n_bad = df.filter(~ok).count()
+                if n_bad:
+                    first_field = next(iter(tm.concept_mappings), "all")
+                    key = (src_file, target, first_field)
+                    stats.invalid_date[key] = stats.invalid_date.get(key, 0) + n_bad
+            exploded = exploded.filter(ok)
+
+        cols = [F.col(f"__ct_rec.{c}").alias(c) for c in schema.columns]
+        meta = [
+            F.lit(src_file).alias(SRC_COL),
+            F.col(f"__ct_rec.{FIELD_COL}").alias(FIELD_COL),
+            F.col(f"__ct_rec.{COMBO_COL}").alias(COMBO_COL),
+            F.col(LINE_COL),
+        ]
+        return exploded.select(*cols, *meta)
+
+    # -- column-expression record builders ------------------------------
+
+    def _common_column_values(
+        self, df: DataFrame, tm: TableMapping, schema: TableSchema
+    ) -> dict[str, Column]:
+        """Dest column -> value for person-id and date destinations
+        (applied last == highest precedence, record_builder.py:53-147)."""
+        target = tm.target_table
+        out: dict[str, Column] = {}
+        if tm.person_id_mapping and tm.person_id_mapping.dest_field in schema.columns:
+            src = _try_resolve(df, tm.person_id_mapping.source_field)
+            if src is not None:
+                out[tm.person_id_mapping.dest_field] = src
+        linked = self.omop.linked_date_fields(target)
+        comp = self.omop.date_components(target)
+        norm = F.col("__ct_norm")
+        if tm.date_mapping:
+            companions = set(tm.date_mapping.companions())
+            for dest in tm.date_mapping.dest_fields:
+                if dest not in schema.columns:
+                    continue
+                out[dest] = norm
+                if dest not in companions:
+                    continue
+                if dest in comp:
+                    # D3: birth_datetime -> year/month/day, str(int) unpadded
+                    dt = strict_date(F.substring(norm, 1, 10))
+                    ci = comp[dest]
+                    if "year" in ci and ci["year"] in schema.columns:
+                        out[ci["year"]] = F.year(dt).cast("string")
+                    if "month" in ci and ci["month"] in schema.columns:
+                        out[ci["month"]] = F.month(dt).cast("string")
+                    if "day" in ci and ci["day"] in schema.columns:
+                        out[ci["day"]] = F.dayofmonth(dt).cast("string")
+                elif dest in linked and linked[dest] in schema.columns:
+                    # D4: *_datetime -> paired *_date = first 10 chars
+                    out[linked[dest]] = F.substring(norm, 1, 10)
+        return out
+
+    def _record_struct(
+        self,
+        schema: TableSchema,
+        overrides: dict[str, Column],
+        field_name: Column,
+        combo_idx: Column,
+    ) -> Column:
+        fields = []
+        for c in schema.columns:
+            if c in overrides:
+                v = overrides[c].cast("string")
+            elif c in schema.notnull_numeric_fields:
+                v = F.lit("0")  # P3 (omopcdm.py:113-118, record_builder.py:28-37)
+            else:
+                v = F.lit("")
+            fields.append(F.coalesce(v, F.lit("")).alias(c))
+        fields.append(field_name.cast("string").alias(FIELD_COL))
+        fields.append(combo_idx.cast("int").alias(COMBO_COL))
+        return F.struct(*fields)
+
+    def _standard_records_col(
+        self, df: DataFrame, tm: TableMapping, schema: TableSchema
+    ) -> Column:
+        """array<record> for a standard target: per-field fan-out (U1), each
+        field contributing its matched value's clamped-zip combinations (X1).
+        StandardRecordBuilder semantics (record_builder.py:306-367):
+        records require a concept match (exact value, else wildcard)."""
+        common = self._common_column_values(df, tm, schema)
+        per_field: list[Column] = []
+        for fname, cm in tm.concept_mappings.items():
+            cell = _try_resolve(df, fname)
+            if cell is None:
+                continue
+            exact = {v: dm for v, dm in cm.value_mappings.items() if v != "*"}
+            wild = cm.value_mappings.get("*")
+
+            def combos_for(dest_map: dict[str, list[int]]) -> Column:
+                n = max((len(ids) for ids in dest_map.values() if ids), default=0)
+                recs = []
+                for k in range(n):
+                    overrides = dict(common)
+                    # precedence (low->high): concept, original value,
+                    # person id, dates — common holds the last two
+                    concept_over = {
+                        d: F.lit(str(ids[min(k, len(ids) - 1)]))
+                        for d, ids in dest_map.items()
+                        if ids and d in schema.columns
+                    }
+                    orig_over = {
+                        d: cell for d in cm.original_value_fields if d in schema.columns
+                    }
+                    merged = {**concept_over, **orig_over, **common}
+                    recs.append(
+                        self._record_struct(schema, merged, F.lit(fname), F.lit(k))
+                    )
+                return F.array(*recs) if recs else None
+
+            branch = None
+            for value, dest_map in exact.items():
+                arr = combos_for(dest_map)
+                if arr is None:
+                    continue
+                cond = cell == F.lit(value)
+                branch = F.when(cond, arr) if branch is None else branch.when(cond, arr)
+            wild_arr = combos_for(wild) if wild else None
+            if branch is None and wild_arr is None:
+                continue
+            empty = _empty_like(
+                self._record_struct(schema, common, F.lit(fname), F.lit(0))
+            )
+            if branch is None:
+                sel = F.when(F.lit(True), wild_arr)
+            elif wild_arr is not None:
+                sel = branch.otherwise(wild_arr)
+            else:
+                sel = branch.otherwise(empty)
+            # F1: blank cells never produce records (+ never match wildcard)
+            per_field.append(F.when(valid_value(cell), sel).otherwise(empty))
+        if not per_field:
+            return _empty_like(self._record_struct(schema, {}, F.lit(""), F.lit(0)))
+        return F.flatten(F.array(*per_field))
+
+    def _person_records_col(
+        self, df: DataFrame, tm: TableMapping, schema: TableSchema
+    ) -> Column:
+        """array<record> for the person target: mappings MERGED across all
+        fields (later field wins dest-field collisions), then one clamped-zip
+        combination set (PersonRecordBuilder, record_builder.py:199-303)."""
+        common = self._common_column_values(df, tm, schema)
+
+        fields = list(tm.concept_mappings.items())
+        # per dest column: coalesce(last field's match, ..., first field's)
+        dest_arrays: dict[str, Column] = {}
+        all_dests: list[str] = []
+        for fname, cm in fields:
+            for dm in cm.value_mappings.values():
+                for d in dm:
+                    if d not in all_dests:
+                        all_dests.append(d)
+        max_n = 1
+        for d in all_dests:
+            picks: list[Column] = []
+            for fname, cm in reversed(fields):
+                cell = _try_resolve(df, fname)
+                if cell is None:
+                    continue
+                exact = {v: m for v, m in cm.value_mappings.items() if v != "*"}
+                wild = cm.value_mappings.get("*")
+                branch = None
+                for value, dmap in exact.items():
+                    ids = dmap.get(d)
+                    arr = (
+                        F.array(*[F.lit(i) for i in ids]) if ids else F.lit(None).cast("array<int>")
+                    )
+                    cond = cell == F.lit(value)
+                    branch = F.when(cond, arr) if branch is None else branch.when(cond, arr)
+                    if ids:
+                        max_n = max(max_n, len(ids))
+                wild_arr = None
+                if wild and wild.get(d):
+                    wild_arr = F.array(*[F.lit(i) for i in wild[d]])
+                    max_n = max(max_n, len(wild[d]))
+                if branch is None and wild_arr is None:
+                    continue
+                if branch is None:
+                    sel = wild_arr
+                else:
+                    sel = branch.otherwise(wild_arr) if wild_arr is not None else branch
+                picks.append(F.when(valid_value(cell), sel))
+            if picks:
+                dest_arrays[d] = F.coalesce(*picks) if len(picks) > 1 else picks[0]
+
+        # original values: later field wins (record_builder.py:274-277)
+        orig_values: dict[str, Column] = {}
+        for fname, cm in fields:
+            cell = _try_resolve(df, fname)
+            if cell is None:
+                continue
+            for d in cm.original_value_fields:
+                if d not in schema.columns:
+                    continue
+                prev = orig_values.get(d)
+                cur = F.when(valid_value(cell), cell)
+                orig_values[d] = F.coalesce(cur, prev) if prev is not None else cur
+
+        any_concept = None
+        for d, arr in dest_arrays.items():
+            c = arr.isNotNull()
+            any_concept = c if any_concept is None else (any_concept | c)
+        any_orig = None
+        for d, v in orig_values.items():
+            c = v.isNotNull()
+            any_orig = c if any_orig is None else (any_orig | c)
+        if any_concept is None and any_orig is None:
+            return _empty_like(self._record_struct(schema, {}, F.lit(""), F.lit(0)))
+
+        # n combos = max size over matched dest arrays (clamp semantics);
+        # 1 when only original values matched
+        sizes = [F.coalesce(F.size(arr), F.lit(0)) for arr in dest_arrays.values()]
+        n_concepts = F.greatest(*sizes, F.lit(0)) if len(sizes) > 1 else (
+            sizes[0] if sizes else F.lit(0)
+        )
+        n_records = F.when(n_concepts > 0, n_concepts).otherwise(
+            F.when(any_orig if any_orig is not None else F.lit(False), F.lit(1)).otherwise(F.lit(0))
+        )
+
+        first_field = next(iter(tm.concept_mappings), "")
+        recs = []
+        for k in range(max_n):
+            concept_over = {
+                d: F.when(
+                    arr.isNotNull(),
+                    F.element_at(arr, F.least(F.lit(k + 1), F.size(arr))).cast("string"),
+                )
+                for d, arr in dest_arrays.items()
+                if d in schema.columns
+            }
+            orig_over = {
+                d: F.when(v.isNotNull(), v) for d, v in orig_values.items()
+            }
+            merged = {**concept_over, **orig_over, **common}
+            # drop null-valued overrides back to defaults inside the struct
+            merged = {
+                d: F.coalesce(
+                    v,
+                    F.lit("0") if d in schema.notnull_numeric_fields else F.lit(""),
+                )
+                for d, v in merged.items()
+            }
+            recs.append(self._record_struct(schema, merged, F.lit(first_field), F.lit(k)))
+        full = F.array(*recs)
+        return F.when(n_records > 0, F.slice(full, 1, n_records)).otherwise(
+            _empty_like(recs[0])
+        )
+
+
+    def _person_records_col_v1(
+        self, df: DataFrame, tm: TableMapping, schema: TableSchema
+    ) -> Column:
+        """v1 person semantics (run.py:244-302 + core.py:51-102): exactly ONE
+        record per input row, gated on the first data column being non-blank.
+        No combination explosion — within the merged rules element, later
+        concept assignments overwrite, so each dest takes the LAST concept id
+        of its matched list; original values apply only when the field's
+        value matched; later fields win dest collisions."""
+        common = self._common_column_values(df, tm, schema)
+        fields = list(tm.concept_mappings.items())
+        template = self._record_struct(schema, common, F.lit(""), F.lit(0))
+        if not fields:
+            return _empty_like(template)
+        first_field = fields[0][0]
+        first_cell = _try_resolve(df, first_field)
+        if first_cell is None:
+            return _empty_like(template)
+        gate = F.coalesce(valid_value(first_cell), F.lit(False))
+
+        overrides: dict[str, Column] = {}
+        for fname, cm in fields:  # later fields overwrite on collision
+            cell = _try_resolve(df, fname)
+            if cell is None:
+                continue
+            exact = {v: m for v, m in cm.value_mappings.items() if v != "*"}
+            wild = cm.value_mappings.get("*")
+            dests: list[str] = []
+            for dmap in cm.value_mappings.values():
+                for d in dmap:
+                    if d not in dests:
+                        dests.append(d)
+            for d in dests:
+                branch = None
+                for value, dmap in exact.items():
+                    ids = dmap.get(d)
+                    val = F.lit(str(ids[-1])) if ids else F.lit(None).cast("string")
+                    cond = cell == F.lit(value)
+                    branch = F.when(cond, val) if branch is None else branch.when(cond, val)
+                if wild and wild.get(d):
+                    wild_val = F.lit(str(wild[d][-1]))
+                    branch = branch.otherwise(wild_val) if branch is not None else wild_val
+                if branch is None:
+                    continue
+                piece = F.when(F.coalesce(valid_value(cell), F.lit(False)), branch)
+                prev = overrides.get(d)
+                overrides[d] = F.coalesce(piece, prev) if prev is not None else piece
+            if cm.original_value_fields:
+                matched = None
+                for value in exact:
+                    c = cell == F.lit(value)
+                    matched = c if matched is None else (matched | c)
+                if wild:
+                    matched = F.lit(True) if matched is None else F.lit(True)
+                if matched is None:
+                    continue
+                for d in cm.original_value_fields:
+                    if d not in schema.columns:
+                        continue
+                    piece = F.when(
+                        F.coalesce(valid_value(cell), F.lit(False)) & matched, cell
+                    )
+                    prev = overrides.get(d)
+                    overrides[d] = F.coalesce(piece, prev) if prev is not None else piece
+
+        merged = {
+            d: F.coalesce(
+                v, F.lit("0") if d in schema.notnull_numeric_fields else F.lit("")
+            )
+            for d, v in overrides.items()
+        }
+        merged.update(common)
+        rec = self._record_struct(schema, merged, F.lit(first_field), F.lit(0))
+        return F.when(gate, F.array(rec)).otherwise(_empty_like(rec))
+
+
+# ---------------------------------------------------------------------------
+
+
+def _resolve(df: DataFrame, name: str) -> Column:
+    col = _try_resolve(df, name)
+    if col is None:
+        raise KeyError(f"column '{name}' not found in {df.columns}")
+    return col
+
+
+def _try_resolve(df: DataFrame, name: str) -> Column | None:
+    """Case-insensitive column resolution (reference omopcdm.py:144-150)."""
+    lower = {c.lower(): c for c in df.columns}
+    actual = lower.get(name.lower())
+    return F.col(actual) if actual is not None else None
+
+
+def _empty_like(template: Column) -> Column:
+    """Typed empty array matching a struct template."""
+    return F.filter(F.array(template), lambda _: F.lit(False))

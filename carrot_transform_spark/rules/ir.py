@@ -1,0 +1,102 @@
+"""Canonical mapping-rules IR.
+
+Both rules dialects (v1 legacy and v2) normalize into this one
+representation, shaped after the cleaner v2 dialect (reference:
+/root/reference/carrottransform/tools/mapping_types.py:5-31). The IR is the
+"logical plan" input to the Spark compiler:
+
+    RuleSet
+      └─ per (target_table, source_table): TableMapping
+           ├─ person_id_mapping : source col -> dest col
+           ├─ date_mapping      : source col -> [dest datetime cols]
+           └─ concept_mappings  : source col -> ConceptMapping
+                ├─ value_mappings : source value (or "*") ->
+                │                     {dest_field: [concept ids]}
+                └─ original_value_fields : dest cols receiving the raw cell
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PersonIdMapping:
+    source_field: str
+    dest_field: str
+
+
+@dataclass
+class DateMapping:
+    source_field: str
+    dest_fields: list[str]
+    # dest fields that also receive the derived date artifacts (the linked
+    # *_date companion / year-month-day components). v2 applies them to every
+    # dest (record_builder.py:85-147); v1 only to the LAST dest listed per
+    # source field in each rule (core.py:104-154 uses the loop's final
+    # output_col_data). None means "all dest_fields".
+    companion_dests: list[str] | None = None
+
+    def companions(self) -> list[str]:
+        return self.dest_fields if self.companion_dests is None else self.companion_dests
+
+
+@dataclass
+class ConceptMapping:
+    source_field: str
+    # source value (or "*" wildcard) -> dest_field -> ordered concept ids
+    value_mappings: dict[str, dict[str, list[int]]] = field(default_factory=dict)
+    original_value_fields: list[str] = field(default_factory=list)
+
+
+@dataclass
+class TableMapping:
+    target_table: str
+    source_table: str
+    person_id_mapping: PersonIdMapping | None
+    date_mapping: DateMapping | None
+    # insertion order matters: for the person table, later fields overwrite
+    # earlier fields on dest-field collisions (reference
+    # record_builder.py:271-272)
+    concept_mappings: dict[str, ConceptMapping] = field(default_factory=dict)
+
+
+@dataclass
+class RuleSet:
+    dataset_name: str
+    # target_table -> source_table -> TableMapping
+    mappings: dict[str, dict[str, TableMapping]] = field(default_factory=dict)
+    # source dialect: person-table semantics differ —
+    #   v1 (run.py:301-302, core.py:51-102): one person record per input row,
+    #      gated on the FIRST data column being non-blank, no person dedup,
+    #      no combination explosion (later concept assignments overwrite),
+    #      original values applied only when the field's value matched;
+    #   v2 (record_builder.py:199-247): once per (source file, person id),
+    #      clamped-zip combinations, original values on any non-blank cell.
+    dialect: str = "v2"
+
+    def targets(self) -> list[str]:
+        return list(self.mappings)
+
+    def sources_for(self, target: str) -> list[str]:
+        return list(self.mappings.get(target, {}))
+
+    def source_tables(self) -> list[str]:
+        seen: dict[str, None] = {}
+        for per_target in self.mappings.values():
+            for src in per_target:
+                seen.setdefault(src, None)
+        return list(seen)
+
+    def targets_for_source(self, source_table: str) -> list[str]:
+        return [t for t, per in self.mappings.items() if source_table in per]
+
+    def person_source_info(self, person_target: str = "person") -> tuple[str, str]:
+        """(birth_datetime_source_field, person_id_source_field) for the person
+        table rules — reference mappingrules.get_person_source_field_info."""
+        per = self.mappings.get(person_target, {})
+        for tm in per.values():
+            date_src = tm.date_mapping.source_field if tm.date_mapping else ""
+            pid_src = tm.person_id_mapping.source_field if tm.person_id_mapping else ""
+            return date_src, pid_src
+        raise ValueError(f"no rules for person target table '{person_target}'")

@@ -1,0 +1,136 @@
+"""Input connectors: named source tables -> string-typed DataFrames.
+
+Mirrors the reference's SourceObject dispatch (sources.py:57-69):
+- 'minio:...' / 's3a://...' -> object-store CSV (same reader, s3a paths)
+- '<scheme>://...'          -> JDBC
+- otherwise                 -> local CSV directory
+
+Every reader returns all-string columns plus a ``__ct_line`` ordering
+column (monotonically increasing in file order) used for order-dependent
+id assignment; blank-named columns (the Excel trailing-comma artifact,
+reference sources.py:160-177) are dropped.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+LINE_COL = "__ct_line"
+
+
+class Source:
+    def read(self, table: str) -> DataFrame:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def _finalize(self, df: DataFrame) -> DataFrame:
+        keep = [c for c in df.columns if c.strip() != ""]
+        if len(keep) != len(df.columns):
+            df = df.select(*keep)
+        return df.withColumn(LINE_COL, F.monotonically_increasing_id())
+
+
+class CsvDirSource(Source):
+    """<dir>/<table>.csv, read as strings with header (reference S1)."""
+
+    def __init__(self, spark: SparkSession, directory: str | Path, sep: str = ","):
+        self.spark = spark
+        self.directory = Path(directory)
+        self.sep = sep
+
+    def read(self, table: str) -> DataFrame:
+        name = table if table.endswith(".csv") else f"{table}.csv"
+        path = self.directory / name
+        if not path.exists():
+            # allow tables named without extension on disk
+            alt = self.directory / table
+            path = alt if alt.exists() else path
+        df = (
+            self.spark.read.option("header", True)
+            .option("sep", self.sep)
+            .option("inferSchema", False)
+            .option("encoding", "UTF-8")
+            .option("mode", "PERMISSIVE")
+            .csv(str(path))
+        )
+        return self._finalize(df)
+
+
+class ParquetDirSource(Source):
+    """<dir>/<table>.parquet — used by tests/benchmarks; columns cast to string
+    to match the stringly-typed CSV data plane."""
+
+    def __init__(self, spark: SparkSession, directory: str | Path):
+        self.spark = spark
+        self.directory = Path(directory)
+
+    def read(self, table: str) -> DataFrame:
+        df = self.spark.read.parquet(str(self.directory / f"{table}.parquet"))
+        df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+        return self._finalize(df)
+
+
+class JdbcSource(Source):
+    """JDBC table scan (reference S2): identifiers lower-cased."""
+
+    def __init__(self, spark: SparkSession, url: str, properties: dict[str, str] | None = None):
+        self.spark = spark
+        self.url = url
+        self.properties = properties or {}
+
+    def read(self, table: str) -> DataFrame:
+        reader = self.spark.read.format("jdbc").option("url", self.url).option(
+            "dbtable", table.lower()
+        )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        df = reader.load()
+        df = df.toDF(*[c.lower() for c in df.columns])
+        df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+        return self._finalize(df)
+
+
+class S3CsvSource(Source):
+    """CSV under s3a://bucket/prefix/ (reference S3/S4); for MinIO set
+    fs.s3a.endpoint + path-style access on the SparkSession's hadoop conf."""
+
+    def __init__(self, spark: SparkSession, base_url: str, sep: str = ","):
+        self.spark = spark
+        self.base_url = base_url.rstrip("/")
+        self.sep = sep
+
+    def read(self, table: str) -> DataFrame:
+        df = (
+            self.spark.read.option("header", True)
+            .option("sep", self.sep)
+            .option("inferSchema", False)
+            .csv(f"{self.base_url}/{table}")
+        )
+        return self._finalize(df)
+
+
+_URL_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+def make_source(spark: SparkSession, spec: str) -> Source:
+    """Dispatch a CLI --inputs spec to a connector (reference sources.py:57-69)."""
+    if spec.startswith("minio:"):
+        # minio:user:pass@http://host:port/bucket/folder
+        m = re.match(r"^minio:([^:]+):([^@]+)@(https?://[^/]+)/(.+)$", spec)
+        if not m:
+            raise ValueError(f"bad minio spec: {spec}")
+        user, pw, endpoint, bucket_path = m.groups()
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        hconf.set("fs.s3a.endpoint", endpoint)
+        hconf.set("fs.s3a.access.key", user)
+        hconf.set("fs.s3a.secret.key", pw)
+        hconf.set("fs.s3a.path.style.access", "true")
+        return S3CsvSource(spark, f"s3a://{bucket_path}")
+    if spec.startswith("s3a://") or spec.startswith("s3://"):
+        return S3CsvSource(spark, spec.replace("s3://", "s3a://", 1))
+    if _URL_RE.match(spec):
+        return JdbcSource(spark, spec if spec.startswith("jdbc:") else f"jdbc:{spec}")
+    return CsvDirSource(spark, spec)
