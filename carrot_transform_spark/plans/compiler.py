@@ -243,7 +243,12 @@ class CarrotPlanner:
             )
         else:
             records = self._standard_records_col(df, tm, schema)
-        exploded = df.withColumn("__ct_rec", F.explode(records))
+        # explode_outer + null-filter, NOT explode: plain explode's implicit
+        # size()>0 predicate gets pushed below upstream exchanges and
+        # re-evaluates the entire record-generation expression per row
+        exploded = df.withColumn("__ct_rec", F.explode_outer(records)).filter(
+            F.col("__ct_rec").isNotNull()
+        )
 
         # strict-date component failure drops the whole row's records for
         # this target (record_builder.py:92-132); counted as
