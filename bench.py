@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "txt_word_freq",
     "dd_minhash_lsh_pairs",
     "sim_topk_bruteforce",
+    "omop_observation_events",
+    "win_running_order_total",
+    "q16_supplier_part_variety",
 ]
 
 

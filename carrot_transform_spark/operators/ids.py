@@ -34,12 +34,18 @@ def with_dense_ids(
 ) -> DataFrame:
     """Add ``id_col`` = offset + dense rank 1..N in (order_cols) order."""
     n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    # persist the input first: repartitionByRange SAMPLES its child for the
+    # range boundaries, so an unpersisted expensive lineage (e.g. the ETL
+    # record explode) would be computed once for sampling, once for the
+    # exchange, and once more for the count job below
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
     ranged = (
-        df.repartitionByRange(int(n_parts), *[F.col(c) for c in order_cols])
+        src.repartitionByRange(int(n_parts), *[F.col(c) for c in order_cols])
         .withColumn(_PID, F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = ranged.groupBy(_PID).count().orderBy(_PID).collect()
+    src.unpersist()  # ranged is materialized by the count job above
     offsets: dict[int, int] = {}
     acc = offset
     for row in counts:

@@ -91,8 +91,10 @@ def davg_sql(expr: str, scale: int = 4) -> str:
 def all_queries() -> dict[str, QueryDef]:
     # Import side-effect modules that populate the registry.
     from carrot_transform_spark.queries import (  # noqa: F401
+        analytics,
         dedup,
         events,
+        omop_pipeline,
         operators_demo,
         similarity,
         text,

@@ -1,0 +1,392 @@
+"""Analytics breadth: window functions, set operations, richer TPC-H shapes.
+
+The reference engine has no user-facing windows/sorts/set-ops (SURVEY §2.6,
+§2.9) — Spark supplies them natively; these queries pin down their semantics
+against the DuckDB oracle so the engine's full analytic surface is gated,
+not just the ETL algebra.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from carrot_transform_spark.queries import dsum, dsum_sql, load, register
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_running_order_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+    tags=("window", "running"),
+)
+def win_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(run), 2)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "win_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+           CAST(DATEDIFF('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank
+    FROM orders
+    """,
+    tags=("window", "lag"),
+)
+def win_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.rank().over(wp).alias("price_rank"),
+    )
+
+
+@register(
+    "win_topn_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rnk FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer
+    ) WHERE rnk <= 3
+    ORDER BY c_mktsegment, rnk
+    """,
+    tags=("window", "topk"),
+)
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+@register(
+    "win_ntile_quartiles",
+    oracle="""
+    SELECT q AS quartile, COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS min_bal, ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM (SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS q FROM customer) t
+    GROUP BY quartile ORDER BY quartile
+    """,
+    tags=("window", "ntile"),
+)
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_except_intersect",
+    oracle="""
+    SELECT 'building_no_urgent' AS bucket, COUNT(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) t1
+    UNION ALL
+    SELECT 'machinery_with_error_events', COUNT(*) FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    ) t2
+    ORDER BY bucket
+    """,
+    tags=("setop",),
+)
+def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select(F.col("c_custkey").alias("k"))
+    err_users = e.filter(F.col("event_type") == "error").select(F.col("user_id").alias("k"))
+    a = building.exceptAll(urgent).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("building_no_urgent").alias("bucket"), "n"
+    )
+    b = machinery.intersect(err_users).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("machinery_with_error_events").alias("bucket"), "n"
+    )
+    return a.unionByName(b).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# more TPC-H shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    matched = o.join(
+        l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_shipmode_classes",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=("tpch", "case-agg"),
+)
+def q12_shipmode_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT ROUND(
+        CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+        * 100, 4) AS promo_share_pct,
+        {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+    """,
+    tags=("tpch", "agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(promo.cast("decimal(27,6)")).cast("double")
+                / F.sum(rev.cast("decimal(27,6)")).cast("double")
+                * 100,
+                4,
+            ).alias("promo_share_pct"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20, 25)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    tags=("tpch", "distinct-agg"),
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25)
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+    tags=("tpch", "correlated"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(avg_qty, F.col("ak") == l.l_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "or-predicates"),
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS v
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nation, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(27,6))), 2) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY nation ORDER BY nation
+    """,
+    tags=("tpch", "anti-join"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))).alias("v")
+        )
+    )
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("v")).drop("v")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(27,6)")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
