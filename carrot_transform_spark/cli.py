@@ -77,6 +77,19 @@ def _execute(kind: str, **kw):
         click.echo("Rules file is not in v2 format!", err=True)
         sys.exit(1)
 
+    from carrot_transform_spark.rules.validation import (
+        RulesValidationError,
+        check_person_rules,
+        check_person_table_name,
+    )
+
+    try:
+        check_person_table_name(kw["person_table"])
+        check_person_rules(rules, kw["person_table"])
+    except RulesValidationError as e:
+        click.echo(f"error: {e}", err=True)
+        sys.exit(1)
+
     spark = get_spark(app_name=f"carrot-{kind}", master=kw["master"])
     spark.sparkContext.setLogLevel("WARN")
     try:

@@ -51,11 +51,20 @@ def run_transform(
     write_outputs: bool = True,
     log_threshold: int = 0,
 ) -> RunResult:
+    from carrot_transform_spark.rules.validation import (
+        check_files_exist,
+        check_person_rules,
+        check_person_table_name,
+    )
+
     omop: OmopSchemas = load_schemas(ddl_file, config_file)
     rules: RuleSet = load_rules(rules_file, omop)
+    check_person_table_name(person_table)
+    check_person_rules(rules, person_table)
     source = inputs if isinstance(inputs, Source) else make_source(spark, str(inputs))
     if isinstance(source, CsvDirSource):
-        pass
+        for w in check_files_exist(rules, source.directory):
+            print(f"warning: {w}")
 
     planner = CarrotPlanner(
         spark,
