@@ -88,10 +88,29 @@ def davg_sql(expr: str, scale: int = 4) -> str:
     return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), {scale})"
 
 
+def fround(expr, scale: int = 4):
+    """Engine-stable rounding of a DOUBLE: floor(x*10^s + 0.5)/10^s uses only
+    IEEE ops, so identical input doubles give identical results everywhere.
+    (Native ROUND differs between engines when the double's shortest decimal
+    repr terminates in '5' at the rounding digit: Spark rounds the repr
+    half-up, DuckDB multiplies first.)"""
+    import pyspark.sql.functions as F
+
+    col = expr if not isinstance(expr, str) else F.col(expr)
+    m = 10 ** scale
+    return (F.floor(col * m + F.lit(0.5)) / m).cast("double")
+
+
+def fround_sql(expr: str, scale: int = 4) -> str:
+    m = 10 ** scale
+    return f"CAST(FLOOR(({expr}) * {m} + 0.5) / {m} AS DOUBLE)"
+
+
 def all_queries() -> dict[str, QueryDef]:
     # Import side-effect modules that populate the registry.
     from carrot_transform_spark.queries import (  # noqa: F401
         analytics,
+        ann_lsh,
         dedup,
         events,
         omop_pipeline,
@@ -99,6 +118,7 @@ def all_queries() -> dict[str, QueryDef]:
         similarity,
         text,
         tpch,
+        tpch2,
     )
 
     return REGISTRY

@@ -1,0 +1,132 @@
+"""Random-hyperplane LSH over the embeddings table.
+
+The scale path for angular similarity when no IVF cell column exists:
+- P pseudo-random hyperplanes with deterministic ±1 entries derived from
+  md5 (reproducible bit-for-bit in the DuckDB oracle);
+- signature bit p = [dot(v, plane_p) > 0]; bucket = packed bits;
+- near-neighbor candidates share a bucket (P(collision) = (1 - θ/π)^P),
+  then exact cosine verification.
+
+All JVM-side: plane vectors are literal arrays folded with zip_with.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from carrot_transform_spark.queries import load, register
+
+_DIM = 64
+_PLANES = 8
+
+
+def _plane_entry(p: int, d: int) -> int:
+    """Deterministic ±1 from md5(p:d) parity — reproducible in any engine."""
+    h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) % 2 == 1 else -1
+
+
+_PLANE_VECS = [[_plane_entry(p, d) for d in range(_DIM)] for p in range(_PLANES)]
+
+
+def _bucket_col() -> F.Column:
+    v = F.col("v")
+    bits = []
+    for p in range(_PLANES):
+        plane = F.array(*[F.lit(float(x)) for x in _PLANE_VECS[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _bucket_sql() -> str:
+    terms = []
+    for p in range(_PLANES):
+        prods = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({_PLANE_VECS[p][d]})" for d in range(_DIM)
+        )
+        terms.append(f"CASE WHEN ({prods}) > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id, {_bucket_sql()} AS bucket
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector 8-bit random-hyperplane signature (the LSH bucket id)."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return n.select("vec_id", _bucket_col().alias("bucket")).orderBy("vec_id")
+
+
+@register(
+    "ann_lsh_candidate_pairs",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, {_bucket_sql()} AS bucket,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, bucket, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+                   / (a.nrm * b.nrm) AS cs
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cs, 4) AS cosine_sim
+    FROM pairs WHERE cs >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("similarity", "lsh", "bench"),
+)
+def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-collision candidates verified by exact cosine (>= 0.3). The
+    bucket join replaces the all-pairs scan: expected candidate volume is
+    |pairs| x (1 - theta/pi)^P."""
+    e = load(spark, sf_dir, "embeddings")
+    n = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", _bucket_col())
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+            ),
+        )
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("bucket").alias("ba"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cs = (
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("na") * F.col("nb"))
+    )
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cs.alias("cs"))
+        .filter(F.col("cs") >= 0.3)
+        .select("vec_a", "vec_b", F.round("cs", 4).alias("cosine_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
