@@ -16,9 +16,11 @@ from tests.carrot_compare import compare_table, read_tsv
 
 DATA = Path("/root/reference/tests/test_data")
 
-# fixture dir -> (rules file, person table, [output tables])
+# fixture dir -> (rules file, person table, [output tables][, golden subdir])
 FIXTURES = {
     "observe_smoking": ("mapping.json", "demos", ["person", "observation"]),
+    # BOM-prefixed header + rows with blank birthdate (rejected persons)
+    "only_m": ("v1-rules.json", "patients", ["person", "condition_occurrence"], "v1-out"),
     "duplications": (
         "transform-rules.json",
         "src_PERSON",
@@ -40,7 +42,9 @@ def fixture_run(request, spark, tmp_path_factory):
     from carrot_transform_spark.pipeline import run_transform
 
     name = request.param
-    rules_file, person, tables = FIXTURES[name]
+    spec = FIXTURES[name]
+    rules_file, person, tables = spec[0], spec[1], spec[2]
+    golden = DATA / name / spec[3] if len(spec) > 3 else DATA / name
     out = tmp_path_factory.mktemp(f"fx_{name}")
     run_transform(
         spark,
@@ -49,26 +53,26 @@ def fixture_run(request, spark, tmp_path_factory):
         output_dir=out,
         person_table=person,
     )
-    return name, out, tables
+    return name, out, tables, golden
 
 
 def test_fixture_tables(fixture_run):
-    name, out, tables = fixture_run
+    name, out, tables, golden = fixture_run
     problems = []
     for table in tables:
         problems += compare_table(
             table,
             out / f"{table}.tsv",
-            DATA / name / f"{table}.tsv",
+            golden / f"{table}.tsv",
             out / "person_ids.tsv",
-            DATA / name / "person_ids.tsv",
+            golden / "person_ids.tsv",
         )
     assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
 def test_fixture_summary(fixture_run):
-    name, out, _tables = fixture_run
-    golden_summary = DATA / name / "summary_mapstream.tsv"
+    name, out, _tables, golden = fixture_run
+    golden_summary = golden / "summary_mapstream.tsv"
     if not golden_summary.exists():
         pytest.skip("no golden summary")
     h1, r1 = read_tsv(out / "summary_mapstream.tsv")
