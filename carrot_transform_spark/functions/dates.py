@@ -62,12 +62,17 @@ def normalise_to8601(col: Column) -> Column:
 
 
 def strict_date(col: Column) -> Column:
-    """Strict multi-format date parse -> DateType; NULL when invalid."""
-    return F.coalesce(
+    """Strict multi-format date parse -> DateType; NULL when invalid.
+
+    Python's strptime (the reference validator) only accepts years >= 1,
+    while Spark's 'yyyy' pattern happily parses 0000 into a proleptic
+    year-0 date — guard the range so both reject it."""
+    d = F.coalesce(
         F.try_to_date(col, "yyyy-M-d"),
         F.try_to_date(col, "d-M-yyyy"),
         F.try_to_date(col, "d/M/yyyy"),
     )
+    return F.when(F.year(d) >= 1, d)
 
 
 def valid_value(col: Column) -> Column:

@@ -84,12 +84,23 @@ class CarrotPlanner:
     # person anonymisation map (J2/W2)
     # ------------------------------------------------------------------
 
+    def _spread(self, df: DataFrame) -> DataFrame:
+        """Small single-file scans arrive as one partition; the expensive
+        stages downstream (regex normalisation, record structs) are per-row
+        compute, so spread first. Safe: the line/order column is assigned at
+        read time, before any repartitioning. At real scale multi-split
+        scans skip this."""
+        target = self.spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            return df.repartition(target)
+        return df
+
     def person_map(self, source: Source) -> DataFrame:
         """source person id -> dense int (1..N in file order) over the person
         FILE, strict dob validation (person_helpers.py:90-151,
         validation.py:13-63). Returns (source_subject, target_subject)."""
         dob_field, pid_field = self.rules.person_source_info("person")
-        df = source.read(self.person_table)
+        df = self._spread(source.read(self.person_table))
         pid = _resolve(df, pid_field)
         dob = _resolve(df, dob_field)
         valid = df.filter(valid_value(pid) & strict_date(dob).isNotNull())
@@ -120,7 +131,7 @@ class CarrotPlanner:
         per_source = self.rules.mappings[target]
         parts: list[DataFrame] = []
         for file_idx, (src_file, tm) in enumerate(per_source.items()):
-            df = source.read(tm.source_table)
+            df = self._spread(source.read(tm.source_table))
             part = self._file_records(df, tm, schema, stats)
             parts.append(part.withColumn(FILEIDX_COL, F.lit(file_idx)))
         out = parts[0]
