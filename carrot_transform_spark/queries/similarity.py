@@ -186,3 +186,49 @@ def sim_neardup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cs", 4).alias("cosine_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+_CENTROIDS = [
+    [1.0 if d % 2 == 0 else -1.0 for d in range(64)],
+    [1.0 if d % 3 == 0 else -0.5 for d in range(64)],
+    [(-1.0) ** d * (1.0 + d / 64.0) for d in range(64)],
+]
+
+
+def _centroid_sql() -> str:
+    cases = []
+    norms = []
+    for ci, c in enumerate(_CENTROIDS):
+        dot = " + ".join(f"CAST(embedding[{d + 1}] AS DOUBLE) * ({c[d]!r})" for d in range(64))
+        nrm = sum(x * x for x in c) ** 0.5
+        norms.append(f"(({dot}) / {nrm!r})")
+    # argmax with first-wins tie-break (strictly-greater comparison chain)
+    sel = []
+    for ci in range(len(_CENTROIDS)):
+        conds = []
+        for cj in range(len(_CENTROIDS)):
+            if cj == ci:
+                continue
+            op = ">=" if cj > ci else ">"
+            conds.append(f"{norms[ci]} {op} {norms[cj]}")
+        sel.append(f"WHEN {' AND '.join(conds)} THEN {ci}")
+    return f"CASE {' '.join(sel)} END"
+
+
+@register(
+    "sim_centroid_assign",
+    oracle=f"""
+    SELECT vec_id, {_centroid_sql()} AS cell
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("similarity", "ivf", "quantize"),
+)
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse quantizer: nearest of K literal centroids by cosine — how an
+    IVF layout is built without MLlib. Uses operators/similarity.assign_cells
+    (cosine argmax with first-wins tie-break)."""
+    from carrot_transform_spark.operators.similarity import assign_cells
+
+    e = load(spark, sf_dir, "embeddings")
+    out = assign_cells(e, _CENTROIDS)
+    return out.select(F.col("id").alias("vec_id"), "cell").orderBy("vec_id")

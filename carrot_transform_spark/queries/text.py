@@ -197,3 +197,33 @@ def txt_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("word"))
     )
+
+
+@register(
+    "txt_redact_patterns",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                          '(the|and|of) ', '<STOP> ', 'g') AS redacted,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]+', '', 'g')) AS digit_chars
+    FROM documents
+    """,
+    tags=("text", "transform", "redact"),
+)
+def txt_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing (the shape of PII redaction / boilerplate removal in
+    a data-cleaning stage): chained regexp_replace, all JVM-side. Both
+    engines use non-overlapping left-to-right global replacement."""
+    d = load(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[0-9]+", "<NUM>"),
+        r"(the|and|of) ",
+        "<STOP> ",
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[0-9]+", ""))).alias(
+            "digit_chars"
+        ),
+    )
