@@ -58,6 +58,8 @@ def main() -> None:
         n = df.count()  # full materialization of the result
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        # isolate queries: drop caches a query persisted for its own reuse
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 3)
 
     print(

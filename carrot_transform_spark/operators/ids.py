@@ -11,9 +11,12 @@ at scale. ``with_dense_ids`` keeps dense 1..N semantics without one:
 3. per-partition row counts collected to the driver (one tiny job),
    turned into cumulative offsets and joined back as a broadcast map.
 
-The DataFrame is persisted between steps so the sampled range boundaries
-(and therefore partition membership) are identical in the count job and
-the main job.
+Inputs are persisted before the range exchange because repartitionByRange
+SAMPLES its child (an unpersisted expensive lineage would run ~3x). Small
+inputs (< ``small_threshold`` rows, known after the materialization count)
+take a fast path — a plain global-order window over one partition — saving
+the sampling pass and the per-partition bookkeeping; at real scale the
+range path engages automatically.
 """
 
 from __future__ import annotations
@@ -24,6 +27,8 @@ from pyspark.sql import DataFrame, Window
 
 _PID = "__ctspark_pid"
 
+SMALL_THRESHOLD = 2_000_000
+
 
 def with_dense_ids(
     df: DataFrame,
@@ -31,14 +36,19 @@ def with_dense_ids(
     id_col: str,
     offset: int = 0,
     num_partitions: int | None = None,
+    small_threshold: int = SMALL_THRESHOLD,
 ) -> DataFrame:
     """Add ``id_col`` = offset + dense rank 1..N in (order_cols) order."""
-    n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    # persist the input first: repartitionByRange SAMPLES its child for the
-    # range boundaries, so an unpersisted expensive lineage (e.g. the ETL
-    # record explode) would be computed once for sampling, once for the
-    # exchange, and once more for the count job below
     src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    n_rows = src.count()  # materializes the cache; also sizes the fast path
+
+    if n_rows <= small_threshold:
+        # one global window; a single sort of a cached small dataset is
+        # cheaper than sampling + range exchange + offset bookkeeping
+        w = Window.orderBy(*order_cols)
+        return src.withColumn(id_col, (F.row_number().over(w) + F.lit(offset)).cast("long"))
+
+    n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     ranged = (
         src.repartitionByRange(int(n_parts), *[F.col(c) for c in order_cols])
         .withColumn(_PID, F.spark_partition_id())

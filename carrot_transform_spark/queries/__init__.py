@@ -113,6 +113,7 @@ def all_queries() -> dict[str, QueryDef]:
         ann_lsh,
         dedup,
         events,
+        multimodal_q,
         omop_pipeline,
         operators_demo,
         similarity,

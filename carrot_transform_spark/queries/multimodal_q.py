@@ -1,0 +1,57 @@
+"""Multimodal + sketch queries — registered WITHOUT oracles (rows-only
+driver check, by design): binary payloads and approximate sketches aren't
+SQL-reproducible bit-for-bit in DuckDB.
+
+The multimodal payloads are synthesized deterministically from the
+documents table (utf-8 bytes of the text), so the mapInPandas decode
+plumbing runs on real distributed binary data every round.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from carrot_transform_spark.queries import load, register
+
+
+@register("mm_decode_stats", oracle=None, tags=("multimodal", "rows-only"))
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode-stats over binary payloads (codec stubbed with a
+    deterministic fake — see operators/multimodal.py)."""
+    from carrot_transform_spark.operators.multimodal import attach_payload_meta, decode_stats
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("raw")
+    )
+    media = attach_payload_meta(d, "raw", modality="image", fmt="jpeg")
+    return decode_stats(media).orderBy("id")
+
+
+@register("mm_frame_sample", oracle=None, tags=("multimodal", "rows-only"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling fan-out (variable rows per input) via mapInPandas."""
+    from carrot_transform_spark.operators.multimodal import attach_payload_meta, sample_frames
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("raw")
+    )
+    media = attach_payload_meta(d, "raw", modality="video", fmt="mp4")
+    return sample_frames(media, every_n=2).orderBy("id", "frame_idx")
+
+
+@register("sketch_approx_distinct", oracle=None, tags=("sketch", "rows-only"))
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct + approximate quantiles — the sketch-based
+    scale path (exact twins are oracle-gated in ev_user_stats /
+    stat_percentiles)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("approx_percentile(value, 0.5)").alias("approx_median_value"),
+        )
+        .orderBy("event_type")
+    )
