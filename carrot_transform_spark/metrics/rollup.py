@@ -129,3 +129,11 @@ class MetricsCollector:
         lines = ["\t".join(SUMMARY_HEADER)]
         lines += ["\t".join(r) for r in self.summary_rows()]
         return "\n".join(lines) + "\n"
+
+    def summary_dict(self) -> dict:
+        """Structured form (reference metrics.get_mapstream_summary_dict)."""
+        return {
+            "dataset": self.dataset_name,
+            "threshold": self.log_threshold,
+            "rows": [dict(zip(SUMMARY_HEADER, r)) for r in self.summary_rows()],
+        }

@@ -18,17 +18,23 @@ from pyspark.sql import DataFrame
 
 
 class TsvDirSink:
-    def __init__(self, directory: str | Path, mode: str = "single"):
+    def __init__(self, directory: str | Path, mode: str = "single", write_mode: str = "overwrite"):
+        """write_mode: 'overwrite' (reference default) or 'append' — append
+        adds rows to an existing TSV without re-writing the header
+        (reference v2 --write-mode)."""
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         self.mode = mode
+        self.write_mode = write_mode
 
     def write(self, name: str, df: DataFrame, columns: list[str]) -> None:
         out = df.select(*columns)
         if self.mode == "single":
             path = self.directory / f"{name}.tsv"
-            with path.open("w", encoding="utf-8") as fh:
-                fh.write("\t".join(columns) + "\n")
+            appending = self.write_mode == "append" and path.exists()
+            with path.open("a" if appending else "w", encoding="utf-8") as fh:
+                if not appending:
+                    fh.write("\t".join(columns) + "\n")
                 for row in out.toLocalIterator():
                     fh.write("\t".join("" if v is None else str(v) for v in row) + "\n")
         else:
