@@ -111,6 +111,7 @@ def all_queries() -> dict[str, QueryDef]:
     from carrot_transform_spark.queries import (  # noqa: F401
         analytics,
         ann_lsh,
+        asof_q,
         dedup,
         events,
         multimodal_q,
