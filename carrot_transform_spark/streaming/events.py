@@ -84,7 +84,12 @@ def run_to_memory_sink(df: DataFrame, name: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow terminates when all input is drained; generous timeout so
+    # CPU contention can't surface partial results to callers
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not drain in time")
 
 
 def _has_agg(df: DataFrame) -> bool:
