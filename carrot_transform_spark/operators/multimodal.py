@@ -105,20 +105,16 @@ def decode_stats(df: DataFrame, decoder=fake_decode) -> DataFrame:
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zipped column iteration (not iterrows): one tuple unpack per row,
+        # no per-row Series construction — codec cost dominates, the harness
+        # shouldn't.
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                d = decoder(bytes(r["payload"]), r["meta"]["format"])
+            for rid, payload, meta in zip(pdf["id"], pdf["payload"], pdf["meta"]):
+                raw = bytes(payload)
+                d = decoder(raw, meta["format"])
                 rows.append(
-                    {
-                        "id": r["id"],
-                        "modality": r["meta"]["modality"],
-                        "format": r["meta"]["format"],
-                        "n_bytes": len(bytes(r["payload"])),
-                        "width": d["width"],
-                        "height": d["height"],
-                        "n_frames": d["n_frames"],
-                    }
+                    (rid, meta["modality"], meta["format"], len(raw), d["width"], d["height"], d["n_frames"])
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
@@ -141,13 +137,11 @@ def resize_images(df: DataFrame, target: int = 224, decoder=fake_decode) -> Data
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r["payload"])
-                decoder(raw, r["meta"]["format"])  # dimension probe (stubbed)
+            for rid, payload, meta in zip(pdf["id"], pdf["payload"], pdf["meta"]):
+                raw = bytes(payload)
+                decoder(raw, meta["format"])  # dimension probe (stubbed)
                 fake_resized = hashlib.sha256(raw + str(target).encode()).digest()
-                rows.append(
-                    {"id": r["id"], "payload": fake_resized, "width": target, "height": target}
-                )
+                rows.append((rid, fake_resized, target, target))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select("id", "payload", "meta").mapInPandas(fn, schema=out_schema)
@@ -167,12 +161,12 @@ def sample_frames(df: DataFrame, every_n: int = 2, decoder=fake_decode) -> DataF
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r["payload"])
-                d = decoder(raw, r["meta"]["format"])
+            for rid, payload, meta in zip(pdf["id"], pdf["payload"], pdf["meta"]):
+                raw = bytes(payload)
+                d = decoder(raw, meta["format"])
                 for i in range(0, d["n_frames"], every_n):
                     fake_frame = hashlib.sha256(raw + bytes([i])).digest()
-                    rows.append({"id": r["id"], "frame_idx": i, "payload": fake_frame})
+                    rows.append((rid, i, fake_frame))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select("id", "payload", "meta").mapInPandas(fn, schema=out_schema)

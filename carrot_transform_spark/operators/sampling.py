@@ -1,0 +1,65 @@
+"""Deterministic stratified sampling and dataset mixing.
+
+A 100 TB training-data pipeline needs sampling that is (a) deterministic —
+the same corpus always yields the same subset, independent of partitioning,
+task retries, or cluster size — and (b) stratified — per-language /
+per-source rates to rebalance the mix. Spark's df.sample() is neither
+(seeded per-partition), so we hash a stable key instead: keep a row iff
+h32(key) % DENOM < rate * DENOM. The hash is the same md5-based 32-bit
+hash used across the dedup/LSH operators, so any engine (and the DuckDB
+oracle) reproduces the exact subset bit-for-bit.
+
+This is a pure narrow projection+filter — no shuffle, fully pushed into
+the scan stage, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+DENOM = 10_000
+
+
+def _h32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep each row with probability rates[stratum], deterministically.
+
+    The decision hash mixes the stratum into the key so re-using the same
+    key column across two sampled columns doesn't correlate the subsets.
+    """
+    h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.col(strata_col)))
+    thresh = None
+    for stratum, rate in rates.items():
+        t = F.when(F.col(strata_col) == stratum, F.lit(int(rate * DENOM)))
+        thresh = t if thresh is None else thresh.when(F.col(strata_col) == stratum, F.lit(int(rate * DENOM)))
+    thresh = (
+        thresh.otherwise(F.lit(int(default_rate * DENOM)))
+        if thresh is not None
+        else F.lit(int(default_rate * DENOM))
+    )
+    return df.filter((h % DENOM) < thresh)
+
+
+def sample_threshold_sql(strata_expr: str, rates: dict[str, float], default_rate: float = 1.0) -> str:
+    """DuckDB twin of the per-stratum threshold CASE."""
+    whens = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {int(r * DENOM)}" for s, r in rates.items()
+    )
+    return f"CASE {whens} ELSE {int(default_rate * DENOM)} END"
+
+
+def sample_hash_sql(key_expr: str, strata_expr: str) -> str:
+    return (
+        f"CAST(CONCAT('0x', substring(md5(concat_ws('|', CAST({key_expr} AS VARCHAR), "
+        f"{strata_expr})), 1, 8)) AS UBIGINT) % {DENOM}"
+    )

@@ -106,21 +106,126 @@ def fround_sql(expr: str, scale: int = 4) -> str:
     return f"CAST(FLOOR(({expr}) * {m} + 0.5) / {m} AS DOUBLE)"
 
 
-def all_queries() -> dict[str, QueryDef]:
-    # Import side-effect modules that populate the registry.
-    from carrot_transform_spark.queries import (  # noqa: F401
-        analytics,
-        ann_lsh,
-        asof_q,
-        dedup,
-        events,
-        multimodal_q,
-        omop_pipeline,
-        operators_demo,
-        similarity,
-        text,
-        tpch,
-        tpch2,
+# ---------------------------------------------------------------------------
+# checksum suites
+#
+# The driver's CORRECTNESS report holds a bounded number of registry entries,
+# so related single-operator checks are folded into one "suite" entry: each
+# sub-check collapses to a (check_name, n_rows, sig_sum) row where sig_sum is
+# an order-independent sum of per-row 32-bit content hashes, computed
+# identically in Spark and DuckDB. A value diff anywhere in a sub-check flips
+# its sig_sum, so the suite is exactly as strict as the individual oracles.
+#
+# Kinds (explicit per-column render so both engines produce identical bytes):
+#   "i"    integer-ish        CAST(x AS VARCHAR)           (HUGEINT-safe)
+#   "f"    double (pre-rounded) CAST(CAST(x AS DECIMAL(27,6)) AS VARCHAR)
+#   "s"    string             as-is
+#   "ts"   timestamp          %Y-%m-%d %H:%M:%S.%f (micros)
+#   "date" date               %Y-%m-%d
+# ---------------------------------------------------------------------------
+
+US = "\x1f"  # unit separator between rendered columns
+
+
+def _render_spark(col, kind: str):
+    import pyspark.sql.functions as F
+
+    if kind == "i":
+        return col.cast("string")
+    if kind == "f":
+        return col.cast("decimal(27,6)").cast("string")
+    if kind == "s":
+        return col.cast("string")
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if kind == "date":
+        return F.date_format(col, "yyyy-MM-dd")
+    raise ValueError(f"unknown render kind: {kind}")
+
+
+def _render_sql(expr: str, kind: str) -> str:
+    if kind == "i":
+        return f"CAST({expr} AS VARCHAR)"
+    if kind == "f":
+        return f"CAST(CAST({expr} AS DECIMAL(27,6)) AS VARCHAR)"
+    if kind == "s":
+        return f"CAST({expr} AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%f')"
+    if kind == "date":
+        return f"strftime({expr}, '%Y-%m-%d')"
+    raise ValueError(f"unknown render kind: {kind}")
+
+
+def checksum_df(df: DataFrame, cols: list[tuple[str, str]], check: str) -> DataFrame:
+    """Collapse df to one row (check_name, n_rows, sig_sum)."""
+    import pyspark.sql.functions as F
+
+    renders = [
+        F.coalesce(_render_spark(F.col(c), k), F.lit("<N>")) for c, k in cols
+    ]
+    sig = F.conv(F.substring(F.md5(F.concat_ws(US, *renders)), 1, 8), 16, 10).cast("bigint")
+    return (
+        df.select(sig.alias("sig"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("sig"), F.lit(0)).cast("bigint").alias("sig_sum"),
+        )
+        .select(F.lit(check).alias("check_name"), "n_rows", "sig_sum")
     )
+
+
+def checksum_sql(inner_sql: str, cols: list[tuple[str, str]], check: str) -> str:
+    rendered = ", ".join(f"COALESCE({_render_sql(c, k)}, '<N>')" for c, k in cols)
+    concat = f"concat_ws(chr(31), {rendered})"
+    sig = f"CAST(CAST(CONCAT('0x', substring(md5({concat}), 1, 8)) AS UBIGINT) AS BIGINT)"
+    return (
+        f"SELECT '{check}' AS check_name, COUNT(*) AS n_rows, "
+        f"COALESCE(CAST(SUM(sig) AS BIGINT), 0) AS sig_sum "
+        f"FROM (SELECT {sig} AS sig FROM ({inner_sql}) _in) _sig"
+    )
+
+
+# (check_name, spark_fn, oracle_sql, [(col, kind), ...])
+SuitePart = tuple[str, SparkQuery, str, list[tuple[str, str]]]
+
+
+def register_suite(name: str, parts: list[SuitePart], tags: tuple[str, ...] = ()) -> None:
+    """Register several sub-checks as ONE registry entry (see block comment)."""
+    from functools import reduce
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dfs = [checksum_df(fn(spark, sf_dir), cols, cname) for cname, fn, _, cols in parts]
+        return reduce(DataFrame.unionByName, dfs).orderBy("check_name")
+
+    oracle = (
+        "\nUNION ALL\n".join(checksum_sql(sql, cols, cname) for cname, _, sql, cols in parts)
+        + "\nORDER BY check_name"
+    )
+    if name in REGISTRY:
+        raise ValueError(f"duplicate query name: {name}")
+    REGISTRY[name] = QueryDef(name=name, spark_fn=spark_fn, oracle=oracle, tags=tags)
+
+
+def all_queries() -> dict[str, QueryDef]:
+    # Import side-effect modules that populate the registry. Order matters:
+    # the driver's CORRECTNESS report is a bounded window over registration
+    # order, so the flagship TPC-H batch registers first and the rows-only
+    # (no-oracle) entries register last.
+    import carrot_transform_spark.queries.tpch  # noqa: F401
+    import carrot_transform_spark.queries.tpch2  # noqa: F401
+    import carrot_transform_spark.queries.tpch3  # noqa: F401
+    import carrot_transform_spark.queries.analytics  # noqa: F401
+    import carrot_transform_spark.queries.omop_pipeline  # noqa: F401
+    import carrot_transform_spark.queries.events  # noqa: F401
+    import carrot_transform_spark.queries.asof_q  # noqa: F401
+    import carrot_transform_spark.queries.rangejoin_q  # noqa: F401
+    import carrot_transform_spark.queries.dedup  # noqa: F401
+    import carrot_transform_spark.queries.similarity  # noqa: F401
+    import carrot_transform_spark.queries.ann_lsh  # noqa: F401
+    import carrot_transform_spark.queries.text  # noqa: F401
+    import carrot_transform_spark.queries.sampling  # noqa: F401
+    import carrot_transform_spark.queries.operators_demo  # noqa: F401
+    import carrot_transform_spark.queries.multimodal_q  # noqa: F401
 
     return REGISTRY

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from carrot_transform_spark.queries import dsum, dsum_sql, load, register
+from carrot_transform_spark.queries import dsum, dsum_sql, load, register, register_suite
 
 # ---------------------------------------------------------------------------
 # window functions
@@ -45,9 +45,7 @@ def win_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_order_gaps",
-    oracle="""
+_GAPS_SQL = """
     SELECT o_custkey, o_orderkey,
            LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
            CAST(DATEDIFF('day',
@@ -55,9 +53,9 @@ def win_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                 o_orderdate) AS BIGINT) AS days_since_prev,
            RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank
     FROM orders
-    """,
-    tags=("window", "lag"),
-)
+    """
+
+
 def win_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -73,9 +71,7 @@ def win_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_topn_per_group",
-    oracle="""
+_TOPN_SQL = """
     SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rnk FROM (
         SELECT c_mktsegment, c_custkey, c_acctbal,
                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
@@ -83,9 +79,9 @@ def win_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     ) WHERE rnk <= 3
     ORDER BY c_mktsegment, rnk
-    """,
-    tags=("window", "topk"),
-)
+    """
+
+
 def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
@@ -97,16 +93,14 @@ def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_ntile_quartiles",
-    oracle="""
+_NTILE_SQL = """
     SELECT q AS quartile, COUNT(*) AS n,
            ROUND(MIN(c_acctbal), 2) AS min_bal, ROUND(MAX(c_acctbal), 2) AS max_bal
     FROM (SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS q FROM customer) t
     GROUP BY quartile ORDER BY quartile
-    """,
-    tags=("window", "ntile"),
-)
+    """
+
+
 def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
@@ -127,9 +121,7 @@ def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "set_except_intersect",
-    oracle="""
+_SETOP_SQL = """
     SELECT 'building_no_urgent' AS bucket, COUNT(*) AS n FROM (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         EXCEPT
@@ -142,9 +134,9 @@ def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id FROM events WHERE event_type = 'error'
     ) t2
     ORDER BY bucket
-    """,
-    tags=("setop",),
-)
+    """
+
+
 def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
@@ -160,6 +152,46 @@ def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("machinery_with_error_events").alias("bucket"), "n"
     )
     return a.unionByName(b).orderBy("bucket")
+
+
+# One registry entry for the remaining window/set-op checks (the benched
+# running-total window stays standalone above).
+register_suite(
+    "sql_ops_suite",
+    [
+        (
+            "win_order_gaps",
+            win_order_gaps,
+            _GAPS_SQL,
+            [
+                ("o_custkey", "i"),
+                ("o_orderkey", "i"),
+                ("prev_orderkey", "i"),
+                ("days_since_prev", "i"),
+                ("price_rank", "i"),
+            ],
+        ),
+        (
+            "win_topn_per_group",
+            win_topn_per_group,
+            _TOPN_SQL,
+            [("c_mktsegment", "s"), ("c_custkey", "i"), ("acctbal", "f"), ("rnk", "i")],
+        ),
+        (
+            "win_ntile_quartiles",
+            win_ntile_quartiles,
+            _NTILE_SQL,
+            [("quartile", "i"), ("n", "i"), ("min_bal", "f"), ("max_bal", "f")],
+        ),
+        (
+            "set_except_intersect",
+            set_except_intersect,
+            _SETOP_SQL,
+            [("bucket", "s"), ("n", "i")],
+        ),
+    ],
+    tags=("window", "setop", "suite"),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -200,8 +232,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_classes",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

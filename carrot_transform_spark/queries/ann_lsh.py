@@ -17,7 +17,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from carrot_transform_spark.queries import load, register
+from carrot_transform_spark.queries import load, register_suite
 
 _DIM = 64
 _PLANES = 8
@@ -57,14 +57,12 @@ def _bucket_sql() -> str:
     return " + ".join(terms)
 
 
-@register(
-    "ann_lsh_buckets",
-    oracle=f"""
+_BUCKETS_SQL = f"""
     SELECT vec_id, {_bucket_sql()} AS bucket
     FROM embeddings ORDER BY vec_id
-    """,
-    tags=("similarity", "lsh"),
-)
+    """
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector 8-bit random-hyperplane signature (the LSH bucket id)."""
     e = load(spark, sf_dir, "embeddings")
@@ -72,9 +70,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select("vec_id", _bucket_col().alias("bucket")).orderBy("vec_id")
 
 
-@register(
-    "ann_lsh_candidate_pairs",
-    oracle=f"""
+_CAND_SQL = f"""
     WITH b AS (SELECT vec_id, {_bucket_sql()} AS bucket,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
@@ -89,9 +85,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_a, vec_b, ROUND(cs, 4) AS cosine_sim
     FROM pairs WHERE cs >= 0.3
     ORDER BY vec_a, vec_b
-    """,
-    tags=("similarity", "lsh", "bench"),
-)
+    """
+
+
 def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-collision candidates verified by exact cosine (>= 0.3). The
     bucket join replaces the all-pairs scan: expected candidate volume is
@@ -130,3 +126,47 @@ def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cs", 4).alias("cosine_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# suite: blocking/quantization checks as one entry (the exact and IVF top-k
+# queries stay standalone in similarity.py)
+# ---------------------------------------------------------------------------
+
+from carrot_transform_spark.queries.similarity import (  # noqa: E402
+    CENTROID_SQL,
+    NEARDUP_SQL,
+    sim_centroid_assign,
+    sim_neardup_threshold,
+)
+
+register_suite(
+    "sim_blocking_suite",
+    [
+        (
+            "sim_centroid_assign",
+            sim_centroid_assign,
+            CENTROID_SQL,
+            [("vec_id", "i"), ("cell", "i")],
+        ),
+        (
+            "sim_neardup_threshold",
+            sim_neardup_threshold,
+            NEARDUP_SQL,
+            [("vec_a", "i"), ("vec_b", "i"), ("cosine_sim", "f")],
+        ),
+        (
+            "ann_lsh_buckets",
+            ann_lsh_buckets,
+            _BUCKETS_SQL,
+            [("vec_id", "i"), ("bucket", "i")],
+        ),
+        (
+            "ann_lsh_candidate_pairs",
+            ann_lsh_candidate_pairs,
+            _CAND_SQL,
+            [("vec_a", "i"), ("vec_b", "i"), ("cosine_sim", "f")],
+        ),
+    ],
+    tags=("similarity", "lsh", "suite"),
+)

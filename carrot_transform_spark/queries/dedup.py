@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from carrot_transform_spark.queries import load, register
+from carrot_transform_spark.queries import load, register, register_suite
 
 # shared deterministic 32-bit hash: identical in Spark and DuckDB
 #   spark : conv(substring(md5(s), 1, 8), 16, 10)::bigint
@@ -139,9 +139,7 @@ def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dd_ngram_jaccard_pairs",
-    oracle=f"""
+_NGRAM_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     e AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
     cand AS (
@@ -155,9 +153,9 @@ def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand
     WHERE inter * 1.0 / (na + nb - inter) >= 0.8
     ORDER BY doc_a, doc_b
-    """,
-    tags=("dedup", "jaccard", "bench"),
-)
+    """
+
+
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs with 3-gram Jaccard >= 0.8. Candidate pairs come
     from the shingle inverted index (equi-join on shingle), so cost is
@@ -203,11 +201,6 @@ def _minhash_sig_sql() -> str:
     """
 
 
-@register(
-    "dd_minhash_signatures",
-    oracle=_minhash_sig_sql() + " ORDER BY doc_id",
-    tags=("dedup", "minhash"),
-)
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=8 MinHash signature per document. One explode + one groupBy(min);
     the k hashes are computed per exploded row as cheap column expressions
@@ -313,9 +306,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-@register(
-    "dd_simhash_signatures",
-    oracle=f"""
+_SIMHASH_SIG_SQL = f"""
     WITH tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
         FROM documents WHERE LENGTH(trim(text)) > 0
@@ -330,9 +321,9 @@ _SIMHASH_BITS = 16
     SELECT doc_id,
            CAST(SUM(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id ORDER BY doc_id
-    """,
-    tags=("dedup", "simhash"),
-)
+    """
+
+
 def dd_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: per-token 32-bit hash, per-bit +1/-1 majority vote,
     sign -> bit. Near-dups then pair by small Hamming distance (bucketed by
@@ -404,3 +395,34 @@ def dd_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# suite: signature computations + exact-Jaccard index verify as one entry
+# (the end-to-end LSH pair queries stay standalone above)
+# ---------------------------------------------------------------------------
+
+register_suite(
+    "dd_index_suite",
+    [
+        (
+            "dd_minhash_signatures",
+            dd_minhash_signatures,
+            _minhash_sig_sql() + " ORDER BY doc_id",
+            [("doc_id", "i")] + [(f"mh{i}", "i") for i in range(_MINHASH_K)],
+        ),
+        (
+            "dd_simhash_signatures",
+            dd_simhash_signatures,
+            _SIMHASH_SIG_SQL,
+            [("doc_id", "i"), ("simhash", "i")],
+        ),
+        (
+            "dd_ngram_jaccard_pairs",
+            dd_ngram_jaccard_pairs,
+            _NGRAM_SQL,
+            [("doc_a", "i"), ("doc_b", "i"), ("jaccard", "f")],
+        ),
+    ],
+    tags=("dedup", "suite"),
+)

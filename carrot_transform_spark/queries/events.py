@@ -71,8 +71,8 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), s AS (
         SELECT user_id, event_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM g
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -135,7 +135,7 @@ def ev_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE) AS total_value,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
            MIN(ts) AS first_seen,
            MAX(ts) AS last_seen
     FROM events GROUP BY user_id ORDER BY user_id

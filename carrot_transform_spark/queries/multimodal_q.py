@@ -15,29 +15,36 @@ from pyspark.sql import DataFrame, SparkSession
 from carrot_transform_spark.queries import load, register
 
 
-@register("mm_decode_stats", oracle=None, tags=("multimodal", "rows-only"))
-def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode-stats over binary payloads (codec stubbed with a
-    deterministic fake — see operators/multimodal.py)."""
-    from carrot_transform_spark.operators.multimodal import attach_payload_meta, decode_stats
+@register("mm_pipeline", oracle=None, tags=("multimodal", "rows-only"))
+def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal plumbing as one entry: decode-stats over
+    binary image payloads + video frame-sampling fan-out (variable rows per
+    input), both via mapInPandas with the codec stubbed deterministically
+    (see operators/multimodal.py). Canonical (part, id, idx, n_bytes) rows."""
+    from carrot_transform_spark.operators.multimodal import (
+        attach_payload_meta,
+        decode_stats,
+        sample_frames,
+    )
 
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("raw")
     )
-    media = attach_payload_meta(d, "raw", modality="image", fmt="jpeg")
-    return decode_stats(media).orderBy("id")
-
-
-@register("mm_frame_sample", oracle=None, tags=("multimodal", "rows-only"))
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling fan-out (variable rows per input) via mapInPandas."""
-    from carrot_transform_spark.operators.multimodal import attach_payload_meta, sample_frames
-
-    d = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("raw")
+    img = attach_payload_meta(d, "raw", modality="image", fmt="jpeg")
+    vid = attach_payload_meta(d, "raw", modality="video", fmt="mp4")
+    decoded = decode_stats(img).select(
+        F.lit("decode").alias("part"),
+        "id",
+        F.lit(0).alias("idx"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
     )
-    media = attach_payload_meta(d, "raw", modality="video", fmt="mp4")
-    return sample_frames(media, every_n=2).orderBy("id", "frame_idx")
+    frames = sample_frames(vid, every_n=2).select(
+        F.lit("frames").alias("part"),
+        "id",
+        F.col("frame_idx").alias("idx"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    return decoded.unionByName(frames).orderBy("part", "id", "idx")
 
 
 @register("sketch_approx_distinct", oracle=None, tags=("sketch", "rows-only"))

@@ -14,26 +14,27 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from carrot_transform_spark.queries import dsum, load, register
+from carrot_transform_spark.queries import dsum, load, register_suite
+
+# The single-operator demos below are folded into two registry entries
+# (op_rowops_suite / op_keyops_suite) via checksum suites — see
+# queries/__init__.py. Each sub-check keeps its full-strength oracle.
 
 # ---------------------------------------------------------------------------
 # P1/P2/P3 — projection / rename / constant assignment / not-null defaults
 # (reference: record_builder.py:28-51, core.py:70-102, omopcdm.py:113-118)
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "op_p1_p3_project_defaults",
-    oracle="""
+_P1_SQL = """
     SELECT c_custkey AS person_ref,
            c_name    AS source_value,
            0         AS type_concept_id,
            CASE WHEN c_acctbal < 0 THEN 0.0 ELSE ROUND(c_acctbal, 2) END AS acctbal_nonneg,
            UPPER(c_mktsegment) AS segment
     FROM customer
-    """,
-    tags=("operator", "projection"),
-)
+    """
+
+
 def op_p1_p3_project_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     return c.select(
@@ -61,9 +62,7 @@ _TERM_MAP = [
 ]
 
 
-@register(
-    "op_j1_term_mapping",
-    oracle="""
+_J1_SQL = """
     SELECT o.o_orderkey,
            o.o_orderpriority AS source_value,
            COALESCE(m.concept_id, w.concept_id) AS priority_concept_id
@@ -72,9 +71,9 @@ _TERM_MAP = [
            AS m(source_value, concept_id) ON o.o_orderpriority = m.source_value
     CROSS JOIN (VALUES (0,)) AS w(concept_id)
     WHERE TRIM(o.o_orderpriority) <> ''
-    """,
-    tags=("operator", "join", "term-map"),
-)
+    """
+
+
 def op_j1_term_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value->concept dictionary lookup: exact match wins over wildcard.
 
@@ -101,9 +100,7 @@ def op_j1_term_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "op_u1_unpivot_fanout",
-    oracle="""
+_U1_SQL = """
     SELECT o_orderkey, field_name, field_value FROM (
         SELECT o_orderkey, 'o_orderstatus' AS field_name, o_orderstatus AS field_value FROM orders
         UNION ALL
@@ -113,9 +110,9 @@ def op_j1_term_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN o_totalprice >= 100000 THEN 'HIGH' ELSE 'LOW' END FROM orders
     ) t
     WHERE TRIM(field_value) <> ''
-    """,
-    tags=("operator", "unpivot"),
-)
+    """
+
+
 def op_u1_unpivot_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Melt N mapped columns into (row, field, value) — one stack() projection,
     single scan, no shuffle. This is the core shape transformer of the
@@ -141,9 +138,7 @@ def op_u1_unpivot_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "op_x1_clamped_zip_explode",
-    oracle="""
+_X1_SQL = """
     WITH src AS (
         SELECT p_partkey,
                CASE WHEN p_size > 25 THEN [p_partkey * 10, p_partkey * 10 + 1]
@@ -156,9 +151,9 @@ def op_u1_unpivot_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
            concept_ids[LEAST(i + 1, len(concept_ids))] AS concept_id,
            value_ids[LEAST(i + 1, len(value_ids))]     AS value_id
     FROM src, UNNEST(generate_series(0, GREATEST(len(concept_ids), len(value_ids)) - 1)) AS t(i)
-    """,
-    tags=("operator", "explode"),
-)
+    """
+
+
 def op_x1_clamped_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zip-by-index explode where the shorter list repeats its LAST element
     (clamp), not a cross product and not null-padding. Implemented with an
@@ -196,16 +191,14 @@ def op_x1_clamped_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "op_w1_dense_ids",
-    oracle="""
+_W1_SQL = """
     SELECT c_custkey AS source_subject,
            CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) + 1000 AS BIGINT) AS target_subject
     FROM customer
     WHERE c_custkey % 3 <> 0
-    """,
-    tags=("operator", "window", "ids"),
-)
+    """
+
+
 def op_w1_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 1..N id assignment with an offset (--last-used-ids-file
     semantics). Needs an explicit deterministic order; at 100 TB scale the
@@ -225,9 +218,7 @@ def op_w1_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "op_j3_first_wins_dedup",
-    oracle="""
+_J3_SQL = """
     SELECT user_id, event_id AS first_event_id, ts AS first_ts, event_type AS first_type
     FROM (
         SELECT user_id, event_id, ts, event_type,
@@ -235,9 +226,9 @@ def op_w1_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ) t
     WHERE rn = 1
-    """,
-    tags=("operator", "window", "dedup"),
-)
+    """
+
+
 def op_j3_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -259,9 +250,7 @@ def op_j3_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "op_f4_existence_semi_anti",
-    oracle="""
+_F4_SQL = """
     SELECT 'kept' AS bucket, COUNT(*) AS n
     FROM events e WHERE EXISTS (
         SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id AND c.c_acctbal > 0)
@@ -270,9 +259,9 @@ def op_j3_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e WHERE NOT EXISTS (
         SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id AND c.c_acctbal > 0)
     ORDER BY bucket
-    """,
-    tags=("operator", "semi-join"),
-)
+    """
+
+
 def op_f4_existence_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     valid = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
@@ -293,9 +282,7 @@ def op_f4_existence_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "op_d1_date_normalise",
-    oracle="""
+_D1_SQL = """
     WITH raw AS (
         SELECT o_orderkey,
                CASE o_orderkey % 3
@@ -318,9 +305,9 @@ def op_f4_existence_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                              try_strptime(raw_date, '%d-%m-%Y')),
                     '%Y-%m-%d') AS linked_date
     FROM raw
-    """,
-    tags=("operator", "dates"),
-)
+    """
+
+
 def op_d1_date_normalise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-format permissive date parse (normalise_to8601): coalesce of
     try_to_timestamp over the accepted formats, then canonical formatting,
@@ -351,9 +338,7 @@ def op_d1_date_normalise(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "op_a1_metrics_rollup",
-    oracle="""
+_A1_SQL = """
     SELECT COALESCE(l_returnflag, 'all') AS source_field,
            COALESCE(l_linestatus, 'all') AS target,
            COUNT(*) AS output_count,
@@ -361,9 +346,9 @@ def op_d1_date_normalise(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     ORDER BY source_field, target
-    """,
-    tags=("operator", "rollup", "metrics"),
-)
+    """
+
+
 def op_a1_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference increments one counter per rollup level per record
     (O(levels) dict writes per row); on Spark the same summary is ONE
@@ -381,3 +366,88 @@ def op_a1_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_field", "target")
     )
+
+
+# ---------------------------------------------------------------------------
+# suite registrations — two registry entries covering all nine demos
+# ---------------------------------------------------------------------------
+
+register_suite(
+    "op_rowops_suite",
+    [
+        (
+            "op_p1_p3_project_defaults",
+            op_p1_p3_project_defaults,
+            _P1_SQL,
+            [
+                ("person_ref", "i"),
+                ("source_value", "s"),
+                ("type_concept_id", "i"),
+                ("acctbal_nonneg", "f"),
+                ("segment", "s"),
+            ],
+        ),
+        (
+            "op_j1_term_mapping",
+            op_j1_term_mapping,
+            _J1_SQL,
+            [("o_orderkey", "i"), ("source_value", "s"), ("priority_concept_id", "i")],
+        ),
+        (
+            "op_u1_unpivot_fanout",
+            op_u1_unpivot_fanout,
+            _U1_SQL,
+            [("o_orderkey", "i"), ("field_name", "s"), ("field_value", "s")],
+        ),
+        (
+            "op_d1_date_normalise",
+            op_d1_date_normalise,
+            _D1_SQL,
+            [
+                ("o_orderkey", "i"),
+                ("raw_date", "s"),
+                ("normalised", "s"),
+                ("year_part", "i"),
+                ("linked_date", "s"),
+            ],
+        ),
+    ],
+    tags=("operator", "suite"),
+)
+
+register_suite(
+    "op_keyops_suite",
+    [
+        (
+            "op_x1_clamped_zip_explode",
+            op_x1_clamped_zip_explode,
+            _X1_SQL,
+            [("p_partkey", "i"), ("combo_idx", "i"), ("concept_id", "i"), ("value_id", "i")],
+        ),
+        (
+            "op_w1_dense_ids",
+            op_w1_dense_ids,
+            _W1_SQL,
+            [("source_subject", "i"), ("target_subject", "i")],
+        ),
+        (
+            "op_j3_first_wins_dedup",
+            op_j3_first_wins_dedup,
+            _J3_SQL,
+            [("user_id", "i"), ("first_event_id", "i"), ("first_ts", "ts"), ("first_type", "s")],
+        ),
+        (
+            "op_f4_existence_semi_anti",
+            op_f4_existence_semi_anti,
+            _F4_SQL,
+            [("bucket", "s"), ("n", "i")],
+        ),
+        (
+            "op_a1_metrics_rollup",
+            op_a1_metrics_rollup,
+            _A1_SQL,
+            [("source_field", "s"), ("target", "s"), ("output_count", "i"), ("sum_qty", "f")],
+        ),
+    ],
+    tags=("operator", "suite"),
+)

@@ -147,9 +147,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_neardup_threshold",
-    oracle=f"""
+NEARDUP_SQL = f"""
     WITH n AS ({_NORMED_SQL}),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -159,9 +157,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_a, vec_b, ROUND(cs, 4) AS cosine_sim
     FROM pairs WHERE cs >= 0.4
     ORDER BY vec_a, vec_b
-    """,
-    tags=("similarity", "dedup"),
-)
+    """
+
+
 def sim_neardup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (blocked by coarse cell, cosine
     >= 0.4). Same blocking trick as sim_ivf_topk; the threshold variant is
@@ -215,14 +213,12 @@ def _centroid_sql() -> str:
     return f"CASE {' '.join(sel)} END"
 
 
-@register(
-    "sim_centroid_assign",
-    oracle=f"""
+CENTROID_SQL = f"""
     SELECT vec_id, {_centroid_sql()} AS cell
     FROM embeddings ORDER BY vec_id
-    """,
-    tags=("similarity", "ivf", "quantize"),
-)
+    """
+
+
 def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse quantizer: nearest of K literal centroids by cosine — how an
     IVF layout is built without MLlib. Uses operators/similarity.assign_cells

@@ -38,20 +38,6 @@ def _occurrences_sql(expr: str, needle: str) -> str:
     )
 
 
-@register(
-    "txt_token_stats",
-    oracle="""
-    SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-           LENGTH(text) AS n_chars_actual,
-           ROUND(LENGTH(trim(text)) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4)
-               AS chars_per_token,
-           lang, source
-    FROM documents
-    WHERE LENGTH(trim(text)) > 0
-    """,
-    tags=("text", "tokens"),
-)
 def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = F.size(F.split(F.trim("text"), r"\s+"))
@@ -65,26 +51,6 @@ def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "txt_quality_score",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, lang, trim(text) AS txt,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
-        FROM documents WHERE LENGTH(trim(text)) > 0
-    )
-    SELECT doc_id, lang, n_tokens,
-           CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END AS len_ok,
-           {_occurrences_sql("' ' || txt || ' '", " the ")} AS stopword_hits,
-           ROUND(LENGTH(REPLACE(REPLACE(REPLACE(txt, ' ', ''), '.', ''), ',', '')) * 1.0
-                 / LENGTH(txt), 4) AS alnum_ratio,
-           CASE WHEN n_tokens BETWEEN 20 AND 400
-                     AND {_occurrences_sql("' ' || txt || ' '", " the ")} >= 1
-                THEN 1 ELSE 0 END AS keep_flag
-    FROM t
-    """,
-    tags=("text", "quality"),
-)
 def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic doc-quality gate (length band + stopword presence +
     punctuation/whitespace density) — the standard cheap pre-filter before
@@ -128,7 +94,6 @@ def _langid_sql() -> str:
     """
 
 
-@register("txt_langid", oracle=_langid_sql(), tags=("text", "langid"))
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language-ID heuristic: per-language marker-hit counts,
     deterministic argmax with fixed priority tie-break. On real corpora the
@@ -156,16 +121,6 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "txt_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(lower(trim(text))) AS fingerprint,
-           substring(md5(lower(trim(text))), 1, 8) AS fp_prefix
-    FROM documents
-    """,
-    tags=("text", "fingerprint"),
-)
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical content fingerprint: md5 over normalized text. The bucket
     key for exact dedup; md5 is identical across engines so the oracle is
@@ -173,6 +128,87 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.trim("text")))
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix"))
+
+
+def _profile_sql() -> str:
+    """Single-pass doc profile: token stats + quality + langid + fingerprint."""
+    scores = {
+        lang: _occurrences_sql("' ' || txt || ' '", marker)
+        for lang, marker in _LANG_MARKERS.items()
+    }
+    order = list(_LANG_MARKERS)
+    cond = []
+    for lang in order:
+        geq = " AND ".join(f"{scores[lang]} >= {scores[o]}" for o in order if o != lang)
+        cond.append(f"WHEN {geq} THEN '{lang}'")
+    cases = " ".join(cond)
+    stop = _occurrences_sql("' ' || txt || ' '", " the ")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, source, text, trim(text) AS txt,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    )
+    SELECT doc_id, lang, source,
+           n_tokens,
+           LENGTH(text) AS n_chars_actual,
+           ROUND(LENGTH(txt) * 1.0 / n_tokens, 4) AS chars_per_token,
+           CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END AS len_ok,
+           {stop} AS stopword_hits,
+           ROUND(LENGTH(REPLACE(REPLACE(REPLACE(txt, ' ', ''), '.', ''), ',', '')) * 1.0
+                 / LENGTH(txt), 4) AS alnum_ratio,
+           CASE WHEN n_tokens BETWEEN 20 AND 400 AND {stop} >= 1
+                THEN 1 ELSE 0 END AS keep_flag,
+           CASE {cases} ELSE 'und' END AS predicted_lang,
+           md5(lower(txt)) AS fingerprint
+    FROM t
+    """
+
+
+@register("txt_doc_profile", oracle=_profile_sql(), tags=("text", "profile"))
+def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus scan computing the full per-document profile (token stats,
+    quality gate, language-ID argmax, content fingerprint). At 100 TB this is
+    the shape you want: every per-doc metric in a single projection over one
+    pass — no repeated scans per metric family. All JVM-side expressions."""
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    txt = F.trim("text")
+    padded = F.concat(F.lit(" "), txt, F.lit(" "))
+    n_tokens = F.size(F.split(txt, r"\s+"))
+    stop_hits = _occurrences(padded, " the ")
+    stripped = F.replace(
+        F.replace(F.replace(txt, F.lit(" "), F.lit("")), F.lit("."), F.lit("")),
+        F.lit(","),
+        F.lit(""),
+    )
+    scores = {lang: _occurrences(padded, m) for lang, m in _LANG_MARKERS.items()}
+    order = list(_LANG_MARKERS)
+    lang_expr = None
+    for lang in order:  # first match wins, same as the SQL CASE chain
+        geq = None
+        for other in order:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            geq = c if geq is None else (geq & c)
+        lang_expr = (
+            F.when(geq, F.lit(lang)) if lang_expr is None else lang_expr.when(geq, F.lit(lang))
+        )
+    lang_expr = lang_expr.otherwise(F.lit("und"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(F.length(txt) * F.lit(1.0) / n_tokens, 4).alias("chars_per_token"),
+        F.when(n_tokens.between(20, 400), 1).otherwise(0).alias("len_ok"),
+        stop_hits.alias("stopword_hits"),
+        F.round(F.length(stripped) * F.lit(1.0) / F.length(txt), 4).alias("alnum_ratio"),
+        F.when(n_tokens.between(20, 400) & (stop_hits >= 1), 1).otherwise(0).alias("keep_flag"),
+        lang_expr.alias("predicted_lang"),
+        F.md5(F.lower(txt)).alias("fingerprint"),
+    )
 
 
 @register(

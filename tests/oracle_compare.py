@@ -61,6 +61,50 @@ class CompareResult:
     detail: str = ""
 
 
+def _duck_kind(t: str) -> str:
+    """Collapse a DuckDB logical type to a comparison kind. HUGEINT is
+    deliberately NOT integer-compatible: the driver's comparison renders it
+    through pandas as float64 ('1764.0' vs Spark's '1764'), which is exactly
+    the round-1 hash-fail mode — force an explicit CAST in the oracle."""
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "dec"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "f"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    if t == "VARCHAR":
+        return "s"
+    if t == "BOOLEAN":
+        return "b"
+    return t.lower()
+
+
+def _spark_kind(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "dec"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if t in ("float", "double"):
+        return "f"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t == "date":
+        return "date"
+    if t == "string":
+        return "s"
+    if t == "boolean":
+        return "b"
+    return t
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -75,18 +119,28 @@ def compare_query(
 ) -> CompareResult:
     sdf = spark_fn(spark, sf_dir)
     s_cols = list(sdf.columns)
+    s_kinds = {c: _spark_kind(t) for c, t in sdf.dtypes}
     s_rows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(oracle)
-    o_cols = [d[0] for d in res.description]
-    o_rows = res.fetchall()
+    rel = con.sql(oracle)
+    o_cols = list(rel.columns)
+    o_kinds = {c: _duck_kind(str(t)) for c, t in zip(rel.columns, rel.types)}
+    o_rows = rel.fetchall()
     s_hash = _hash_rows(s_cols, s_rows)
     o_hash = _hash_rows(o_cols, o_rows)
+    kind_mismatch = [
+        (c, s_kinds.get(c), o_kinds.get(c))
+        for c in sorted(set(s_cols) | set(o_cols))
+        if s_kinds.get(c) != o_kinds.get(c)
+    ]
     ok = (
         len(s_rows) == len(o_rows)
         and sorted(s_cols) == sorted(o_cols)
+        and not kind_mismatch
         and s_hash == o_hash
     )
     detail = ""
+    if kind_mismatch:
+        detail = f"type-kind mismatch (col, spark, duck): {kind_mismatch}"
     if not ok and len(s_rows) == len(o_rows) and sorted(s_cols) == sorted(o_cols):
         order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
         order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
