@@ -18,8 +18,7 @@ from pathlib import Path
 
 import click
 
-DEFAULT_DDL = "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql"
-DEFAULT_CONFIG = "/root/reference/carrottransform/config/config.json"
+from carrot_transform_spark.atpath import DEFAULT_CONFIG, DEFAULT_DDL
 
 
 @click.group()

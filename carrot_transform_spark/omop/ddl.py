@@ -136,8 +136,10 @@ def parse_ddl(text: str) -> tuple[dict[str, TableSchema], str | None]:
 
 
 def load_schemas(ddl_path: str | Path, config_path: str | Path) -> OmopSchemas:
-    tables, version = parse_ddl(Path(ddl_path).read_text())
-    cfg = json.loads(Path(config_path).read_text())
+    from carrot_transform_spark.atpath import convert_path
+
+    tables, version = parse_ddl(convert_path(ddl_path).read_text())
+    cfg = json.loads(convert_path(config_path).read_text())
     return OmopSchemas(
         tables=tables,
         version=version,

@@ -23,11 +23,9 @@ from carrot_transform_spark.omop.ddl import OmopSchemas, load_schemas
 from carrot_transform_spark.plans.compiler import CarrotPlanner, RejectStats
 from carrot_transform_spark.rules.ir import RuleSet
 from carrot_transform_spark.rules.loader import load_rules
+from carrot_transform_spark.atpath import DEFAULT_CONFIG, DEFAULT_DDL
 from carrot_transform_spark.sinks.tsv import TsvDirSink
 from carrot_transform_spark.sources.registry import CsvDirSource, Source, make_source
-
-DEFAULT_DDL = "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql"
-DEFAULT_CONFIG = "/root/reference/carrottransform/config/config.json"
 
 
 @dataclass
@@ -93,12 +91,17 @@ def run_transform(
         sink = TsvDirSink(output_dir)
         for target, df in tables.items():
             sink.write(target, df, omop.table(target).columns)
-        pm = person_map.orderBy("target_subject" if use_input_person_ids else "__ct_line")
-        sink.write_rows(
-            "person_ids",
-            ["SOURCE_SUBJECT", "TARGET_SUBJECT"],
-            [[r["source_subject"], str(r["target_subject"])] for r in pm.collect()],
+        # streamed through the sink like every other table (toLocalIterator
+        # in single mode / cluster-committed part files in distributed mode)
+        # — never a full-table collect on the driver
+        pm = (
+            person_map.orderBy("target_subject" if use_input_person_ids else "__ct_line")
+            .selectExpr(
+                "source_subject AS SOURCE_SUBJECT",
+                "CAST(target_subject AS STRING) AS TARGET_SUBJECT",
+            )
         )
+        sink.write("person_ids", pm, ["SOURCE_SUBJECT", "TARGET_SUBJECT"])
         sink.write_rows("summary_mapstream", SUMMARY_HEADER, metrics.summary_rows())
 
     return RunResult(tables=tables, person_map=person_map, metrics=metrics, stats=stats)

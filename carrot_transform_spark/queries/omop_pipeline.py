@@ -26,8 +26,7 @@ from carrot_transform_spark.queries import load, register
 from carrot_transform_spark.rules.loader import parse_rules
 from carrot_transform_spark.sources.registry import LINE_COL, Source
 
-DDL = "/root/reference/carrottransform/config/OMOPCDM_postgresql_5.3_ddl.sql"
-CONFIG = "/root/reference/carrottransform/config/config.json"
+from carrot_transform_spark.atpath import DEFAULT_CONFIG as CONFIG, DEFAULT_DDL as DDL
 
 RULES = {
     "metadata": {"dataset": "synthetic"},

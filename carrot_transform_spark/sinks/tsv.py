@@ -28,6 +28,12 @@ class TsvDirSink:
         self.write_mode = write_mode
 
     def write(self, name: str, df: DataFrame, columns: list[str]) -> None:
+        # "shorten" quirk (reference outputs.py:62-83 start/write): when the
+        # last header cell is empty, the final column is dropped from the
+        # header AND from every record
+        if columns and columns[-1] == "":
+            columns = columns[:-1]
+            df = df.select(*[df.columns[i] for i in range(len(columns))])
         out = df.select(*columns)
         if self.mode == "single":
             path = self.directory / f"{name}.tsv"
@@ -48,11 +54,14 @@ class TsvDirSink:
             )
 
     def write_rows(self, name: str, header: list[str], rows: list[list[str]]) -> None:
+        shorten = bool(header) and header[-1] == ""
+        if shorten:
+            header = header[:-1]
         path = self.directory / f"{name}.tsv"
         with path.open("w", encoding="utf-8") as fh:
             fh.write("\t".join(header) + "\n")
             for r in rows:
-                fh.write("\t".join(r) + "\n")
+                fh.write("\t".join(r[:-1] if shorten else r) + "\n")
 
 
 class JdbcSink:
