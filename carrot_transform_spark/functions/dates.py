@@ -32,7 +32,10 @@ def _pad(col: Column, n: int) -> Column:
 def normalise_to8601(col: Column) -> Column:
     """Permissive normalisation to 'YYYY-MM-DD HH:MM:SS'; NULL on no-match."""
     date_part = F.split(col, " ").getItem(0)
-    time_part = F.when(F.size(F.split(col, " ")) >= 2, F.split(col, " ").getItem(1))
+    # the reference parses the time token ONLY when the split has exactly
+    # two elements (date_helpers.py: len(item.split(' ')) == 2); with any
+    # trailing token the time defaults to 00:00:00
+    time_part = F.when(F.size(F.split(col, " ")) == 2, F.split(col, " ").getItem(1))
 
     iso_y = F.regexp_extract(date_part, _ISO_RE, 1)
     iso_m = F.regexp_extract(date_part, _ISO_RE, 2)

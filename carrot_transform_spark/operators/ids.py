@@ -37,14 +37,22 @@ def with_dense_ids(
     offset: int = 0,
     num_partitions: int | None = None,
     small_threshold: int = SMALL_THRESHOLD,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """Add ``id_col`` = offset + dense rank 1..N in (order_cols) order."""
+    """Add ``id_col`` = offset + dense rank 1..N in (order_cols) order.
+
+    persist_registry: optional list the caller owns; every DataFrame this
+    function leaves persisted is appended so the caller can unpersist after
+    the result is materialized (otherwise caches live until LRU eviction).
+    """
     src = df.persist(StorageLevel.MEMORY_AND_DISK)
     n_rows = src.count()  # materializes the cache; also sizes the fast path
 
     if n_rows <= small_threshold:
         # one global window; a single sort of a cached small dataset is
         # cheaper than sampling + range exchange + offset bookkeeping
+        if persist_registry is not None:
+            persist_registry.append(src)
         w = Window.orderBy(*order_cols)
         return src.withColumn(id_col, (F.row_number().over(w) + F.lit(offset)).cast("long"))
 
@@ -56,6 +64,8 @@ def with_dense_ids(
     )
     counts = ranged.groupBy(_PID).count().orderBy(_PID).collect()
     src.unpersist()  # ranged is materialized by the count job above
+    if persist_registry is not None:
+        persist_registry.append(ranged)
     offsets: dict[int, int] = {}
     acc = offset
     for row in counts:

@@ -103,5 +103,8 @@ def run_transform(
         )
         sink.write("person_ids", pm, ["SOURCE_SUBJECT", "TARGET_SUBJECT"])
         sink.write_rows("summary_mapstream", SUMMARY_HEADER, metrics.summary_rows())
+        # outputs are on disk: drop every cache the run accumulated so a
+        # long-lived session doesn't leak cached scans across runs
+        planner.release()
 
     return RunResult(tables=tables, person_map=person_map, metrics=metrics, stats=stats)

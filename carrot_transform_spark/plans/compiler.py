@@ -44,6 +44,7 @@ from carrot_transform_spark.sources.registry import LINE_COL, Source
 
 SRC_COL = "__ct_src"
 FIELD_COL = "__ct_field"
+FIELDIDX_COL = "__ct_fieldidx"  # positional index in rules-declaration order
 COMBO_COL = "__ct_combo"
 FILEIDX_COL = "__ct_fileidx"
 
@@ -79,6 +80,23 @@ class CarrotPlanner:
         self.use_input_person_ids = use_input_person_ids
         self.last_used_ids = last_used_ids or {}
         self._counted_files: set[str] = set()
+        # normalized-scan memo: (source file, date source field) -> cached DF,
+        # shared across targets so each file is scanned+normalised once
+        self._norm_cache: dict[tuple[str, str | None], DataFrame] = {}
+        # every DataFrame this planner persisted, released via release()
+        self._persisted: list[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every DataFrame cached by this planner (call after the
+        run's outputs are materialized; relying on LRU eviction leaks cache
+        across a long session)."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
+        self._norm_cache.clear()
 
     # ------------------------------------------------------------------
     # person anonymisation map (J2/W2)
@@ -111,7 +129,9 @@ class CarrotPlanner:
             return first.select(
                 "source_subject", F.col("source_subject").alias("target_subject"), LINE_COL
             )
-        withids = with_dense_ids(first, [LINE_COL], "target_subject", offset=0)
+        withids = with_dense_ids(
+            first, [LINE_COL], "target_subject", offset=0, persist_registry=self._persisted
+        )
         return withids.select(
             "source_subject", F.col("target_subject").cast("string").alias("target_subject"), LINE_COL
         )
@@ -129,21 +149,31 @@ class CarrotPlanner:
         later rejected by the person lookup (record_builder.py:149-163)."""
         schema = self.omop.table(target)
         per_source = self.rules.mappings[target]
+        # FILEIDX follows the reference's GLOBAL input-file iteration order
+        # (mappingrules._get_all_infile_names_v2: target-major first
+        # appearance), not the per-target rules order — auto-number ids and
+        # row order must match even when the two orders differ
+        global_files = self.rules.source_tables()
         parts: list[DataFrame] = []
-        for file_idx, (src_file, tm) in enumerate(per_source.items()):
+        for src_file, tm in per_source.items():
             df = self._spread(source.read(tm.source_table))
             part = self._file_records(df, tm, schema, stats)
-            parts.append(part.withColumn(FILEIDX_COL, F.lit(file_idx)))
+            parts.append(part.withColumn(FILEIDX_COL, F.lit(global_files.index(src_file))))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         auto_col = self.omop.auto_number_col(target)
         if auto_col and auto_col in schema.columns:
+            # FIELDIDX (declaration-order ordinal), NOT the field name: the
+            # reference iterates data columns in concept_mappings order, so a
+            # lexicographic field sort would diverge whenever declaration
+            # order isn't alphabetical
             out = with_dense_ids(
                 out,
-                [FILEIDX_COL, LINE_COL, FIELD_COL, COMBO_COL],
+                [FILEIDX_COL, LINE_COL, FIELDIDX_COL, COMBO_COL],
                 "__ct_auto",
                 offset=self.last_used_ids.get(target, 0),
+                persist_registry=self._persisted,
             )
             out = out.withColumn(auto_col, F.col("__ct_auto").cast("string")).drop("__ct_auto")
         return out
@@ -198,27 +228,100 @@ class CarrotPlanner:
         count_file = stats is not None and src_file not in self._counted_files
         if count_file:
             self._counted_files.add(src_file)
-            stats.input_rows[src_file] = stats.input_rows.get(src_file, 0) + df.count()
 
         # F2: permissive row-level date normalisation; invalid rows rejected
-        # (orchestrator.py:146-158)
-        date_src = _resolve(df, tm.date_mapping.source_field) if tm.date_mapping else None
-        if date_src is not None:
-            df = df.withColumn("__ct_norm", normalise_to8601(date_src))
-            if count_file:
-                n_bad = df.filter(F.col("__ct_norm").isNull()).count()
-                if n_bad:
-                    stats.date_reject_rows[src_file] = (
-                        stats.date_reject_rows.get(src_file, 0) + n_bad
-                    )
-            df = df.filter(F.col("__ct_norm").isNotNull())
-            # cache the normalized scan: projection collapse would otherwise
-            # inline the regex-heavy normalise expression into every struct
-            # field of the record generator that references __ct_norm
-            # (measured 9s -> ~1s for the record explode at sf0.1)
-            df = df.persist()
+        # (orchestrator.py:146-158). The normalized scan is cached ONCE per
+        # (file, date field) and shared across targets; caching also stops
+        # projection collapse from inlining the regex-heavy normalise
+        # expression into every struct field of the record generator
+        # (measured 9s -> ~1s for the record explode at sf0.1)
+        date_field = tm.date_mapping.source_field if tm.date_mapping else None
+        cache_key = (src_file, date_field)
+        if cache_key in self._norm_cache:
+            raw = self._norm_cache[cache_key]
         else:
-            df = df.withColumn("__ct_norm", F.lit(None).cast("string"))
+            if date_field is not None:
+                raw = df.withColumn("__ct_norm", normalise_to8601(_resolve(df, date_field)))
+                raw = raw.persist()
+                self._persisted.append(raw)
+            else:
+                raw = df.withColumn("__ct_norm", F.lit(None).cast("string"))
+            self._norm_cache[cache_key] = raw
+
+        norm_ok = F.col("__ct_norm").isNotNull() if date_field is not None else F.lit(True)
+
+        # ---- metrics: ONE aggregation job per (file, target) computing all
+        # row/blank/date counters (was: one .count() job per counter) -------
+        comp = self.omop.date_components(target)
+        comp_dests = [
+            d for d in (tm.date_mapping.dest_fields if tm.date_mapping else []) if d in comp
+        ]
+        if stats is not None:
+            count_fields: list[str] = []
+            if not is_person:
+                count_fields = list(tm.concept_mappings)
+            elif self.rules.dialect == "v1" and tm.concept_mappings:
+                # v1 counts the person target's FIRST data column only
+                # (run.py:301-302); v2's person builder never counts blanks
+                count_fields = [next(iter(tm.concept_mappings))]
+            aggs: list[Column] = [F.count(F.lit(1)).alias("__m_rows")]
+            aggs.append(F.sum(F.when(~norm_ok, 1).otherwise(0)).alias("__m_datebad"))
+            blank_keys: list[str] = []
+            for i, fname in enumerate(count_fields):
+                cell = _try_resolve(raw, fname)
+                if cell is None:
+                    continue
+                blank_keys.append(fname)
+                # blank cells counted over date-valid rows (the reference
+                # counts inside the per-record loop, after the row filter)
+                aggs.append(
+                    F.sum(
+                        F.when(norm_ok & ~F.coalesce(valid_value(cell), F.lit(False)), 1).otherwise(0)
+                    ).alias(f"__m_blank_{len(blank_keys) - 1}")
+                )
+            datebad_keys: list[str] = []
+            if comp_dests:
+                strict_ok = strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
+                # invalid_date per concept FIELD, gated on the same
+                # valid-value + concept-match conditions that would have
+                # produced records for that field (reference increments per
+                # failing data column only when the build reached date
+                # mapping, record_builder.py:92-132)
+                for fname, cm in tm.concept_mappings.items():
+                    cell = _try_resolve(raw, fname)
+                    if cell is None:
+                        continue
+                    datebad_keys.append(fname)
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                norm_ok
+                                & ~strict_ok
+                                & F.coalesce(valid_value(cell), F.lit(False))
+                                & _concept_match(cell, cm),
+                                1,
+                            ).otherwise(0)
+                        ).alias(f"__m_datebad_{len(datebad_keys) - 1}")
+                    )
+            m = raw.agg(*aggs).collect()[0]
+            if count_file:
+                stats.input_rows[src_file] = stats.input_rows.get(src_file, 0) + m["__m_rows"]
+                if m["__m_datebad"]:
+                    stats.date_reject_rows[src_file] = (
+                        stats.date_reject_rows.get(src_file, 0) + m["__m_datebad"]
+                    )
+            for i, fname in enumerate(blank_keys):
+                n_blank = m[f"__m_blank_{i}"]
+                if n_blank:
+                    key = (src_file, target, fname)
+                    stats.invalid_source[key] = stats.invalid_source.get(key, 0) + n_blank
+            for i, fname in enumerate(datebad_keys):
+                n_bad = m[f"__m_datebad_{i}"]
+                if n_bad:
+                    key = (src_file, target, fname)
+                    stats.invalid_date[key] = stats.invalid_date.get(key, 0) + n_bad
+
+        df = raw.filter(norm_ok) if date_field is not None else raw
 
         if is_person and tm.person_id_mapping is not None and self.rules.dialect == "v2":
             # J3: one person record per (source file, person id) — first row
@@ -231,25 +334,6 @@ class CarrotPlanner:
                 (pid == F.col("__ct_pid")) & (F.col(LINE_COL) == F.col("__ct_minline")),
                 "left_semi",
             )
-
-        # blank-cell rejects per data column (core.py:158-166 /
-        # record_builder.py:309-323). v1 also counts the person target's
-        # FIRST data column (the per-datacol loop breaks after it,
-        # run.py:301-302); v2's person builder never counts blanks.
-        if stats is not None:
-            count_fields: list[str] = []
-            if not is_person:
-                count_fields = list(tm.concept_mappings)
-            elif self.rules.dialect == "v1" and tm.concept_mappings:
-                count_fields = [next(iter(tm.concept_mappings))]
-            for fname in count_fields:
-                cell = _try_resolve(df, fname)
-                if cell is None:
-                    continue
-                n_blank = df.filter(~F.coalesce(valid_value(cell), F.lit(False))).count()
-                if n_blank:
-                    key = (src_file, target, fname)
-                    stats.invalid_source[key] = stats.invalid_source.get(key, 0) + n_blank
 
         if is_person:
             records = (
@@ -267,24 +351,17 @@ class CarrotPlanner:
         )
 
         # strict-date component failure drops the whole row's records for
-        # this target (record_builder.py:92-132); counted as
-        # invalid_date_fields
-        comp = self.omop.date_components(target)
-        comp_dests = [d for d in (tm.date_mapping.dest_fields if tm.date_mapping else []) if d in comp]
+        # this target (record_builder.py:92-132); the per-field counts were
+        # folded into the metrics aggregation above
         if comp_dests:
             ok = strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
-            if stats is not None:
-                n_bad = df.filter(~ok).count()
-                if n_bad:
-                    first_field = next(iter(tm.concept_mappings), "all")
-                    key = (src_file, target, first_field)
-                    stats.invalid_date[key] = stats.invalid_date.get(key, 0) + n_bad
             exploded = exploded.filter(ok)
 
         cols = [F.col(f"__ct_rec.{c}").alias(c) for c in schema.columns]
         meta = [
             F.lit(src_file).alias(SRC_COL),
             F.col(f"__ct_rec.{FIELD_COL}").alias(FIELD_COL),
+            F.col(f"__ct_rec.{FIELDIDX_COL}").alias(FIELDIDX_COL),
             F.col(f"__ct_rec.{COMBO_COL}").alias(COMBO_COL),
             F.col(LINE_COL),
         ]
@@ -335,6 +412,7 @@ class CarrotPlanner:
         overrides: dict[str, Column],
         field_name: Column,
         combo_idx: Column,
+        field_idx: Column | None = None,
     ) -> Column:
         fields = []
         for c in schema.columns:
@@ -346,6 +424,7 @@ class CarrotPlanner:
                 v = F.lit("")
             fields.append(F.coalesce(v, F.lit("")).alias(c))
         fields.append(field_name.cast("string").alias(FIELD_COL))
+        fields.append((field_idx if field_idx is not None else F.lit(0)).cast("int").alias(FIELDIDX_COL))
         fields.append(combo_idx.cast("int").alias(COMBO_COL))
         return F.struct(*fields)
 
@@ -358,7 +437,7 @@ class CarrotPlanner:
         records require a concept match (exact value, else wildcard)."""
         common = self._common_column_values(df, tm, schema)
         per_field: list[Column] = []
-        for fname, cm in tm.concept_mappings.items():
+        for fidx, (fname, cm) in enumerate(tm.concept_mappings.items()):
             cell = _try_resolve(df, fname)
             if cell is None:
                 continue
@@ -382,7 +461,7 @@ class CarrotPlanner:
                     }
                     merged = {**concept_over, **orig_over, **common}
                     recs.append(
-                        self._record_struct(schema, merged, F.lit(fname), F.lit(k))
+                        self._record_struct(schema, merged, F.lit(fname), F.lit(k), F.lit(fidx))
                     )
                 return F.array(*recs) if recs else None
 
@@ -397,7 +476,7 @@ class CarrotPlanner:
             if branch is None and wild_arr is None:
                 continue
             empty = _empty_like(
-                self._record_struct(schema, common, F.lit(fname), F.lit(0))
+                self._record_struct(schema, common, F.lit(fname), F.lit(0), F.lit(fidx))
             )
             if branch is None:
                 sel = F.when(F.lit(True), wild_arr)
@@ -616,6 +695,20 @@ def _try_resolve(df: DataFrame, name: str) -> Column | None:
     lower = {c.lower(): c for c in df.columns}
     actual = lower.get(name.lower())
     return F.col(actual) if actual is not None else None
+
+
+def _concept_match(cell: Column, cm) -> Column:
+    """True when the cell would match this field's concept rules (exact
+    value, else wildcard) — the gate under which a record build proceeds."""
+    if "*" in cm.value_mappings:
+        return F.lit(True)
+    conds = [cell == F.lit(v) for v in cm.value_mappings if v != "*"]
+    if not conds:
+        return F.lit(False)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
 
 
 def _empty_like(template: Column) -> Column:
