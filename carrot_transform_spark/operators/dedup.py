@@ -164,32 +164,69 @@ def minhash_lsh_dedup(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
-    """(id, simhash): bitwise majority vote over per-token hashes."""
+    """(id, sim_hi, sim_lo): 64-bit SimHash as two 32-bit halves.
+
+    Two halves, not one 64-bit value: bit 63 of a packed int64 flips the
+    sign, and signed-shift/overflow semantics differ across engines — two
+    non-negative 32-bit words have identical arithmetic everywhere (and the
+    DuckDB oracle reproduces them exactly). Each half derives from an
+    independently salted token hash, so the 64 bits are independent.
+    """
+    lo_bits = min(bits, 32)
+    hi_bits = bits - lo_bits
     tok = df.select(
         F.col(id_col).alias("id"), F.explode_outer(tokens(F.col(text_col))).alias("t")
     ).filter(F.col("t").isNotNull() & (F.col("t") != ""))
-    th = tok.select("id", h32(F.col("t")).alias("h"))
+    th = tok.select(
+        "id",
+        h32(F.col("t")).alias("hl"),
+        h32(F.concat(F.col("t"), F.lit("#H"))).alias("hh"),
+    )
     bit_rows = (
-        th.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"))
+        th.select(
+            "id", "hl", "hh",
+            F.explode(F.sequence(F.lit(0), F.lit(lo_bits - 1))).alias("i"),
+        )
         .groupBy("id", "i")
-        .agg(F.sum(F.when(F.expr("(h >> i) & 1") == 1, 1).otherwise(-1)).alias("w"))
+        .agg(
+            F.sum(F.when(F.expr("(hl >> i) & 1") == 1, 1).otherwise(-1)).alias("wl"),
+            F.sum(F.when(F.expr("(hh >> i) & 1") == 1, 1).otherwise(-1)).alias("wh"),
+        )
+    )
+    hi_expr = (
+        F.sum(
+            F.when(
+                (F.col("wh") > 0) & (F.col("i") < hi_bits),
+                F.expr("shiftleft(1L, CAST(i AS INT))"),
+            ).otherwise(0)
+        )
+        if hi_bits
+        else F.lit(0)
     )
     return bit_rows.groupBy("id").agg(
-        F.sum(F.when(F.col("w") > 0, F.expr("shiftleft(1L, CAST(i AS INT))")).otherwise(0))
+        hi_expr.cast("bigint").alias("sim_hi"),
+        F.sum(F.when(F.col("wl") > 0, F.expr("shiftleft(1L, CAST(i AS INT))")).otherwise(0))
         .cast("bigint")
-        .alias("simhash")
+        .alias("sim_lo"),
     )
 
 
-def hamming_pairs(sig: DataFrame, max_distance: int = 3, prefix_bits: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked by hash prefix so
-    the pair space is bucket-local. (id_a, id_b, hamming)."""
-    withb = sig.withColumn("bucket", F.expr(f"simhash >> {prefix_bits}"))
+def hamming_pairs(sig: DataFrame, max_distance: int = 8, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked by a hash prefix
+    so the pair space is bucket-local. (id_a, id_b, hamming).
+
+    prefix_bits >= 16 keeps buckets small at corpus scale (a w-bit prefix
+    yields 2^w buckets; 8 bits = 256 buckets turns into giant per-bucket
+    self-joins at 100 TB). Multi-probe (rotating which half supplies the
+    prefix) trades recall for one more pass if needed."""
+    withb = sig.withColumn("bucket", F.expr(f"sim_hi >> (32 - {prefix_bits})"))
     a = withb.alias("a")
     b = withb.alias("b")
-    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    ham = F.bit_count(F.expr("a.sim_hi ^ b.sim_hi")) + F.bit_count(
+        F.expr("a.sim_lo ^ b.sim_lo")
+    )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(

@@ -342,7 +342,12 @@ class CarrotPlanner:
                 else self._person_records_col(df, tm, schema)
             )
         else:
-            records = self._standard_records_col(df, tm, schema)
+            # J1 both forms: small term maps compile into the plan as
+            # when-chains (no join at all); large ones become broadcast
+            # rules-table joins so a field with thousands of mapped values
+            # doesn't produce a pathological expression tree
+            df, attached = self._attach_large_rules(df, tm)
+            records = self._standard_records_col(df, tm, schema, attached)
         # explode_outer + null-filter, NOT explode: plain explode's implicit
         # size()>0 predicate gets pushed below upstream exchanges and
         # re-evaluates the entire record-generation expression per row
@@ -428,8 +433,106 @@ class CarrotPlanner:
         fields.append(combo_idx.cast("int").alias(COMBO_COL))
         return F.struct(*fields)
 
+    # fields with at least this many exact-valued mappings use a broadcast
+    # rules-table join instead of an inlined when-chain
+    LARGE_TERM_MAP_THRESHOLD = 100
+
+    def _attach_large_rules(
+        self, df: DataFrame, tm: TableMapping
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """Broadcast-join the rules tables of large term-map fields onto the
+        scan: one map<dest, array<concept-id>> column per large field. Values
+        whose dest map carries no ids are omitted (they fall through to the
+        wildcard, matching the when-chain semantics)."""
+        attached: dict[str, str] = {}
+        for i, (fname, cm) in enumerate(tm.concept_mappings.items()):
+            exact = {
+                v: {d: [str(x) for x in ids] for d, ids in m.items() if ids}
+                for v, m in cm.value_mappings.items()
+                if v != "*"
+            }
+            exact = {v: m for v, m in exact.items() if m}
+            if len(exact) < self.LARGE_TERM_MAP_THRESHOLD:
+                continue
+            cell = _try_resolve(df, fname)
+            if cell is None:
+                continue
+            val_col, map_col = f"__ct_rval_{i}", f"__ct_rules_{i}"
+            rules_df = self.spark.createDataFrame(
+                list(exact.items()), f"{val_col} string, {map_col} map<string,array<string>>"
+            )
+            df = df.join(F.broadcast(rules_df), cell == F.col(val_col), "left").drop(val_col)
+            attached[fname] = map_col
+        return df, attached
+
+    def _joined_field_records(
+        self,
+        cm,
+        schema: TableSchema,
+        common: dict[str, Column],
+        cell: Column,
+        fname: str,
+        fidx: int,
+        map_colname: str,
+    ) -> Column:
+        """Record array for one large term-map field from its joined rules
+        map column — identical semantics to the when-chain path (exact match
+        beats wildcard; clamped-zip combinations; blank cells never match)."""
+        wild = cm.value_mappings.get("*")
+        matched = F.col(map_colname)
+        if wild:
+            pairs: list[Column] = []
+            for d, ids in wild.items():
+                if not ids:
+                    continue
+                pairs.append(F.lit(d))
+                pairs.append(F.array(*[F.lit(str(x)) for x in ids]))
+            eff = F.coalesce(matched, F.create_map(*pairs)) if pairs else matched
+        else:
+            eff = matched
+        all_dests: list[str] = []
+        max_n = 1
+        for m in cm.value_mappings.values():
+            for d, ids in m.items():
+                if ids and d not in all_dests:
+                    all_dests.append(d)
+                if ids:
+                    max_n = max(max_n, len(ids))
+        arrs = {d: F.element_at(eff, F.lit(d)) for d in all_dests}
+        sizes = [F.coalesce(F.size(arrs[d]), F.lit(0)) for d in all_dests]
+        n_rec = F.greatest(*sizes, F.lit(0)) if len(sizes) > 1 else (
+            sizes[0] if sizes else F.lit(0)
+        )
+        recs = []
+        for k in range(max_n):
+            concept_over = {
+                d: F.when(
+                    arrs[d].isNotNull(),
+                    F.element_at(arrs[d], F.least(F.lit(k + 1), F.size(arrs[d]))),
+                )
+                for d in all_dests
+                if d in schema.columns
+            }
+            orig_over = {d: cell for d in cm.original_value_fields if d in schema.columns}
+            merged = {**concept_over, **orig_over, **common}
+            merged = {
+                d: F.coalesce(
+                    v, F.lit("0") if d in schema.notnull_numeric_fields else F.lit("")
+                )
+                for d, v in merged.items()
+            }
+            recs.append(self._record_struct(schema, merged, F.lit(fname), F.lit(k), F.lit(fidx)))
+        full = F.array(*recs)
+        empty = _empty_like(recs[0])
+        sel = F.when(n_rec > 0, F.slice(full, 1, n_rec)).otherwise(empty)
+        return F.when(F.coalesce(valid_value(cell), F.lit(False)), sel).otherwise(empty)
+
     def _standard_records_col(
-        self, df: DataFrame, tm: TableMapping, schema: TableSchema
+        self,
+        df: DataFrame,
+        tm: TableMapping,
+        schema: TableSchema,
+        attached: dict[str, str] | None = None,
     ) -> Column:
         """array<record> for a standard target: per-field fan-out (U1), each
         field contributing its matched value's clamped-zip combinations (X1).
@@ -440,6 +543,13 @@ class CarrotPlanner:
         for fidx, (fname, cm) in enumerate(tm.concept_mappings.items()):
             cell = _try_resolve(df, fname)
             if cell is None:
+                continue
+            if attached and fname in attached:
+                per_field.append(
+                    self._joined_field_records(
+                        cm, schema, common, cell, fname, fidx, attached[fname]
+                    )
+                )
                 continue
             exact = {v: dm for v, dm in cm.value_mappings.items() if v != "*"}
             wild = cm.value_mappings.get("*")

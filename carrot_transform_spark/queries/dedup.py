@@ -303,51 +303,38 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash signatures
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
-
-
+# 64-bit SimHash as two 32-bit halves (see operators/dedup.simhash_signatures
+# for why halves beat a packed int64), 16-bit prefix blocking
 _SIMHASH_SIG_SQL = f"""
     WITH tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
         FROM documents WHERE LENGTH(trim(text)) > 0
     ),
-    th AS (SELECT doc_id, {_h32_sql('t')} AS h FROM tok),
+    th AS (SELECT doc_id, {_h32_sql('t')} AS hl, {_h32_sql("t || '#H'")} AS hh FROM tok),
     bits AS (
         SELECT doc_id, i,
-               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w
-        FROM th, UNNEST(generate_series(0, {_SIMHASH_BITS - 1})) AS g(i)
+               SUM(CASE WHEN (hl >> i) & 1 = 1 THEN 1 ELSE -1 END) AS wl,
+               SUM(CASE WHEN (hh >> i) & 1 = 1 THEN 1 ELSE -1 END) AS wh
+        FROM th, UNNEST(generate_series(0, 31)) AS g(i)
         GROUP BY doc_id, i
     )
     SELECT doc_id,
-           CAST(SUM(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
+           CAST(SUM(CASE WHEN wh > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sim_hi,
+           CAST(SUM(CASE WHEN wl > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sim_lo
     FROM bits GROUP BY doc_id ORDER BY doc_id
     """
 
 
 def dd_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: per-token 32-bit hash, per-bit +1/-1 majority vote,
-    sign -> bit. Near-dups then pair by small Hamming distance (bucketed by
-    hash prefix at scale). Here: token explode x bit explode, two-level
+    """64-bit SimHash (two salted 32-bit halves): per-token hashes, per-bit
+    +1/-1 majority vote, sign -> bit. Token explode x bit explode, two-level
     aggregate — all JVM-side integer ops."""
+    from carrot_transform_spark.operators.dedup import simhash_signatures
+
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
-    th = tok.select("doc_id", _h32(F.col("t")).alias("h"))
-    bits = (
-        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("i"))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> i) & 1") == 1, 1).otherwise(-1)
-            ).alias("w")
-        )
-    )
     return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("w") > 0, F.expr("shiftleft(1L, CAST(i AS INT))")).otherwise(0))
-            .cast("bigint")
-            .alias("simhash")
-        )
+        simhash_signatures(d, "doc_id", "text", bits=64)
+        .select(F.col("id").alias("doc_id"), "sim_hi", "sim_lo")
         .orderBy("doc_id")
     )
 
@@ -355,43 +342,29 @@ def dd_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_simhash_hamming_pairs",
     oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-        FROM documents WHERE LENGTH(trim(text)) > 0
-    ),
-    th AS (SELECT doc_id, {_h32_sql('t')} AS h FROM tok),
-    bits AS (
-        SELECT doc_id, i,
-               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w
-        FROM th, UNNEST(generate_series(0, {_SIMHASH_BITS - 1})) AS g(i)
-        GROUP BY doc_id, i
-    ),
-    sig AS (
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id
-    ),
-    wb AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM sig)
+    WITH sig AS ({_SIMHASH_SIG_SQL}),
+    wb AS (SELECT doc_id, sim_hi, sim_lo, sim_hi >> 16 AS bucket FROM sig)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS hamming
     FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 8
     ORDER BY doc_a, doc_b
     """,
     tags=("dedup", "simhash", "hamming"),
 )
 def dd_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: small Hamming distance within prefix-blocked
-    buckets. The bucket join bounds the pair space; bit_count(xor) is a
-    single codegen'd integer op per pair."""
+    buckets (64-bit signatures, 16-bit prefix -> 65k buckets; the bucket
+    join bounds the pair space and bit_count(xor) is a single codegen'd
+    integer op per pair)."""
     from carrot_transform_spark.operators.dedup import hamming_pairs, simhash_signatures
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sig = simhash_signatures(d, "doc_id", "text", bits=_SIMHASH_BITS).persist()
+    sig = simhash_signatures(d, "doc_id", "text", bits=64).persist()
     sig.count()
     return (
-        hamming_pairs(sig, max_distance=2, prefix_bits=8)
+        hamming_pairs(sig, max_distance=8, prefix_bits=16)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
         .orderBy("doc_a", "doc_b")
     )
@@ -415,7 +388,7 @@ register_suite(
             "dd_simhash_signatures",
             dd_simhash_signatures,
             _SIMHASH_SIG_SQL,
-            [("doc_id", "i"), ("simhash", "i")],
+            [("doc_id", "i"), ("sim_hi", "i"), ("sim_lo", "i")],
         ),
         (
             "dd_ngram_jaccard_pairs",

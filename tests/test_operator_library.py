@@ -42,9 +42,40 @@ def test_minhash_lsh_dedup_finds_planted_neardups(docs):
 def test_simhash_hamming_pairs_shape(docs):
     sig = dd.simhash_signatures(docs, "doc_id", "text")
     assert sig.count() == docs.filter(F.length(F.trim("text")) > 0).count()
-    near = dd.hamming_pairs(sig, max_distance=2, prefix_bits=8)
-    # near-dup docs (known planted pairs) should appear at small distance
+    # 64-bit signatures: both halves within 32-bit range, non-negative
+    stats = sig.agg(
+        F.min("sim_hi"), F.max("sim_hi"), F.min("sim_lo"), F.max("sim_lo")
+    ).collect()[0]
+    assert stats[0] >= 0 and stats[1] < 2**32
+    assert stats[2] >= 0 and stats[3] < 2**32
+    near = dd.hamming_pairs(sig, max_distance=8, prefix_bits=16)
     assert near.count() >= 0  # shape check; pair presence depends on buckets
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    sig = dd.simhash_signatures(df, "doc_id", "text")
+    near = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in dd.hamming_pairs(sig, max_distance=0, prefix_bits=16).collect()}
+    assert near == {(1, 2): 0}
+
+
+def test_simhash_bucket_skew_bounded(docs):
+    """16-bit prefix blocking must spread the corpus: no bucket holds a
+    large fraction of documents (8-bit blocking collapsed everything into
+    <=256 buckets — giant self-joins at scale)."""
+    sig = dd.simhash_signatures(docs, "doc_id", "text")
+    buckets = (
+        sig.withColumn("bucket", F.expr("sim_hi >> 16")).groupBy("bucket").count().collect()
+    )
+    n_docs = sum(r["count"] for r in buckets)
+    max_bucket = max(r["count"] for r in buckets)
+    assert max_bucket <= max(4, n_docs // 20), (n_docs, max_bucket)
 
 
 def test_cosine_topk_self_similarity(emb):
