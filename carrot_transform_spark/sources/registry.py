@@ -82,6 +82,10 @@ class JdbcSource(Source):
         self.properties = properties or {}
 
     def read(self, table: str) -> DataFrame:
+        # rules name sources by file ("Demographics.csv"); DB tables drop the
+        # extension (reference args.remove_csv_extension before source.open)
+        if table.lower().endswith(".csv"):
+            table = table[:-4]
         reader = self.spark.read.format("jdbc").option("url", self.url).option(
             "dbtable", table.lower()
         )
@@ -131,6 +135,9 @@ def make_source(spark: SparkSession, spec: str) -> Source:
         return S3CsvSource(spark, f"s3a://{bucket_path}")
     if spec.startswith("s3a://") or spec.startswith("s3://"):
         return S3CsvSource(spark, spec.replace("s3://", "s3a://", 1))
+    if spec.startswith("jdbc:"):
+        # JDBC URLs needn't contain '//' (e.g. jdbc:derby:/path/db)
+        return JdbcSource(spark, spec)
     if _URL_RE.match(spec):
         return JdbcSource(spark, spec if spec.startswith("jdbc:") else f"jdbc:{spec}")
     return CsvDirSource(spark, spec)
