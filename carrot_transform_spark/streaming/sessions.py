@@ -86,8 +86,14 @@ def _sessionize_group(
         n += 1
 
     state.update((sid, start_us, last_us, n))
-    # expire state 1 gap past the last event (event-time timeout)
-    state.setTimeoutTimestamp(last_us // 1000 + GAP_SECONDS * 1000)
+    # expire state 1 gap past the last event (event-time timeout), clamped
+    # above the current watermark: when other groups' events have already
+    # advanced the watermark past this group's last_ts + gap, an unclamped
+    # timestamp is rejected (INVALID_TIMEOUT_TIMESTAMP) — clamping fires the
+    # timeout in the next micro-batch, which is exactly the wanted semantics
+    desired_ms = last_us // 1000 + GAP_SECONDS * 1000
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1))
 
     if closed:
         yield pd.DataFrame(
