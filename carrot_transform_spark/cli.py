@@ -87,7 +87,7 @@ def _execute(kind: str, **kw):
         check_person_rules(rules, kw["person_table"])
     except RulesValidationError as e:
         click.echo(f"error: {e}", err=True)
-        sys.exit(1)
+        sys.exit(-1)  # reference exit code for person-rules failures (run.py:104)
 
     spark = get_spark(app_name=f"carrot-{kind}", master=kw["master"])
     spark.sparkContext.setLogLevel("WARN")

@@ -43,8 +43,12 @@ def check_person_rules(rules: RuleSet, person_table: str) -> None:
     if not person_sources:
         raise RulesValidationError("rules contain no mappings for the person table")
     if len(person_sources) > 1:
+        # exact reference error text (cli/subcommands/run.py:102) so users and
+        # scripts see the same diagnostic
+        input_list = sorted(person_sources)
         raise RulesValidationError(
-            f"person rules read from multiple source tables: {person_sources}"
+            f"Person properties were mapped from ({input_list}) but can only "
+            f"come from the person file person={person_table!r}"
         )
     src = _strip_csv(person_sources[0])
     if src.lower() != _strip_csv(person_table).lower():

@@ -73,3 +73,32 @@ def test_run_transform_rejects_wrong_person(spark):
             person_table="Symptoms",
             write_outputs=False,
         )
+
+
+def test_mireda_key_error_message():
+    """Error-text parity with the reference for multi-source person rules
+    (reference tests/test_integration.py:61-99, cli run.py:102): exact
+    message, exit code -1."""
+    from click.testing import CliRunner
+
+    from carrot_transform_spark.cli import cli
+
+    data = "/root/reference/tests/test_data/mireda_key_error"
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "run", "mapstream",
+            "--inputs", data,
+            "--rules-file", f"{data}/original_rules.json",
+            "--person", "demographics_mother_gold",
+            "--output-dir", "/tmp/mireda_out",
+        ],
+    )
+    assert result.exit_code == -1
+    msg = result.output.strip().splitlines()[-1]
+    assert msg.endswith(
+        "Person properties were mapped from (['demographics_child_gold.csv', "
+        "'infant_data_gold.csv']) but can only come from the person file "
+        "person='demographics_mother_gold'"
+    ), msg
