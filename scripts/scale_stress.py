@@ -141,6 +141,15 @@ def main() -> None:
         counts[target] = (
             spark.read.option("header", True).option("sep", "\t").csv(str(out_dir / target)).count()
         )
+    # person_ids through the sink (streamed/distributed — never a driver
+    # collect), same as pipeline.run_transform's write path
+    pm = res.person_map.selectExpr(
+        "source_subject AS SOURCE_SUBJECT", "CAST(target_subject AS STRING) AS TARGET_SUBJECT"
+    )
+    sink.write("person_ids", pm, ["SOURCE_SUBJECT", "TARGET_SUBJECT"])
+    counts["person_ids"] = (
+        spark.read.option("header", True).option("sep", "\t").csv(str(out_dir / "person_ids")).count()
+    )
     run_time = time.perf_counter() - t1
 
     total_out = sum(counts.values())

@@ -119,3 +119,73 @@ def test_text_operators(docs):
     assert {r["l"] for r in lid} <= {"en", "de", "fr", "es", "zh", "und"}
     wf = tx.word_frequencies(d, "text")
     assert wf.count() > 0
+
+
+def test_time_band_join_keyless_matches_naive(spark):
+    """Bucketized keyless band join == naive cross-join + band filter."""
+    from carrot_transform_spark.operators.rangejoin import time_band_join
+
+    left = spark.createDataFrame(
+        [(i, f"2020-01-01 {h:02d}:00:00") for i, h in enumerate([0, 3, 6, 12, 23])],
+        "lid long, lts string",
+    ).select("lid", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(j, f"2020-01-01 {h:02d}:30:00") for j, h in enumerate(range(24))],
+        "rid long, rts string",
+    ).select("rid", F.col("rts").cast("timestamp").alias("rts"))
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in time_band_join(
+            left, right, "lts", "rts", lower_s=-2 * 3600, upper_s=3600, how="inner"
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter(
+            (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_time_band_join_keyed_left_keeps_unmatched(spark):
+    from carrot_transform_spark.operators.rangejoin import time_band_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2020-01-01 10:00:00"), (2, 20, "2020-01-01 10:00:00")],
+        "lid long, k long, lts string",
+    ).select("lid", "k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(100, 10, "2020-01-01 09:30:00")], "rid long, rk long, rts string"
+    ).select("rid", "rk", F.col("rts").cast("timestamp").alias("rts"))
+    out = time_band_join(
+        left, right, "lts", "rts", lower_s=-3600, upper_s=0, keys=[("k", "rk")], how="left"
+    ).collect()
+    by_lid = {r["lid"]: r["rid"] for r in out}
+    assert by_lid == {1: 100, 2: None}
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from carrot_transform_spark.operators.sampling import stratified_sample
+
+    df = spark.range(20000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept1 = stratified_sample(df, "key", "lang", {"en": 0.25, "de": 0.75})
+    kept2 = stratified_sample(df, "key", "lang", {"en": 0.25, "de": 0.75})
+    # deterministic: identical subsets across runs/partitionings
+    assert kept1.count() == kept2.count()
+    s1 = {r["key"] for r in kept1.collect()}
+    s2 = {r["key"] for r in kept2.repartition(7).collect()}
+    assert s1 == s2
+    rates = {
+        r["lang"]: r["n"]
+        for r in kept1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(rates["en"] / 10000 - 0.25) < 0.03
+    assert abs(rates["de"] / 10000 - 0.75) < 0.03
