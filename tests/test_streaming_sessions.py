@@ -26,11 +26,22 @@ def chrono_files(spark, sf_dir, tmp_path_factory):
     batch.filter(F.col("ts").cast("long") <= mid).coalesce(1).write.parquet(str(d / "b0"))
     batch.filter(F.col("ts").cast("long") > mid).coalesce(1).write.parquet(str(d / "b1"))
     flat = tmp_path_factory.mktemp("sess_flat")
+    import os
     import shutil
+    import time
 
-    for i, sub in enumerate(["b0", "b1"]):
-        for f in (d / sub).glob("*.parquet"):
-            shutil.copy(f, flat / f"{i:02d}_{f.name}")
+    # distinct, increasing mtimes: the file stream source orders batches by
+    # modification time, and equal mtimes make the pickup order (and thus
+    # watermark progression) nondeterministic — the newer half first would
+    # drop the older half as late data
+    base = time.time() - 1000
+    i = 0
+    for sub in ["b0", "b1"]:
+        for f in sorted((d / sub).glob("*.parquet")):
+            dest = flat / f"{i:02d}_{f.name}"
+            shutil.copy(f, dest)
+            os.utime(dest, (base + i * 10, base + i * 10))
+            i += 1
     return str(flat), batch
 
 
