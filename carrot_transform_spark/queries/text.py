@@ -130,6 +130,17 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix"))
 
 
+# BPE-ish tokenization: letter runs, digit runs, single punctuation marks —
+# the shape (not the learned merges) of a byte-pair tokenizer's pre-split.
+# Class-only regex so Java (Spark) and RE2 (DuckDB) agree exactly.
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# polynomial rolling hash over token hashes: h = fold(h*31 + h32(tok)) mod p.
+# Order-sensitive (unlike a bag-of-words hash) and incrementally updatable —
+# the windowed-fingerprint primitive.
+_RHASH_MOD = 2147483647
+
+
 def _profile_sql() -> str:
     """Single-pass doc profile: token stats + quality + langid + fingerprint."""
     scores = {
@@ -143,6 +154,7 @@ def _profile_sql() -> str:
         cond.append(f"WHEN {geq} THEN '{lang}'")
     cases = " ".join(cond)
     stop = _occurrences_sql("' ' || txt || ' '", " the ")
+    tok_h32 = "CAST(CONCAT('0x', substring(md5(x), 1, 8)) AS UBIGINT)"
     return f"""
     WITH t AS (
         SELECT doc_id, lang, source, text, trim(text) AS txt,
@@ -151,6 +163,7 @@ def _profile_sql() -> str:
     )
     SELECT doc_id, lang, source,
            n_tokens,
+           len(regexp_extract_all(txt, '{_BPE_PAT}')) AS n_tokens_bpe,
            LENGTH(text) AS n_chars_actual,
            ROUND(LENGTH(txt) * 1.0 / n_tokens, 4) AS chars_per_token,
            CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END AS len_ok,
@@ -160,7 +173,12 @@ def _profile_sql() -> str:
            CASE WHEN n_tokens BETWEEN 20 AND 400 AND {stop} >= 1
                 THEN 1 ELSE 0 END AS keep_flag,
            CASE {cases} ELSE 'und' END AS predicted_lang,
-           md5(lower(txt)) AS fingerprint
+           md5(lower(txt)) AS fingerprint,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_split_to_array(txt, '\\s+'),
+                                  x -> CAST({tok_h32} AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % {_RHASH_MOD}) AS rolling_hash
     FROM t
     """
 
@@ -195,11 +213,18 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(geq, F.lit(lang)) if lang_expr is None else lang_expr.when(geq, F.lit(lang))
         )
     lang_expr = lang_expr.otherwise(F.lit("und"))
+    tok_h32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    rolling = F.aggregate(
+        F.transform(F.split(txt, r"\s+"), tok_h32),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % _RHASH_MOD,
+    )
     return d.select(
         "doc_id",
         "lang",
         "source",
         n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(txt, F.lit(_BPE_PAT), F.lit(0))).alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_actual"),
         F.round(F.length(txt) * F.lit(1.0) / n_tokens, 4).alias("chars_per_token"),
         F.when(n_tokens.between(20, 400), 1).otherwise(0).alias("len_ok"),
@@ -208,6 +233,7 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_tokens.between(20, 400) & (stop_hits >= 1), 1).otherwise(0).alias("keep_flag"),
         lang_expr.alias("predicted_lang"),
         F.md5(F.lower(txt)).alias("fingerprint"),
+        rolling.alias("rolling_hash"),
     )
 
 
