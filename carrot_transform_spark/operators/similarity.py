@@ -140,3 +140,73 @@ def neardup_pairs(
     return pairs.filter(F.col("cs") >= threshold).select(
         "id_a", "id_b", F.round("cs", 4).alias("cosine_sim")
     )
+
+
+def probe_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, probe_rank): each vector's n_probe nearest centroids by
+    cosine, rank 0 = primary cell. The multi-probe side of an IVF query:
+    the corpus stays in its primary cell, queries fan out to n_probe cells.
+    All plan literals — sort_array over (−sim, cell) structs, no UDF."""
+    n = _normed(df, id_col, vec_col)
+    entries = []
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+        sim = dot(F.col("v"), carr) / (F.col("nrm") * F.lit(cn))
+        entries.append(F.struct((-sim).alias("neg"), F.lit(ci).alias("cell")))
+    ranked = F.slice(F.sort_array(F.array(*entries)), 1, n_probe)
+    return (
+        n.select("id", F.posexplode(ranked).alias("probe_rank", "e"))
+        .select("id", F.col("e.cell").alias("cell"), "probe_rank")
+    )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF top-k with query-side multi-probe: corpus vectors live in their
+    primary cell; each query probes its n_probe nearest cells. Recall
+    approaches brute force as n_probe grows; candidate volume stays
+    ~n_probe/n_cells of the corpus. At 100 TB the corpus is written
+    bucketed by primary cell, so each probe is a bucket-pruned scan."""
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        "id", "__cid"
+    )
+    n = _normed(corpus, id_col, vec_col).join(
+        corpus_cells, F.col("id") == F.col("__cid")
+    ).drop("__cid")
+    qcells = probe_cells(queries, centroids, n_probe, id_col, vec_col).withColumnRenamed(
+        "id", "__qid"
+    )
+    q = (
+        _normed(queries, id_col, vec_col)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        .join(qcells, F.col("query_id") == F.col("__qid"))
+        .select("query_id", "qv", "qn", F.col("cell").alias("qcell"))
+    )
+    scored = n.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell")) & (F.col("id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+    )

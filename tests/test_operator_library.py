@@ -189,3 +189,33 @@ def test_stratified_sample_deterministic_and_rated(spark):
     }
     assert abs(rates["en"] / 10000 - 0.25) < 0.03
     assert abs(rates["de"] / 10000 - 0.75) < 0.03
+
+
+def test_ivf_multiprobe_recall_improves(emb):
+    """n_probe = all cells must reproduce brute force exactly; n_probe=1
+    equals the single-cell IVF on the same quantizer."""
+    rows = emb.limit(3).collect()
+    centroids = [list(r["embedding"]) for r in rows]
+    q = emb.filter(F.col("vec_id") < 5)
+
+    brute = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in sim.cosine_topk(emb, q, k=3).collect()
+    }
+    allprobe = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in sim.ivf_topk_multiprobe(emb, q, centroids, n_probe=len(centroids), k=3).collect()
+    }
+    assert allprobe == brute
+
+    cells = sim.assign_cells(emb, centroids)
+    corpus1 = emb.join(cells.withColumnRenamed("id", "vid"), F.col("vec_id") == F.col("vid")).drop("vid")
+    one_cell = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in sim.ivf_topk(corpus1, corpus1.filter(F.col("vec_id") < 5), cell_col="cell", k=3).collect()
+    }
+    one_probe = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in sim.ivf_topk_multiprobe(emb, q, centroids, n_probe=1, k=3).collect()
+    }
+    assert one_probe == one_cell
