@@ -38,98 +38,6 @@ def _occurrences_sql(expr: str, needle: str) -> str:
     )
 
 
-def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = F.size(F.split(F.trim("text"), r"\s+"))
-    return d.select(
-        "doc_id",
-        toks.alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        F.round(F.length(F.trim("text")) * F.lit(1.0) / toks, 4).alias("chars_per_token"),
-        "lang",
-        "source",
-    )
-
-
-def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic doc-quality gate (length band + stopword presence +
-    punctuation/whitespace density) — the standard cheap pre-filter before
-    expensive dedup/scoring stages."""
-    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    txt = F.trim("text")
-    padded = F.concat(F.lit(" "), txt, F.lit(" "))
-    n_tokens = F.size(F.split(txt, r"\s+"))
-    stop_hits = _occurrences(padded, " the ")
-    len_ok = F.when(n_tokens.between(20, 400), 1).otherwise(0)
-    stripped = F.replace(F.replace(F.replace(txt, F.lit(" "), F.lit("")), F.lit("."), F.lit("")), F.lit(","), F.lit(""))
-    return d.select(
-        "doc_id",
-        "lang",
-        n_tokens.alias("n_tokens"),
-        len_ok.alias("len_ok"),
-        stop_hits.alias("stopword_hits"),
-        F.round(F.length(stripped) * F.lit(1.0) / F.length(txt), 4).alias("alnum_ratio"),
-        F.when(n_tokens.between(20, 400) & (stop_hits >= 1), 1).otherwise(0).alias("keep_flag"),
-    )
-
-
-def _langid_sql() -> str:
-    scores = {
-        lang: _occurrences_sql("' ' || trim(text) || ' '", marker)
-        for lang, marker in _LANG_MARKERS.items()
-    }
-    # deterministic argmax: fixed priority order en > de > fr > es > zh
-    order = list(_LANG_MARKERS)
-    cond = []
-    for i, lang in enumerate(order):
-        others = [scores[o] for o in order if o != lang]
-        geq = " AND ".join(f"{scores[lang]} >= {o}" for o in others)
-        cond.append(f"WHEN {geq} THEN '{lang}'")
-    cases = " ".join(cond)
-    return f"""
-    SELECT doc_id, lang AS labeled_lang,
-           CASE {cases} ELSE 'und' END AS predicted_lang,
-           {scores['en']} AS score_en
-    FROM documents WHERE LENGTH(trim(text)) > 0
-    """
-
-
-def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram/stopword language-ID heuristic: per-language marker-hit counts,
-    deterministic argmax with fixed priority tie-break. On real corpora the
-    marker lists are longer; the operator shape (score columns + argmax) is
-    the same."""
-    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    padded = F.concat(F.lit(" "), F.trim("text"), F.lit(" "))
-    scores = {lang: _occurrences(padded, m) for lang, m in _LANG_MARKERS.items()}
-    order = list(_LANG_MARKERS)
-    expr = None
-    for lang in order:  # first match wins, same as the SQL CASE chain
-        geq = None
-        for other in order:
-            if other == lang:
-                continue
-            c = scores[lang] >= scores[other]
-            geq = c if geq is None else (geq & c)
-        expr = F.when(geq, F.lit(lang)) if expr is None else expr.when(geq, F.lit(lang))
-    expr = expr.otherwise(F.lit("und"))
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        expr.alias("predicted_lang"),
-        scores["en"].alias("score_en"),
-    )
-
-
-def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical content fingerprint: md5 over normalized text. The bucket
-    key for exact dedup; md5 is identical across engines so the oracle is
-    byte-exact."""
-    d = load(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim("text")))
-    return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix"))
-
-
 # BPE-ish tokenization: letter runs, digit runs, single punctuation marks —
 # the shape (not the learned merges) of a byte-pair tokenizer's pre-split.
 # Class-only regex so Java (Spark) and RE2 (DuckDB) agree exactly.
