@@ -63,3 +63,40 @@ def sample_hash_sql(key_expr: str, strata_expr: str) -> str:
         f"CAST(CONCAT('0x', substring(md5(concat_ws('|', CAST({key_expr} AS VARCHAR), "
         f"{strata_expr})), 1, 8)) AS UBIGINT) % {DENOM}"
     )
+
+
+def mix_datasets(
+    parts: list[tuple["DataFrame", float]],
+    key_col: str,
+    source_names: list[str] | None = None,
+) -> "DataFrame":
+    """Deterministically mix datasets to target proportions.
+
+    parts: [(df, target_weight), ...] — weights are the desired RELATIVE
+    proportions of the output (they need not sum to 1). The mixer computes,
+    per source, the largest keep-rate <= 1 that achieves the target mix
+    with maximum data retention (the binding source keeps everything,
+    over-represented sources downsample via the same deterministic hash
+    rule as stratified_sample), then unions with a `mix_source` tag.
+
+    Driver cost: one count() per part (metadata-scale). The sample itself
+    is a narrow filter — no shuffle.
+    """
+    import pyspark.sql.functions as F
+
+    if not parts:
+        raise ValueError("mix_datasets needs at least one part")
+    names = source_names or [f"src{i}" for i in range(len(parts))]
+    counts = [df.count() for df, _ in parts]
+    weights = [w for _, w in parts]
+    # keep-rate r_i = c * w_i / n_i with c chosen so max r_i == 1
+    c = min(n / w for n, w in zip(counts, weights) if w > 0)
+    out = None
+    for (df, w), n, name in zip(parts, counts, names):
+        rate = 0.0 if w <= 0 else min(c * w / n, 1.0) if n else 0.0
+        h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(name)))
+        kept = df.filter((h % DENOM) < int(rate * DENOM)).withColumn(
+            "mix_source", F.lit(name)
+        )
+        out = kept if out is None else out.unionByName(kept)
+    return out

@@ -219,3 +219,21 @@ def test_ivf_multiprobe_recall_improves(emb):
         for r in sim.ivf_topk_multiprobe(emb, q, centroids, n_probe=1, k=3).collect()
     }
     assert one_probe == one_cell
+
+
+def test_mix_datasets_hits_target_proportions(spark):
+    from carrot_transform_spark.operators.sampling import mix_datasets
+
+    a = spark.range(30000).select(F.col("id").alias("k"))   # over-represented
+    b = spark.range(10000).select((F.col("id") + 100000).alias("k"))
+    mixed = mix_datasets([(a, 1.0), (b, 1.0)], key_col="k", source_names=["a", "b"])
+    by_src = {
+        r["mix_source"]: r["n"]
+        for r in mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # b is binding (keeps all); a downsamples to ~10000 for a 1:1 mix
+    assert by_src["b"] == 10000
+    assert abs(by_src["a"] - 10000) < 400
+    # deterministic across invocations
+    again = mix_datasets([(a, 1.0), (b, 1.0)], key_col="k", source_names=["a", "b"])
+    assert again.count() == mixed.count()
