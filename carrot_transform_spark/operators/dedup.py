@@ -213,15 +213,34 @@ def simhash_signatures(
     )
 
 
-def hamming_pairs(sig: DataFrame, max_distance: int = 8, prefix_bits: int = 16) -> DataFrame:
+def hamming_pairs(
+    sig: DataFrame, max_distance: int = 8, prefix_bits: int = 16, bits: int = 64
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked by a hash prefix
     so the pair space is bucket-local. (id_a, id_b, hamming).
 
     prefix_bits >= 16 keeps buckets small at corpus scale (a w-bit prefix
     yields 2^w buckets; 8 bits = 256 buckets turns into giant per-bucket
     self-joins at 100 TB). Multi-probe (rotating which half supplies the
-    prefix) trades recall for one more pass if needed."""
-    withb = sig.withColumn("bucket", F.expr(f"sim_hi >> (32 - {prefix_bits})"))
+    prefix) trades recall for one more pass if needed.
+
+    bits: the signature width passed to simhash_signatures. For bits<=32 the
+    hi half is constant 0, so the prefix must come from sim_lo — blocking on
+    the degenerate hi half would put the whole corpus in ONE bucket (an
+    unblocked O(n^2) self-join)."""
+    if not 0 < prefix_bits <= 32:
+        raise ValueError(f"prefix_bits must be in (0, 32], got {prefix_bits}")
+    lo_bits = min(bits, 32)
+    hi_bits = bits - lo_bits
+    if hi_bits >= prefix_bits:
+        bucket = F.expr(f"sim_hi >> ({hi_bits} - {prefix_bits})")
+    else:
+        if prefix_bits > lo_bits:
+            raise ValueError(
+                f"prefix_bits={prefix_bits} exceeds the {lo_bits}-bit signature"
+            )
+        bucket = F.expr(f"sim_lo >> ({lo_bits} - {prefix_bits})")
+    withb = sig.withColumn("bucket", bucket)
     a = withb.alias("a")
     b = withb.alias("b")
     ham = F.bit_count(F.expr("a.sim_hi ^ b.sim_hi")) + F.bit_count(

@@ -51,7 +51,20 @@ def time_band_join(
         return left.join(right, cond, how)
 
     # keyless band join: bucket by the band width so each left row touches
-    # exactly two buckets
+    # exactly two buckets. The bucket join itself must run as INNER even for
+    # how='left': a left row exploded into two bucket copies would otherwise
+    # emit a spurious null-extended row from whichever copy found no match
+    # (and an unmatched row would emit two null rows). Outer semantics are
+    # restored afterwards by re-attaching unmatched left rows via left_anti.
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"keyless time_band_join supports how='inner'|'left', got {how!r}"
+        )
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"keyless time_band_join requires disjoint column names; shared: {sorted(overlap)}"
+        )
     width = max(upper_s - lower_s, 1)
     lsec = F.col(left_ts).cast("long")
     rsec = F.col(right_ts).cast("long")
@@ -66,5 +79,19 @@ def time_band_join(
         ),
     )
     r_b = right.withColumn("__bucket", F.floor(rsec / width))
-    joined = l_b.join(r_b, (l_b["__bucket"] == r_b["__bucket"]) & band, how)
-    return joined.drop("__bucket")
+    joined = l_b.join(r_b, (l_b["__bucket"] == r_b["__bucket"]) & band, "inner").drop("__bucket")
+    if how == "inner":
+        return joined
+    # left outer: null-extend the left rows that matched in no bucket.
+    # left_anti keeps left multiplicity and needs no unique row id; identical
+    # left rows have identical match sets, so matched-ness is row-value
+    # determined. Null-safe equality so rows containing nulls compare equal
+    # to themselves.
+    matched_left = joined.select(*left.columns)
+    anti_cond = None
+    for c in left.columns:
+        eq = left[c].eqNullSafe(matched_left[c])
+        anti_cond = eq if anti_cond is None else anti_cond & eq
+    unmatched = left.join(matched_left, anti_cond, "left_anti")
+    null_right = [F.lit(None).cast(f.dataType).alias(f.name) for f in right.schema.fields]
+    return joined.unionByName(unmatched.select("*", *null_right))

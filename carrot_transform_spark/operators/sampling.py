@@ -89,13 +89,25 @@ def mix_datasets(
     names = source_names or [f"src{i}" for i in range(len(parts))]
     counts = [df.count() for df, _ in parts]
     weights = [w for _, w in parts]
-    # keep-rate r_i = c * w_i / n_i with c chosen so max r_i == 1
-    c = min(n / w for n, w in zip(counts, weights) if w > 0)
+    # keep-rate r_i = c * w_i / n_i with c chosen so max r_i == 1. Empty or
+    # zero-weight parts contribute no rows and must not bind c (an empty part
+    # with positive weight would force c = 0 and silently empty the output).
+    binding = [(n, w) for n, w in zip(counts, weights) if w > 0 and n > 0]
+    if not binding:
+        raise ValueError(
+            "mix_datasets: every part has zero weight or zero rows — nothing to mix"
+        )
+    c = min(n / w for n, w in binding)
     out = None
     for (df, w), n, name in zip(parts, counts, names):
-        rate = 0.0 if w <= 0 else min(c * w / n, 1.0) if n else 0.0
+        rate = 0.0 if (w <= 0 or n == 0) else min(c * w / n, 1.0)
+        # the binding source keeps EVERYTHING: rate==1.0 maps to the full
+        # DENOM (h % DENOM < DENOM is always true); fractional rates round
+        # rather than truncate, so float error can't shave off ~0.01% of a
+        # source the math says to keep
+        thresh = DENOM if rate >= 1.0 else round(rate * DENOM)
         h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(name)))
-        kept = df.filter((h % DENOM) < int(rate * DENOM)).withColumn(
+        kept = df.filter((h % DENOM) < F.lit(thresh)).withColumn(
             "mix_source", F.lit(name)
         )
         out = kept if out is None else out.unionByName(kept)

@@ -34,6 +34,20 @@ class RunResult:
     person_map: DataFrame
     metrics: MetricsCollector
     stats: RejectStats
+    planner: "CarrotPlanner | None" = None
+
+    def release(self) -> None:
+        """Drop every cache the run accumulated: planner-persisted scans and
+        the cached person map. Idempotent; the returned DataFrames remain
+        valid and simply recompute if used again. Writing runs release
+        automatically; library/test callers with write_outputs=False should
+        call this when done so a long-lived session doesn't leak caches."""
+        if self.planner is not None:
+            self.planner.release()
+        try:
+            self.person_map.unpersist()
+        except Exception:
+            pass
 
 
 def run_transform(
@@ -87,24 +101,30 @@ def run_transform(
 
     metrics.add_reject_stats(stats)
 
-    if write_outputs and output_dir is not None:
-        sink = TsvDirSink(output_dir)
-        for target, df in tables.items():
-            sink.write(target, df, omop.table(target).columns)
-        # streamed through the sink like every other table (toLocalIterator
-        # in single mode / cluster-committed part files in distributed mode)
-        # — never a full-table collect on the driver
-        pm = (
-            person_map.orderBy("target_subject" if use_input_person_ids else "__ct_line")
-            .selectExpr(
-                "source_subject AS SOURCE_SUBJECT",
-                "CAST(target_subject AS STRING) AS TARGET_SUBJECT",
-            )
-        )
-        sink.write("person_ids", pm, ["SOURCE_SUBJECT", "TARGET_SUBJECT"])
-        sink.write_rows("summary_mapstream", SUMMARY_HEADER, metrics.summary_rows())
-        # outputs are on disk: drop every cache the run accumulated so a
-        # long-lived session doesn't leak cached scans across runs
-        planner.release()
+    result = RunResult(
+        tables=tables, person_map=person_map, metrics=metrics, stats=stats, planner=planner
+    )
 
-    return RunResult(tables=tables, person_map=person_map, metrics=metrics, stats=stats)
+    if write_outputs and output_dir is not None:
+        try:
+            sink = TsvDirSink(output_dir)
+            for target, df in tables.items():
+                sink.write(target, df, omop.table(target).columns)
+            # streamed through the sink like every other table (toLocalIterator
+            # in single mode / cluster-committed part files in distributed mode)
+            # — never a full-table collect on the driver
+            pm = (
+                person_map.orderBy("target_subject" if use_input_person_ids else "__ct_line")
+                .selectExpr(
+                    "source_subject AS SOURCE_SUBJECT",
+                    "CAST(target_subject AS STRING) AS TARGET_SUBJECT",
+                )
+            )
+            sink.write("person_ids", pm, ["SOURCE_SUBJECT", "TARGET_SUBJECT"])
+            sink.write_rows("summary_mapstream", SUMMARY_HEADER, metrics.summary_rows())
+        finally:
+            # outputs are on disk (or the write failed): either way drop every
+            # cache the run accumulated so a long-lived session doesn't leak
+            result.release()
+
+    return result

@@ -34,15 +34,20 @@ _DEC = "decimal(27,6)"
     SELECT l_partkey AS p_partkey,
            CAST(ROUND(value, 2) AS DOUBLE) AS stock_value
     FROM pv
-    WHERE value * 200 > (SELECT SUM(value) FROM pv)
+    WHERE value * (SELECT CAST(COUNT(*) AS DECIMAL(10,0)) FROM pv)
+          > 3 * (SELECT SUM(value) FROM pv)
     ORDER BY stock_value DESC, p_partkey
     """,
     tags=("tpch", "subquery-threshold"),
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q11 shape: per-part value with a fraction-of-total HAVING. The scalar
-    total is a 1-row broadcast cross join; the threshold compare is exact
-    decimal (value*200 > total), immune to float rounding."""
+    """q11 shape: per-part value with a scalar-subquery threshold. TPC-H's
+    own FRACTION/SF constant can't be both selective and non-empty across
+    scale factors on this synthetic data, so the threshold is scale-free:
+    parts worth more than 3x the average part value (value*count > 3*total,
+    exact decimal — DECIMAL(27,6)*DECIMAL(10,0) stays inside DECIMAL(38,6)
+    in both engines, so the compare can't flip at a float boundary). The
+    scalar aggregates are a 1-row broadcast cross join."""
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
@@ -54,10 +59,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias("value")
         )
     )
-    total = pv.agg(F.sum("value").alias("total"))
+    total = pv.agg(
+        F.sum("value").alias("total"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n_parts"),
+    )
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("value") * 200 > F.col("total"))
+        .filter(F.col("value") * F.col("n_parts") > F.col("total") * 3)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round("value", 2).cast("double").alias("stock_value"),
@@ -77,22 +85,26 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE CAST(0 AS DECIMAL(27,6)) END) AS qty97,
                SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS qty_all
         FROM lineitem l
-        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'part_1%'
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
         GROUP BY l.l_suppkey, l.l_partkey
     )
     SELECT s.s_suppkey, s.s_name
     FROM supplier s
-    WHERE s.s_suppkey IN (SELECT l_suppkey FROM sq WHERE qty97 * 2 > qty_all)
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM sq
+                          WHERE qty97 * 3 > qty_all AND qty_all >= 100)
     ORDER BY s.s_suppkey
     """,
     tags=("tpch", "nested-semi-join"),
 )
 def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q20 shape: suppliers for whom some tracked part's 1997 shipment
-    exceeds half its all-time shipment — aggregate subquery feeding a
-    semi-join. Exact decimal compare (2*qty97 > qty_all)."""
+    """q20 shape: suppliers with a meaningful-volume tracked part (qty>=100
+    all-time) shipping over a third of that volume in 1997 alone — aggregate
+    subquery feeding a semi-join. Exact decimal compares. The name pattern
+    matches this dataset's real part names ('red widget', ...); thresholds
+    chosen so the predicate is selective but non-empty at sf0.01 AND sf0.1
+    (5 and 2 suppliers), so the parity hash actually exercises the shape."""
     l = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("part_1%"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     s = load(spark, sf_dir, "supplier")
     in97 = (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")) & (
         F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -105,7 +117,9 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_all"),
         )
     )
-    qualifying = sq.filter(F.col("qty97") * 2 > F.col("qty_all")).select("l_suppkey")
+    qualifying = sq.filter(
+        (F.col("qty97") * 3 > F.col("qty_all")) & (F.col("qty_all") >= 100)
+    ).select("l_suppkey")
     return (
         s.join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")

@@ -237,3 +237,87 @@ def test_mix_datasets_hits_target_proportions(spark):
     # deterministic across invocations
     again = mix_datasets([(a, 1.0), (b, 1.0)], key_col="k", source_names=["a", "b"])
     assert again.count() == mixed.count()
+
+
+def test_time_band_join_keyless_left_matches_naive(spark):
+    """Keyless how='left' == naive left join on the band predicate: matched
+    rows get no spurious null-extended twin, unmatched rows get exactly one
+    null row (regression: pre-fix, the 2-bucket explode emitted both)."""
+    from carrot_transform_spark.operators.rangejoin import time_band_join
+
+    left = spark.createDataFrame(
+        # h=23 has matches only in its own bucket; h=12 matches both buckets;
+        # lid=9 sits outside every right ts -> unmatched
+        [(0, "2020-01-01 00:00:00"), (1, "2020-01-01 12:00:00"),
+         (2, "2020-01-01 23:00:00"), (9, "2020-06-01 00:00:00")],
+        "lid long, lts string",
+    ).select("lid", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(j, f"2020-01-01 {h:02d}:30:00") for j, h in enumerate(range(24))],
+        "rid long, rts string",
+    ).select("rid", F.col("rts").cast("timestamp").alias("rts"))
+
+    out = time_band_join(
+        left, right, "lts", "rts", lower_s=-2 * 3600, upper_s=3600, how="left"
+    ).collect()
+    got = sorted((r["lid"], r["rid"]) for r in out)
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        ).collect()
+    )
+    assert got == naive
+    assert (9, None) in got and got.count((9, None)) == 1
+
+
+def test_time_band_join_keyless_rejects_bad_inputs(spark):
+    from carrot_transform_spark.operators.rangejoin import time_band_join
+
+    l = spark.createDataFrame([(1, "2020-01-01 00:00:00")], "lid long, lts string")
+    r = spark.createDataFrame([(2, "2020-01-01 00:10:00")], "rid long, rts string")
+    with pytest.raises(ValueError, match="how="):
+        time_band_join(l, r, "lts", "rts", -60, 60, how="right")
+    shared = r.withColumnRenamed("rid", "lid")
+    with pytest.raises(ValueError, match="disjoint"):
+        time_band_join(l, shared, "lts", "rts", -60, 60, how="inner")
+
+
+def test_mix_datasets_edge_inputs(spark):
+    from carrot_transform_spark.operators.sampling import mix_datasets
+
+    a = spark.range(1000).select(F.col("id").alias("k"))
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    # an empty part with positive weight must not zero the other sources
+    mixed = mix_datasets([(a, 1.0), (empty, 1.0)], key_col="k", source_names=["a", "e"])
+    by_src = {
+        r["mix_source"]: r["n"]
+        for r in mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src == {"a": 1000}  # binding source keeps every row, exactly
+    # nothing mixable at all -> explicit error, not a silently empty frame
+    with pytest.raises(ValueError, match="zero weight or zero rows"):
+        mix_datasets([(a, 0.0), (empty, 1.0)], key_col="k")
+
+
+def test_hamming_pairs_narrow_signature_buckets(spark):
+    """bits<=32 signatures block on sim_lo (sim_hi is degenerate); bad
+    prefix_bits raise instead of shifting negatively / one-bucketing."""
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i}") for i in range(8)]
+        + [(100, "alpha beta gamma delta token0")],  # near-dup of id 0
+        "id long, text string",
+    )
+    sig32 = dd.simhash_signatures(df, "id", "text", bits=32)
+    assert all(r["sim_hi"] == 0 for r in sig32.collect())
+    pairs = dd.hamming_pairs(sig32, max_distance=2, prefix_bits=16, bits=32)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got
+    with pytest.raises(ValueError, match="prefix_bits"):
+        dd.hamming_pairs(sig32, prefix_bits=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        dd.hamming_pairs(dd.simhash_signatures(df, "id", "text", bits=16),
+                         prefix_bits=20, bits=16)
