@@ -25,6 +25,25 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+# universal-hash family for MinHash permutations: one md5 base hash per
+# shingle, then k cheap (a*h + b) mod P derivations — 1 md5 instead of k
+# per exploded row (the hot inner loop of signature computation). P fits
+# 31 bits and a*h < 2^63, so the arithmetic is exact BIGINT in every engine.
+MH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_salts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k permutations; same table drives
+    the Spark plan and any SQL oracle, so signatures match bit-for-bit."""
+    return [
+        (
+            (((i + 1) * 2654435761 + 40503) % MH_PRIME) | 1,
+            ((i + 1) * 2246822519 + 12345) % MH_PRIME,
+        )
+        for i in range(k)
+    ]
+
+
 def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
@@ -81,11 +100,13 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(index: DataFrame, k: int = 8) -> DataFrame:
-    """(id, mh0..mh{k-1}) from an exploded shingle index: per-shingle salted
-    hashes, min-aggregated — one shuffle keyed on id."""
+    """(id, mh0..mh{k-1}) from an exploded shingle index: one md5 base hash
+    per shingle + k universal-hash derivations, min-aggregated — one shuffle
+    keyed on id, one md5 (not k) in the hot loop."""
+    base = h32(F.col("s"))
     aggs = [
-        F.min(h32(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(k)
+        F.min((F.lit(a) * base + F.lit(b)) % MH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_salts(k))
     ]
     return index.groupBy("id").agg(*aggs)
 
@@ -127,7 +148,13 @@ def jaccard_verify(
     pairs: DataFrame, index: DataFrame, threshold: float = 0.7
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via the shingle index; keeps pairs
-    at or above threshold. (id_a, id_b, jaccard)."""
+    at or above threshold. (id_a, id_b, jaccard).
+
+    Physically candidate-restricted without any pre-filter: pairs is tiny
+    (bucket collisions only), so Catalyst broadcasts it and the index is
+    scanned narrowly — the joins never shuffle the full index. (A semi-join
+    pre-filter of the index was measured slower: it adds a barrier and
+    shuffles while having the same asymptotic cost as the join itself.)"""
     ea = index.alias("ea")
     eb = index.alias("eb")
     verified = (

@@ -188,27 +188,36 @@ _MINHASH_K = 8  # 8 hash functions -> 4 bands x 2 rows
 
 
 def _minhash_sig_sql() -> str:
-    """DuckDB SQL computing the k minhash values per doc (columns mh0..mh7)."""
-    parts = []
-    for i in range(_MINHASH_K):
-        h = _h32_sql(f"s || '#{i}'")
-        parts.append(f"MIN({h}) AS mh{i}")
+    """DuckDB SQL computing the k minhash values per doc (columns mh0..mh7):
+    one md5 base hash per shingle, k universal-hash (a*h+b) mod P
+    derivations — the exact salt table the Spark plan uses
+    (operators/dedup.minhash_salts)."""
+    from carrot_transform_spark.operators.dedup import MH_PRIME, minhash_salts
+
+    parts = [
+        f"MIN(CAST(({a} * hs + {b}) % {MH_PRIME} AS BIGINT)) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_salts(_MINHASH_K))
+    ]
     mins = ", ".join(parts)
     return f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    eu AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    e AS (SELECT doc_id, {_h32_sql('s')} AS hs FROM eu)
     SELECT doc_id, {mins} FROM e GROUP BY doc_id
     """
 
 
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=8 MinHash signature per document. One explode + one groupBy(min);
-    the k hashes are computed per exploded row as cheap column expressions
-    (salted md5), so there's a single shuffle keyed on doc_id."""
+    one md5 per exploded row (not k) — the k permutations are cheap integer
+    derivations — so there's a single shuffle keyed on doc_id."""
+    from carrot_transform_spark.operators.dedup import MH_PRIME, minhash_salts
+
     e = _exploded_shingles(spark, sf_dir)
+    base = _h32(F.col("s"))
     aggs = [
-        F.min(_h32(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(_MINHASH_K)
+        F.min((F.lit(a) * base + F.lit(b)) % MH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_salts(_MINHASH_K))
     ]
     return e.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
@@ -250,14 +259,17 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verification of the candidates. The band join is an equi-join on
     (band, band-key) — tiny keys, shuffle-hash friendly; verification only
     touches candidate docs."""
+    from carrot_transform_spark.operators.dedup import MH_PRIME, minhash_salts
+
     e = _exploded_shingles(spark, sf_dir, persist=True)
     # eager materialization: the DAG reads e three times (signatures +
     # both sides of the verify join); without this the cold cache is raced
     # and recomputed per branch within the single downstream action
     e.count()
+    base = _h32(F.col("s"))
     aggs = [
-        F.min(_h32(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(_MINHASH_K)
+        F.min((F.lit(a) * base + F.lit(b)) % MH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_salts(_MINHASH_K))
     ]
     sig = e.groupBy("doc_id").agg(*aggs)
     band_cols = [
@@ -279,6 +291,11 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # the verify joins are already candidate-restricted physically: cand is
+    # tiny (bucket collisions only), so Catalyst broadcasts it and the index
+    # is scanned narrowly — no full-index shuffle. A semi-join pre-filter of
+    # the index was measured SLOWER (extra barrier + shuffles for no gain),
+    # and at scale it has the same cost structure as the join itself.
     ea = e.alias("ea")
     eb = e.alias("eb")
     verified = (
