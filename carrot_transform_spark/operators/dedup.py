@@ -190,6 +190,83 @@ def minhash_lsh_dedup(
     return jaccard_verify(cand, index, threshold=threshold)
 
 
+def decontaminate(
+    corpus_index: DataFrame, bench_index: DataFrame, min_hits: int = 2
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= min_hits
+    distinct n-gram shingles with any benchmark document.
+    (doc_id, n_hits, n_bench_docs).
+
+    Both inputs are exploded shingle indexes (id, n, s) — see
+    exploded_shingle_index. The collision join keys on the shingle string
+    (equi-join, never corpus x benchmark); at 100 TB the benchmark index is
+    the small side and broadcasts.
+    """
+    c = corpus_index.alias("c")
+    b = bench_index.alias("b")
+    return (
+        c.join(b, F.col("c.s") == F.col("b.s"))
+        .groupBy(F.col("c.id").alias("doc_id"))
+        .agg(
+            F.countDistinct(F.col("c.s")).alias("n_hits"),
+            F.countDistinct(F.col("b.id")).alias("n_bench_docs"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """(id, component_id) for every node in a pairwise edge list; the
+    component id is the minimum node id reachable — turning near-dup PAIRS
+    into canonical dup GROUPS (keep min-id doc per component, drop the rest).
+
+    Min-label propagation to a fixpoint: each round joins labels to the
+    (persisted, undirected) edge list and takes the elementwise min; rounds
+    = graph diameter, which for near-dup clusters is tiny. Driver work per
+    round is one changed-row count. For adversarially long chain graphs at
+    100 TB, switch to the alternating large-star/small-star formulation
+    (same join primitives, O(log n) rounds).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("comp").alias("component_id"))
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:

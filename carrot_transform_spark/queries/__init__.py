@@ -224,7 +224,7 @@ def all_queries() -> dict[str, QueryDef]:
     import carrot_transform_spark.queries.similarity  # noqa: F401
     import carrot_transform_spark.queries.ann_lsh  # noqa: F401
     import carrot_transform_spark.queries.text  # noqa: F401
-    import carrot_transform_spark.queries.sampling  # noqa: F401
+    import carrot_transform_spark.queries.pipeline_ops  # noqa: F401
     import carrot_transform_spark.queries.operators_demo  # noqa: F401
     import carrot_transform_spark.queries.multimodal_q  # noqa: F401
 

@@ -1,0 +1,142 @@
+"""pipe_ops_suite — the training-data-pipeline operator bundle, one driver
+CORRECTNESS entry with four oracle-checked sub-checks:
+
+- ds_stratified_sample: deterministic language-stratified corpus rebalance
+  (queries/sampling.py; operators/sampling.stratified_sample).
+- txt_chunk_windows: token-window document chunking with overlap
+  (operators/chunking.chunk_token_windows) — the pre-embedding/packing
+  slice step; integer window math reproduced exactly in DuckDB.
+- dd_decontaminate: benchmark decontamination — corpus docs sharing >= 2
+  distinct 3-gram shingles with the held-out "benchmark" subset
+  (doc_id % 97 == 0 stands in for a real benchmark table); equi-join on the
+  shingle string, benchmark side broadcastable at scale.
+- dd_cc_groups: connected components over the n-gram near-dup pairs
+  (Jaccard >= 0.8), turning pairwise matches into canonical dup groups.
+  Spark runs min-label propagation to a fixpoint; the DuckDB oracle
+  re-derives components with a recursive-CTE transitive closure.
+
+The reference engine has none of these (its joins are the person/term
+lookups); they're the beyond-parity operators a 100 TB training pipeline
+needs, per the project brief.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from carrot_transform_spark.operators.chunking import (
+    chunk_token_windows,
+    chunk_token_windows_sql,
+)
+from carrot_transform_spark.queries import load, register_suite
+from carrot_transform_spark.queries.dedup import (
+    _NGRAM_SQL,
+    _SHINGLES_SQL,
+    _exploded_shingles,
+)
+from carrot_transform_spark.queries.sampling import DS_STRATIFIED_SQL, ds_stratified_sample
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 32, 8
+_BENCH_MOD = 97  # doc_id % 97 == 0 -> the pseudo-benchmark subset
+_MIN_HITS = 2
+
+
+def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        chunk_token_windows(d, "doc_id", "text", size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_CHUNK_SQL = (
+    chunk_token_windows_sql(
+        "documents", "doc_id", "text", size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    ).replace("SELECT id, chunk_idx,", "SELECT id AS doc_id, chunk_idx,")
+    + " ORDER BY doc_id, chunk_idx"
+)
+
+
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from carrot_transform_spark.operators.dedup import decontaminate
+
+    e = _exploded_shingles(spark, sf_dir, persist=True)
+    e.count()  # materialize once; corpus and benchmark branches both read it
+    idx = e.select(F.col("doc_id").alias("id"), "n", "s")
+    corpus = idx.filter(F.col("id") % _BENCH_MOD != 0)
+    bench = idx.filter(F.col("id") % _BENCH_MOD == 0)
+    return decontaminate(corpus, bench, min_hits=_MIN_HITS).orderBy("doc_id")
+
+
+_DECON_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_hits,
+           COUNT(DISTINCT b.doc_id) AS n_bench_docs
+    FROM e c JOIN e b ON c.s = b.s
+         AND b.doc_id % {_BENCH_MOD} = 0 AND c.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY c.doc_id HAVING COUNT(DISTINCT c.s) >= {_MIN_HITS}
+    ORDER BY c.doc_id
+    """
+
+
+def dd_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from carrot_transform_spark.operators.dedup import connected_components
+    from carrot_transform_spark.queries.dedup import dd_ngram_jaccard_pairs
+
+    pairs = dd_ngram_jaccard_pairs(spark, sf_dir)
+    return (
+        connected_components(pairs, id_a="doc_a", id_b="doc_b")
+        .select(F.col("id").alias("doc_id"), "component_id")
+        .orderBy("doc_id")
+    )
+
+
+_CC_SQL = f"""
+    WITH RECURSIVE p AS ({_NGRAM_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS component_id
+    FROM reach GROUP BY a ORDER BY doc_id
+    """
+
+
+register_suite(
+    "pipe_ops_suite",
+    [
+        (
+            "ds_stratified_sample",
+            ds_stratified_sample,
+            DS_STRATIFIED_SQL,
+            [("lang", "s"), ("n_kept", "i"), ("min_doc", "i"), ("max_doc", "i"), ("sum_doc", "i")],
+        ),
+        (
+            "txt_chunk_windows",
+            txt_chunk_windows,
+            _CHUNK_SQL,
+            [("doc_id", "i"), ("chunk_idx", "i"), ("n_tokens", "i"), ("chunk_text", "s")],
+        ),
+        (
+            "dd_decontaminate",
+            dd_decontaminate,
+            _DECON_SQL,
+            [("doc_id", "i"), ("n_hits", "i"), ("n_bench_docs", "i")],
+        ),
+        (
+            "dd_cc_groups",
+            dd_cc_groups,
+            _CC_SQL,
+            [("doc_id", "i"), ("component_id", "i")],
+        ),
+    ],
+    tags=("pipeline", "suite"),
+)

@@ -3,6 +3,9 @@
 Exercises operators/sampling.stratified_sample: downsample over-represented
 English docs to 30%, keep other languages at 80% — the classic corpus
 rebalance — with a hash rule any engine reproduces exactly.
+
+Registered as part of pipe_ops_suite (queries/pipeline_ops.py), which
+bundles the training-pipeline operators into one driver-window entry.
 """
 
 from __future__ import annotations
@@ -10,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from carrot_transform_spark.queries import load, register
+from carrot_transform_spark.queries import load
 from carrot_transform_spark.operators.sampling import (
     sample_hash_sql,
     sample_threshold_sql,
@@ -19,10 +22,7 @@ from carrot_transform_spark.operators.sampling import (
 
 _RATES = {"en": 0.3, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
 
-
-@register(
-    "ds_stratified_sample",
-    oracle=f"""
+DS_STRATIFIED_SQL = f"""
     WITH kept AS (
         SELECT doc_id, lang, source
         FROM documents
@@ -32,9 +32,9 @@ _RATES = {"en": 0.3, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
     SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc
     FROM kept GROUP BY lang ORDER BY lang
-    """,
-    tags=("sampling", "operator"),
-)
+    """
+
+
 def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-stratified deterministic sample, summarized per stratum (the
     per-row subset is pinned by sum/min/max of kept ids). Pure narrow

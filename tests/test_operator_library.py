@@ -321,3 +321,62 @@ def test_hamming_pairs_narrow_signature_buckets(spark):
     with pytest.raises(ValueError, match="exceeds"):
         dd.hamming_pairs(dd.simhash_signatures(df, "id", "text", bits=16),
                          prefix_bits=20, bits=16)
+
+
+def test_chunk_token_windows_boundaries(spark):
+    """Window math: short doc -> one short chunk; long doc -> overlapping
+    windows that cover every token; final chunk unpadded."""
+    from carrot_transform_spark.operators.chunking import chunk_token_windows
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, words), (3, "   ")], "id long, text string"
+    )
+    out = chunk_token_windows(df, "id", "text", size=4, overlap=1).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert 3 not in by_id  # blank doc dropped
+    assert len(by_id[1]) == 1 and by_id[1][0]["chunk_text"] == "only three words"
+    # 10 tokens, size 4, step 3 -> chunks at 0,3,6,9: 1 + ceil(6/3) = 3? no:
+    # 1 + ceil((10-4)/3) = 1 + 2 = 3 chunks, last = w6..w9 (4 tokens)
+    chunks = sorted(by_id[2], key=lambda r: r["chunk_idx"])
+    assert [c["chunk_text"] for c in chunks] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    # every token covered
+    covered = set(" ".join(c["chunk_text"] for c in chunks).split())
+    assert covered == set(words.split())
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_token_windows(df, "id", "text", size=4, overlap=4)
+
+
+def test_connected_components_groups(spark):
+    from carrot_transform_spark.operators.dedup import connected_components
+
+    # two components: {1,2,3,4} via chain, {10,11}; 20-20 self-pair edge case absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from carrot_transform_spark.operators.dedup import decontaminate, exploded_shingle_index
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # copies bench 100
+            (2, "completely different words in this row entirely"),
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "id long, text string"
+    )
+    ci = exploded_shingle_index(corpus, "id", "text")
+    bi = exploded_shingle_index(bench, "id", "text")
+    out = {r["doc_id"]: (r["n_hits"], r["n_bench_docs"]) for r in decontaminate(ci, bi, min_hits=2).collect()}
+    assert 1 in out and out[1][0] >= 2 and out[1][1] == 1
+    assert 2 not in out
