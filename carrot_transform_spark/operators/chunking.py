@@ -59,6 +59,58 @@ def chunk_token_windows(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    id_col: str = "id",
+    order_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+    budget: int = 64,
+) -> DataFrame:
+    """Assign each chunk to a training-sequence bin of ~`budget` tokens:
+    bin = floor(tokens_before_this_chunk / budget), packing a document's
+    chunks contiguously in order. Streaming-cut semantics: a chunk that
+    straddles a budget boundary stays in the earlier bin (bins can overflow
+    by at most one chunk), which keeps the rule a pure windowed cumulative
+    sum — per-document window, so the sort parallelizes per doc and there
+    is NO global single-partition ordering at any scale. True greedy
+    repacking (reset remainder per bin) is inherently sequential; this is
+    the distributed-friendly form a packing job actually ships.
+
+    Adds bin_idx and bin_offset (token offset of the chunk inside its bin).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    before = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return chunks.select(
+        "*",
+        F.floor(before / budget).cast("int").alias("bin_idx"),
+        (before % budget).cast("int").alias("bin_offset"),
+    )
+
+
+def pack_chunks_sql(
+    inner_sql: str,
+    id_expr: str = "doc_id",
+    order_expr: str = "chunk_idx",
+    tokens_expr: str = "n_tokens",
+    budget: int = 64,
+) -> str:
+    """DuckDB twin of pack_chunks over a chunk-producing subquery."""
+    before = (
+        f"COALESCE(SUM({tokens_expr}) OVER (PARTITION BY {id_expr} ORDER BY {order_expr} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"""
+    SELECT *,
+           CAST(FLOOR({before} / {budget}) AS INT) AS bin_idx,
+           CAST({before} % {budget} AS INT) AS bin_offset
+    FROM ({inner_sql}) chunks
+    """
+
+
 def chunk_token_windows_sql(
     table: str, id_expr: str, text_expr: str, size: int = 32, overlap: int = 8
 ) -> str:

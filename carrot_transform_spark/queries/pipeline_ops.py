@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
     chunk_token_windows_sql,
+    pack_chunks,
+    pack_chunks_sql,
 )
 from carrot_transform_spark.queries import load, register_suite
 from carrot_transform_spark.queries.dedup import (
@@ -55,6 +57,35 @@ _CHUNK_SQL = (
     chunk_token_windows_sql(
         "documents", "doc_id", "text", size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
     ).replace("SELECT id, chunk_idx,", "SELECT id AS doc_id, chunk_idx,")
+    + " ORDER BY doc_id, chunk_idx"
+)
+
+
+_PACK_BUDGET = 64
+
+
+def txt_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunk stream: per-doc contiguous bins of
+    ~64 tokens via a windowed cumulative sum (no global ordering)."""
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_token_windows(d, "doc_id", "text", size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+    return (
+        pack_chunks(chunks, id_col="id", budget=_PACK_BUDGET)
+        .select(
+            F.col("id").alias("doc_id"), "chunk_idx", "n_tokens", "bin_idx", "bin_offset"
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_PACK_SQL = (
+    pack_chunks_sql(
+        chunk_token_windows_sql(
+            "documents", "doc_id", "text", size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+        ),
+        id_expr="id",
+        budget=_PACK_BUDGET,
+    ).replace("SELECT *,", "SELECT id AS doc_id, chunk_idx, n_tokens,", 1)
     + " ORDER BY doc_id, chunk_idx"
 )
 
@@ -124,6 +155,12 @@ register_suite(
             txt_chunk_windows,
             _CHUNK_SQL,
             [("doc_id", "i"), ("chunk_idx", "i"), ("n_tokens", "i"), ("chunk_text", "s")],
+        ),
+        (
+            "txt_pack_bins",
+            txt_pack_bins,
+            _PACK_SQL,
+            [("doc_id", "i"), ("chunk_idx", "i"), ("n_tokens", "i"), ("bin_idx", "i"), ("bin_offset", "i")],
         ),
         (
             "dd_decontaminate",

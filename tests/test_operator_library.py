@@ -380,3 +380,21 @@ def test_decontaminate_flags_overlapping_docs(spark):
     out = {r["doc_id"]: (r["n_hits"], r["n_bench_docs"]) for r in decontaminate(ci, bi, min_hits=2).collect()}
     assert 1 in out and out[1][0] >= 2 and out[1][1] == 1
     assert 2 not in out
+
+
+def test_pack_chunks_bins(spark):
+    from carrot_transform_spark.operators.chunking import chunk_token_windows, pack_chunks
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words)], "id long, text string")
+    chunks = chunk_token_windows(df, "id", "text", size=10, overlap=0)
+    packed = pack_chunks(chunks, budget=25).orderBy("chunk_idx").collect()
+    # 10 chunks of 10 tokens, budget 25: cumsum-before = 0,10,20,30,... ->
+    # bins 0,0,0,1,1,2,2,2,3,3 with offsets (before % 25)
+    assert [r["bin_idx"] for r in packed] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert [r["bin_offset"] for r in packed] == [0, 10, 20, 5, 15, 0, 10, 20, 5, 15]
+    # per-doc window: a second doc packs independently from bin 0
+    df2 = spark.createDataFrame([(1, words), (2, words)], "id long, text string")
+    packed2 = pack_chunks(chunk_token_windows(df2, "id", "text", size=10, overlap=0), budget=25)
+    firsts = {r["id"]: r["bin_idx"] for r in packed2.filter(F.col("chunk_idx") == 0).collect()}
+    assert firsts == {1: 0, 2: 0}
