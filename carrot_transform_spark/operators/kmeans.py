@@ -1,0 +1,131 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The iterative pattern Spark ships in MLlib, re-expressed on the DataFrame
+API so the whole per-iteration pass is one narrow scoring projection plus
+one (cell, dim)-keyed aggregate:
+
+- centroids live on the driver between iterations (k × dim doubles — tiny
+  metadata, the ONLY driver-side state) and enter each pass as broadcast
+  plan literals;
+- assignment is an argmin over k sequential decimal folds (bit-identical
+  in any engine: each (x-c)² is a single-rounded IEEE double, the fold
+  accumulates in exact DECIMAL(38,12), ties break on cell id);
+- the update step aggregates per (cell, dim) with exact decimal sums and
+  rounds the new means to 6 decimals — so the next iteration's literals
+  are identical no matter which engine (or partition order) computed them.
+
+That rounding is what makes an ITERATIVE algorithm oracle-checkable: a
+DuckDB twin unrolled to the same number of iterations reproduces every
+assignment and centroid bit-for-bit (see queries/similarity.py).
+
+Scale: each iteration scans the corpus once (k·dim fused multiply-adds per
+row, no shuffle for scoring) and shuffles only k·dim aggregate rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_DDEC = "decimal(38,12)"
+
+
+def _sqdist(vec_col, centroid: list[float]):
+    """Exact-decimal squared L2 distance between an array<double> column
+    and a literal centroid: sequential fold, each term singly-rounded."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    terms = F.zip_with(vec_col, lit, lambda x, c: ((x - c) * (x - c)).cast(_DDEC))
+    # decimal + decimal widens to (39,12); re-cast each merge so the fold
+    # keeps the accumulator's exact type (values are ≪ the 38,12 range)
+    return F.aggregate(terms, F.lit(0).cast(_DDEC), lambda acc, v: (acc + v).cast(_DDEC))
+
+
+def assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest centroid by squared L2, ties to the lower cell.
+
+    argmin via array_position(arr, array_min(arr)): the distance array is
+    built once, so the expression tree is linear in k — a when-chain that
+    threads `best_d` through nested whens duplicates every earlier fold
+    twice per step (2^k blow-up; measured 20+ s of analysis at k=8)."""
+    v = F.col(vec_col).cast("array<double>")
+    darr = F.array(*[_sqdist(v, c) for c in centroids])
+    best = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return df.select(F.col(id_col).alias("id"), best.alias("cell"))
+
+
+def init_centroids(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic init: the k vectors with the smallest ids, components
+    rounded to 6 decimals (same contract as the update step)."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    return [[_round6(x) for x in r["v"]] for r in rows]
+
+
+def _round6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+def update(
+    df: DataFrame,
+    assignments: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """New means per (cell, dim): exact decimal sums, rounded to 6 decimals
+    with the engine-stable floor trick. A cell that lost every vector keeps
+    a zero centroid (deterministic; standard Lloyd's edge case)."""
+    joined = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(assignments, "id")
+    comps = joined.select(
+        "cell", F.posexplode("v").alias("dim", "x")
+    )
+    m = 1_000_000
+    means = (
+        comps.groupBy("cell", "dim")
+        .agg(
+            (
+                F.floor(
+                    (F.sum(F.col("x").cast(_DDEC)).cast("double") / F.count(F.lit(1)))
+                    * m
+                    + F.lit(0.5)
+                )
+                / m
+            ).alias("mean")
+        )
+        .collect()
+    )
+    dim = max(r["dim"] for r in means) + 1 if means else 0
+    out = [[0.0] * dim for _ in range(k)]
+    for r in means:
+        out[r["cell"]][r["dim"]] = r["mean"]
+    return out
+
+
+def lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Run `iters` Lloyd iterations; returns (final assignments, centroids)."""
+    cents = init_centroids(df, k, id_col, vec_col)
+    for _ in range(iters):
+        a = assign(df, cents, id_col, vec_col)
+        cents = update(df, a, k, id_col, vec_col)
+    return assign(df, cents, id_col, vec_col), cents

@@ -1,0 +1,167 @@
+"""Repetition / duplicated-span quality metrics (Gopher-style filters).
+
+Large-scale pretraining pipelines drop documents dominated by repeated
+content. Two operators, both expressed as explode → keyed aggregates (no
+HOF folds in the hot path — Spark 4 evaluates array HOFs interpreted, and
+these run per token, not per doc):
+
+- ``repetition_profile``: per-doc duplicate-word fraction, top-word
+  fraction, top-bigram fraction — the "rep. removal" heuristics of the
+  Gopher/MassiveText filter family, adapted to whitespace tokens (the
+  synthetic corpus has no line/paragraph structure).
+- ``span_dup_profile``: fraction of a doc's token windows that also occur
+  in some OTHER document — the shingle-collision approximation of exact
+  substring dedup (Lee et al.'s suffix-array dedup finds the same spans;
+  the window hash form is the join-friendly variant that scales: one
+  groupBy on span hash, never doc×doc).
+
+Every fraction divides two exact integers in double precision (IEEE-exact,
+bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from carrot_transform_spark.operators.chunking import (
+    chunk_token_windows,
+    chunk_token_windows_sql,
+)
+
+
+def repetition_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, n_tokens, dup_word_frac, top_word_frac, top_bigram_frac).
+
+    The bigram successor comes from indexing the carried token array
+    (F.get is 0-based and NULL out-of-range even under ANSI mode), not a
+    LEAD window — no shuffle before the counting aggregates."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("toks")
+        )
+        .select("doc", "toks", F.posexplode("toks").alias("pos", "word"))
+        .filter(F.col("word") != "")
+        .select("doc", "word", F.get("toks", F.col("pos") + 1).alias("nxt"))
+    )
+
+    uni = (
+        toks.groupBy("doc", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_word"),
+        )
+    )
+    bi = (
+        toks.filter(F.col("nxt").isNotNull())
+        .groupBy("doc", "word", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram"))
+    )
+    return uni.join(bi, "doc", "left").select(
+        "doc",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (1.0 - F.col("n_distinct") / F.col("n_tokens")).alias("dup_word_frac"),
+        (F.col("top_word") / F.col("n_tokens")).alias("top_word_frac"),
+        F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def repetition_profile_sql(table: str, id_expr: str, text_expr: str) -> str:
+    """DuckDB twin of repetition_profile."""
+    return f"""
+    WITH arr AS (
+        SELECT {id_expr} AS doc, string_split({text_expr}, ' ') AS toks FROM {table}
+    ),
+    toks AS (
+        SELECT doc, toks[i] AS word, toks[i + 1] AS nxt
+        FROM (SELECT doc, toks, unnest(generate_series(1, len(toks))) AS i FROM arr)
+        WHERE toks[i] <> ''
+    ),
+    uni AS (
+        SELECT doc, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct, MAX(cnt) AS top_word
+        FROM (SELECT doc, word, COUNT(*) AS cnt FROM toks GROUP BY doc, word)
+        GROUP BY doc
+    ),
+    bi AS (
+        SELECT doc, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bigram
+        FROM (SELECT doc, word, nxt, COUNT(*) AS cnt FROM toks
+              WHERE nxt IS NOT NULL GROUP BY doc, word, nxt)
+        GROUP BY doc
+    )
+    SELECT uni.doc,
+           CAST(uni.n_tokens AS BIGINT) AS n_tokens,
+           1.0 - CAST(uni.n_distinct AS DOUBLE) / uni.n_tokens AS dup_word_frac,
+           CAST(uni.top_word AS DOUBLE) / uni.n_tokens AS top_word_frac,
+           COALESCE(CAST(bi.top_bigram AS DOUBLE) / bi.n_bigrams, 0.0) AS top_bigram_frac
+    FROM uni LEFT JOIN bi ON uni.doc = bi.doc
+    """
+
+
+def span_dup_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """(doc, n_spans, n_dup_spans, dup_span_frac): how much of each doc is
+    made of token windows that also appear in another document.
+
+    Span hashes are grouped once globally (the only wide shuffle, keyed by
+    128-bit hash — uniform, skew-free) to find cross-doc spans, then joined
+    back; a doc repeating its own span is NOT counted (cross-doc only),
+    matching substring-dedup semantics."""
+    ch = chunk_token_windows(docs, id_col, text_col, size=span, overlap=span - stride)
+    spans = ch.select(F.col("id").alias("doc"), F.md5("chunk_text").alias("h"))
+    cross = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    flagged = spans.join(cross, "h", "left_semi").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    totals = spans.groupBy("doc").agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(flagged, "doc", "left").select(
+        "doc",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        (F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans")).alias("dup_span_frac"),
+    )
+
+
+def span_dup_profile_sql(
+    table: str, id_expr: str, text_expr: str, span: int = 8, stride: int = 4
+) -> str:
+    """DuckDB twin of span_dup_profile."""
+    chunks = chunk_token_windows_sql(
+        table, id_expr, text_expr, size=span, overlap=span - stride
+    )
+    return f"""
+    WITH spans AS (
+        SELECT id AS doc, md5(chunk_text) AS h FROM ({chunks}) c
+    ),
+    cross_spans AS (
+        SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc) > 1
+    ),
+    flagged AS (
+        SELECT doc, COUNT(*) AS n_dup_spans FROM spans
+        WHERE h IN (SELECT h FROM cross_spans) GROUP BY doc
+    ),
+    totals AS (SELECT doc, COUNT(*) AS n_spans FROM spans GROUP BY doc)
+    SELECT t.doc,
+           CAST(t.n_spans AS BIGINT) AS n_spans,
+           CAST(COALESCE(f.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(f.n_dup_spans, 0) AS DOUBLE) / t.n_spans AS dup_span_frac
+    FROM totals t LEFT JOIN flagged f ON t.doc = f.doc
+    """

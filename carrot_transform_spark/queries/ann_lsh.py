@@ -135,9 +135,15 @@ def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from carrot_transform_spark.queries.similarity import (  # noqa: E402
     CENTROID_SQL,
+    KMEANS_SQL,
     NEARDUP_SQL,
     sim_centroid_assign,
+    sim_kmeans_lloyd,
     sim_neardup_threshold,
+)
+from carrot_transform_spark.queries.tfidf_q import (  # noqa: E402
+    TFIDF_SQL,
+    sim_tfidf_cosine,
 )
 
 register_suite(
@@ -166,6 +172,18 @@ register_suite(
             ann_lsh_candidate_pairs,
             _CAND_SQL,
             [("vec_a", "i"), ("vec_b", "i"), ("cosine_sim", "f")],
+        ),
+        (
+            "sim_tfidf_cosine",
+            sim_tfidf_cosine,
+            TFIDF_SQL,
+            [("doc_a", "i"), ("doc_b", "i"), ("cosine", "f"), ("rnk", "i")],
+        ),
+        (
+            "sim_kmeans_lloyd",
+            sim_kmeans_lloyd,
+            KMEANS_SQL,
+            [("vec_id", "i"), ("cell", "i")],
         ),
     ],
     tags=("similarity", "lsh", "suite"),

@@ -31,6 +31,10 @@ from carrot_transform_spark.operators.chunking import (
     pack_chunks,
     pack_chunks_sql,
 )
+from carrot_transform_spark.operators.repetition import (
+    repetition_profile_sql,
+    span_dup_profile_sql,
+)
 from carrot_transform_spark.queries import load, register_suite
 from carrot_transform_spark.queries.dedup import (
     _NGRAM_SQL,
@@ -141,6 +145,29 @@ _CC_SQL = f"""
     """
 
 
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition metrics (dup-word / top-word /
+    top-bigram fractions) — the quality filters a pretraining pipeline
+    applies before dedup."""
+    from carrot_transform_spark.operators.repetition import repetition_profile
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_profile(d).orderBy("doc")
+
+
+def dd_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-span fractions — the shingle-window
+    approximation of exact substring dedup."""
+    from carrot_transform_spark.operators.repetition import span_dup_profile
+
+    d = load(spark, sf_dir, "documents")
+    return span_dup_profile(d, span=_SPAN, stride=_STRIDE).orderBy("doc")
+
+
+_SPAN = 8
+_STRIDE = 4
+
+
 register_suite(
     "pipe_ops_suite",
     [
@@ -173,6 +200,24 @@ register_suite(
             dd_cc_groups,
             _CC_SQL,
             [("doc_id", "i"), ("component_id", "i")],
+        ),
+        (
+            "txt_repetition",
+            txt_repetition,
+            repetition_profile_sql("documents", "doc_id", "text"),
+            [
+                ("doc", "i"),
+                ("n_tokens", "i"),
+                ("dup_word_frac", "f"),
+                ("top_word_frac", "f"),
+                ("top_bigram_frac", "f"),
+            ],
+        ),
+        (
+            "dd_span_dups",
+            dd_span_dups,
+            span_dup_profile_sql("documents", "doc_id", "text", span=_SPAN, stride=_STRIDE),
+            [("doc", "i"), ("n_spans", "i"), ("n_dup_spans", "i"), ("dup_span_frac", "f")],
         ),
     ],
     tags=("pipeline", "suite"),

@@ -228,3 +228,101 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = assign_cells(e, _CENTROIDS)
     return out.select(F.col("id").alias("vec_id"), "cell").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) — iterative algorithm, oracle-checked by unrolling the
+# same number of iterations in SQL. Possible only because every iteration
+# rounds its centroids to 6 decimals through exact decimal aggregation
+# (operators/kmeans.py), so both engines hold bit-identical state between
+# iterations.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+_KM_M = 1_000_000
+
+
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (vec_id, cell) after _KM_ITERS Lloyd iterations from a
+    deterministic first-k init."""
+    from carrot_transform_spark.operators.kmeans import lloyd
+
+    e = load(spark, sf_dir, "embeddings")
+    final, _cents = lloyd(e, k=_KM_K, iters=_KM_ITERS)
+    return final.select(F.col("id").alias("vec_id"), "cell").orderBy("vec_id")
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd twin: centroids as (cell, dim, c) component rows."""
+    rnd = f"FLOOR({{x}} * {_KM_M} + 0.5) / {_KM_M}"
+    parts = [
+        f"""ecomp AS (
+        SELECT vec_id, u.dim, CAST(embedding[u.dim] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(generate_series(1, {_KM_DIM})) AS dim) u
+    ),
+    cells AS (SELECT unnest(generate_series(0, {_KM_K - 1})) AS cell),
+    dims AS (SELECT unnest(generate_series(1, {_KM_DIM})) AS dim),
+    seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    c0 AS (
+        SELECT s.cell, ec.dim, {rnd.format(x="ec.x")} AS c
+        FROM seeds s JOIN ecomp ec ON ec.vec_id = s.vec_id
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        mean = f"CAST(SUM(CAST(ec.x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)"
+        parts.append(
+            f"""d{it} AS (
+        SELECT ec.vec_id, cc.cell,
+               SUM(CAST((ec.x - cc.c) * (ec.x - cc.c) AS DECIMAL(38,12))) AS dist
+        FROM ecomp ec JOIN {prev} cc ON ec.dim = cc.dim
+        GROUP BY ec.vec_id, cc.cell
+    ),
+    a{it} AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+            FROM d{it}
+        ) WHERE rn = 1
+    ),
+    m{it} AS (
+        SELECT a.cell, ec.dim, {rnd.format(x=f"({mean})")} AS c
+        FROM ecomp ec JOIN a{it} a ON ec.vec_id = a.vec_id
+        GROUP BY a.cell, ec.dim
+    ),
+    c{it} AS (
+        SELECT cells.cell, dims.dim, COALESCE(m.c, 0.0) AS c
+        FROM cells CROSS JOIN dims
+        LEFT JOIN m{it} m ON m.cell = cells.cell AND m.dim = dims.dim
+    )"""
+        )
+        prev = f"c{it}"
+    fin = _KM_ITERS + 1
+    parts.append(
+        f"""dfin AS (
+        SELECT ec.vec_id, cc.cell,
+               SUM(CAST((ec.x - cc.c) * (ec.x - cc.c) AS DECIMAL(38,12))) AS dist
+        FROM ecomp ec JOIN {prev} cc ON ec.dim = cc.dim
+        GROUP BY ec.vec_id, cc.cell
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM dfin
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """
+    )
+
+
+KMEANS_SQL = _kmeans_sql()

@@ -398,3 +398,80 @@ def test_pack_chunks_bins(spark):
     packed2 = pack_chunks(chunk_token_windows(df2, "id", "text", size=10, overlap=0), budget=25)
     firsts = {r["id"]: r["bin_idx"] for r in packed2.filter(F.col("chunk_idx") == 0).collect()}
     assert firsts == {1: 0, 2: 0}
+
+
+def test_repetition_profile_metrics(spark):
+    from carrot_transform_spark.operators.repetition import repetition_profile
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], "doc_id long, text string"
+    )
+    out = {r["doc"]: r for r in repetition_profile(df).collect()}
+    # doc 1: 4 tokens, 2 distinct -> dup_word_frac 0.5; top word 'a' 3/4;
+    # bigrams (a a),(a a),(a b) -> top 2/3
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_word_frac"] == pytest.approx(0.5)
+    assert out[1]["top_word_frac"] == pytest.approx(0.75)
+    assert out[1]["top_bigram_frac"] == pytest.approx(2 / 3)
+    # doc 2: all distinct
+    assert out[2]["dup_word_frac"] == pytest.approx(0.0)
+    assert out[2]["top_word_frac"] == pytest.approx(0.25)
+    assert out[2]["top_bigram_frac"] == pytest.approx(1 / 3)
+
+
+def test_span_dup_profile_cross_doc_only(spark):
+    from carrot_transform_spark.operators.repetition import span_dup_profile
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(8))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(8))),
+            # doc 3 repeats ITS OWN span twice -> not a cross-doc dup
+            (3, " ".join(f"c{i}" for i in range(8)) * 2),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in span_dup_profile(df, span=8, stride=8).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[1]["n_spans"] == 2
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+
+
+def test_tfidf_weights_and_cosine(spark):
+    from carrot_transform_spark.operators.tfidf import cosine_pairs, tfidf_weights
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple banana apple"), (3, "cherry date elder")],
+        "doc_id long, text string",
+    )
+    w = tfidf_weights(df, idf_mode="log")
+    # identical docs -> cosine 1; disjoint docs share no terms -> no pair row
+    pairs = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in cosine_pairs(w, 0.0).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # max_df drops ubiquitous terms
+    w2 = tfidf_weights(df, idf_mode="log", max_df=1)
+    assert w2.filter(F.col("term") == "apple").count() == 0
+    with pytest.raises(ValueError):
+        tfidf_weights(df, idf_mode="bogus")
+
+
+def test_kmeans_lloyd_separable(spark):
+    from carrot_transform_spark.operators.kmeans import lloyd
+
+    # two tight clusters around (0,0) and (10,10); seeds = first 2 ids,
+    # one from each cluster
+    pts = [
+        (0, [0.1, 0.0]), (1, [10.0, 10.1]), (2, [0.0, 0.2]), (3, [9.9, 10.0]),
+        (4, [0.2, 0.1]), (5, [10.1, 9.9]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    final, cents = lloyd(df, k=2, iters=2)
+    cells = {r["id"]: r["cell"] for r in final.collect()}
+    assert cells[0] == cells[2] == cells[4]
+    assert cells[1] == cells[3] == cells[5]
+    assert cells[0] != cells[1]
+    # centroids are the cluster means (rounded to 6 decimals)
+    assert cents[cells[0]][0] == pytest.approx(0.1, abs=1e-6)
+    assert cents[cells[1]][0] == pytest.approx(10.0, abs=1e-6)
