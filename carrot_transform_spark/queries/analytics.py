@@ -154,6 +154,92 @@ def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).orderBy("bucket")
 
 
+# ---------------------------------------------------------------------------
+# CDC merge, pivot, rollup grouping
+# ---------------------------------------------------------------------------
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the events feed as a CDC stream keyed by user: latest change
+    wins (ts, then event_id for deterministic replay); a user whose winning
+    change is an 'error' event is treated as tombstoned and dropped
+    (operators/cdc.latest_snapshot)."""
+    from carrot_transform_spark.operators.cdc import latest_snapshot
+
+    e = load(spark, sf_dir, "events")
+    snap = latest_snapshot(
+        e,
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        tombstone=F.col("event_type") == "error",
+    )
+    return snap.select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 4).alias("value")
+    ).orderBy("user_id")
+
+
+_CDC_SQL = """
+    SELECT user_id, event_id, ts, event_type, ROUND(value, 4) AS value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM events
+    ) latest WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """
+
+
+def ev_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (explicit value list, so the output schema
+    is static — the form that scales: Spark's inferred pivot needs an extra
+    distinct pass and breaks schema stability)."""
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES]
+    return out.select("user_id", *cols).orderBy("user_id")
+
+
+_PIVOT_SQL = f"""
+    SELECT user_id,
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id ORDER BY user_id
+    """
+
+
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): subtotal rows per status and a grand
+    total, disambiguated by a composed grouping id — Spark's native
+    multi-level aggregate (one shuffle; partial aggregation applies to
+    every grouping set)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "sum_price", "gid")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_ROLLUP_SQL = f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS sum_price,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """
+
+
 # One registry entry for the remaining window/set-op checks (the benched
 # running-total window stays standalone above).
 register_suite(
@@ -189,8 +275,38 @@ register_suite(
             _SETOP_SQL,
             [("bucket", "s"), ("n", "i")],
         ),
+        (
+            "cdc_latest_snapshot",
+            cdc_latest_snapshot,
+            _CDC_SQL,
+            [
+                ("user_id", "i"),
+                ("event_id", "i"),
+                ("ts", "ts"),
+                ("event_type", "s"),
+                ("value", "f"),
+            ],
+        ),
+        (
+            "ev_pivot_types",
+            ev_pivot_types,
+            _PIVOT_SQL,
+            [("user_id", "i")] + [(f"n_{t}", "i") for t in _EVENT_TYPES],
+        ),
+        (
+            "agg_rollup_orders",
+            agg_rollup_orders,
+            _ROLLUP_SQL,
+            [
+                ("o_orderstatus", "s"),
+                ("o_orderpriority", "s"),
+                ("n_orders", "i"),
+                ("sum_price", "f"),
+                ("gid", "i"),
+            ],
+        ),
     ],
-    tags=("window", "setop", "suite"),
+    tags=("window", "setop", "cdc", "suite"),
 )
 
 

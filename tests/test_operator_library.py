@@ -475,3 +475,32 @@ def test_kmeans_lloyd_separable(spark):
     # centroids are the cluster means (rounded to 6 decimals)
     assert cents[cells[0]][0] == pytest.approx(0.1, abs=1e-6)
     assert cents[cells[1]][0] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_cdc_latest_snapshot_semantics(spark):
+    from datetime import datetime
+    from carrot_transform_spark.operators.cdc import latest_snapshot
+
+    rows = [
+        # key 1: update at t2 wins over t1
+        (1, 1, datetime(2024, 1, 1), "upsert", 1.0),
+        (2, 1, datetime(2024, 1, 2), "upsert", 2.0),
+        # key 2: winning change is a delete -> key vanishes
+        (3, 2, datetime(2024, 1, 1), "upsert", 3.0),
+        (4, 2, datetime(2024, 1, 3), "delete", 0.0),
+        # key 3: same ts twice -> higher change id wins (deterministic replay)
+        (5, 3, datetime(2024, 1, 1), "upsert", 5.0),
+        (6, 3, datetime(2024, 1, 1), "upsert", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "change_id long, k long, ts timestamp, op string, v double"
+    )
+    out = {
+        r["k"]: r
+        for r in latest_snapshot(
+            df, ["k"], "ts", "change_id", tombstone=F.col("op") == "delete"
+        ).collect()
+    }
+    assert out[1]["v"] == 2.0
+    assert 2 not in out
+    assert out[3]["change_id"] == 6
