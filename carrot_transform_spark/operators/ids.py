@@ -38,13 +38,25 @@ def with_dense_ids(
     num_partitions: int | None = None,
     small_threshold: int = SMALL_THRESHOLD,
     persist_registry: list[DataFrame] | None = None,
+    size_bound: int | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = offset + dense rank 1..N in (order_cols) order.
 
     persist_registry: optional list the caller owns; every DataFrame this
     function leaves persisted is appended so the caller can unpersist after
     the result is materialized (otherwise caches live until LRU eviction).
+
+    size_bound: caller-supplied UPPER bound on df's row count (e.g. from
+    parquet footer metadata). When it fits the small path, the persist +
+    count pass that normally sizes the path is skipped entirely and the
+    window goes straight into the plan — one pass over the data instead of
+    two. An over-estimate is safe (worst case: a single-partition sort of a
+    larger-than-ideal input); correctness never depends on it.
     """
+    if size_bound is not None and size_bound <= small_threshold:
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(id_col, (F.row_number().over(w) + F.lit(offset)).cast("long"))
+
     src = df.persist(StorageLevel.MEMORY_AND_DISK)
     n_rows = src.count()  # materializes the cache; also sizes the fast path
 

@@ -102,12 +102,16 @@ class CarrotPlanner:
     # person anonymisation map (J2/W2)
     # ------------------------------------------------------------------
 
-    def _spread(self, df: DataFrame) -> DataFrame:
+    def _spread(self, df: DataFrame, source: Source | None = None) -> DataFrame:
         """Small single-file scans arrive as one partition; the expensive
         stages downstream (regex normalisation, record structs) are per-row
         compute, so spread first. Safe: the line/order column is assigned at
         read time, before any repartitioning. At real scale multi-split
-        scans skip this."""
+        scans skip this. Sources that declare pre_spread skip the probe
+        entirely — df.rdd.getNumPartitions() costs ~1s of driver-side
+        plan-to-RDD conversion per scan."""
+        if source is not None and source.pre_spread:
+            return df
         target = self.spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(2, target // 2):
             return df.repartition(target)
@@ -118,7 +122,7 @@ class CarrotPlanner:
         FILE, strict dob validation (person_helpers.py:90-151,
         validation.py:13-63). Returns (source_subject, target_subject)."""
         dob_field, pid_field = self.rules.person_source_info("person")
-        df = self._spread(source.read(self.person_table))
+        df = self._spread(source.read(self.person_table), source)
         pid = _resolve(df, pid_field)
         dob = _resolve(df, dob_field)
         valid = df.filter(valid_value(pid) & strict_date(dob).isNotNull())
@@ -130,7 +134,14 @@ class CarrotPlanner:
                 "source_subject", F.col("source_subject").alias("target_subject"), LINE_COL
             )
         withids = with_dense_ids(
-            first, [LINE_COL], "target_subject", offset=0, persist_registry=self._persisted
+            first,
+            [LINE_COL],
+            "target_subject",
+            offset=0,
+            persist_registry=self._persisted,
+            # distinct persons <= person-file rows; footer metadata makes this
+            # free and known-small inputs then skip the sizing pass
+            size_bound=source.size_hint(self.person_table),
         )
         return withids.select(
             "source_subject", F.col("target_subject").cast("string").alias("target_subject"), LINE_COL
@@ -155,10 +166,14 @@ class CarrotPlanner:
         # row order must match even when the two orders differ
         global_files = self.rules.source_tables()
         parts: list[DataFrame] = []
+        cand_bound: int | None = 0
         for src_file, tm in per_source.items():
-            df = self._spread(source.read(tm.source_table))
+            df = self._spread(source.read(tm.source_table), source)
             part = self._file_records(df, tm, schema, stats)
             parts.append(part.withColumn(FILEIDX_COL, F.lit(global_files.index(src_file))))
+            if cand_bound is not None:
+                hint = source.size_hint(tm.source_table)
+                cand_bound = None if hint is None else cand_bound + hint * _records_per_row_bound(tm)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -174,6 +189,7 @@ class CarrotPlanner:
                 "__ct_auto",
                 offset=self.last_used_ids.get(target, 0),
                 persist_registry=self._persisted,
+                size_bound=cand_bound,
             )
             out = out.withColumn(auto_col, F.col("__ct_auto").cast("string")).drop("__ct_auto")
         return out
@@ -791,6 +807,22 @@ class CarrotPlanner:
 
 
 # ---------------------------------------------------------------------------
+
+
+def _records_per_row_bound(tm: TableMapping) -> int:
+    """Upper bound on output records per input row for one (file, target)
+    mapping: each mapped field fans out at most max(len(concept-id list))
+    combination records (clamped-zip semantics; person targets emit one
+    merged combination set, which this also bounds)."""
+    total = 0
+    for cm in tm.concept_mappings.values():
+        max_combo = 1
+        for dmap in cm.value_mappings.values():
+            for ids in dmap.values():
+                if ids:
+                    max_combo = max(max_combo, len(ids))
+        total += max_combo
+    return max(total, 1)
 
 
 def _resolve(df: DataFrame, name: str) -> Column:

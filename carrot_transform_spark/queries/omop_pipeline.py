@@ -78,9 +78,20 @@ class _SyntheticSource(Source):
     DETERMINISTIC line order (the natural key) instead of physical file
     order so the DuckDB oracle can reproduce id assignment exactly."""
 
+    pre_spread = True  # read() ends in a repartition; skip the planner probe
+
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
+
+    def size_hint(self, table: str) -> int | None:
+        # parquet footer metadata: exact row count with zero scan
+        import pyarrow.parquet as pq
+
+        try:
+            return pq.ParquetFile(f"{self.sf_dir}/{table}.parquet").metadata.num_rows
+        except Exception:
+            return None
 
     def read(self, table: str) -> DataFrame:
         df = load(self.spark, self.sf_dir, table)

@@ -23,8 +23,19 @@ LINE_COL = "__ct_line"
 
 
 class Source:
+    # True when read() already returns a well-spread DataFrame (e.g. it ends
+    # in a repartition); lets the planner skip its partition-count probe,
+    # which costs ~1s of driver-side plan-to-RDD conversion per scan
+    pre_spread: bool = False
+
     def read(self, table: str) -> DataFrame:  # pragma: no cover - interface
         raise NotImplementedError
+
+    def size_hint(self, table: str) -> int | None:
+        """Cheap upper bound on read(table)'s row count (e.g. parquet footer
+        metadata), or None when unknowable without a scan. Lets dense-id
+        assignment skip its sizing pass for known-small inputs."""
+        return None
 
     def _finalize(self, df: DataFrame) -> DataFrame:
         keep = [c for c in df.columns if c.strip() != ""]
