@@ -1,0 +1,80 @@
+"""Bloom-filter semi-join: pre-filter a huge probe side with a compact
+bitmap of the build side's keys before the real join.
+
+The runtime-filter pattern every warehouse engine applies when a selective
+dimension filters a big fact table: build a Bloom bitmap over the (small)
+build side's join keys, broadcast it, and drop probe rows whose k hash
+positions aren't all set BEFORE the shuffle — at 100 TB the win is shuffle
+volume, which the exchange never sees. Because Bloom filters only
+false-positive, the surviving rows still go through the exact semi-join,
+so the OUTPUT is always exact; the bitmap only prunes.
+
+Everything is column expressions over xxhash64 — no UDF. The bitmap is
+built distributed (explode k positions -> groupBy word -> bit_or) and the
+driver only collects m/64 longs (a 1 Mbit filter = 16 K longs), never keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
+    # double hashing: pos_i = (h1 + i*h2) mod m — the standard Kirsch-
+    # Mitzenmacher construction, k independent-enough probes from 2 hashes.
+    # Both hashes are reduced mod m BEFORE combining: i*h2 on raw 64-bit
+    # values overflows long, which ANSI mode (the driver default) rejects.
+    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(m_bits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_build(build: DataFrame, key_col: str, k: int = 5, m_bits: int = 1 << 20) -> list[int]:
+    """Build the bitmap as a list of m_bits/64 longs (driver-side literal,
+    broadcast into the probe plan). Distributed bit_or aggregation; the
+    collect is bounded by the bitmap size, independent of build rows."""
+    key = F.col(key_col).cast("string")
+    pos = F.explode(F.array(*_positions(key, k, m_bits))).alias("pos")
+    words = (
+        build.select(pos)
+        .select((F.col("pos") / 64).cast("int").alias("w"), F.pmod(F.col("pos"), F.lit(64)).alias("b"))
+        .groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * ((m_bits + 63) // 64)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_might_contain(key: Column, bitmap: list[int], k: int = 5, m_bits: int = 1 << 20) -> Column:
+    """Probe-side predicate: all k bit positions set in the bitmap literal."""
+    words = F.array(*[F.lit(w) for w in bitmap])
+    cond = None
+    for pos in _positions(key.cast("string"), k, m_bits):
+        w = F.element_at(words, (pos / 64).cast("int") + 1)
+        c = F.getbit(w, F.pmod(pos, F.lit(64))) == 1
+        cond = c if cond is None else (cond & c)
+    return cond if cond is not None else F.lit(True)
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    k: int = 5,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Exact semi-join with a Bloom pre-filter on the probe side. The
+    bitmap prunes before the exchange; the left_semi join removes the
+    Bloom's false positives, so the result equals a plain semi-join."""
+    bitmap = bloom_build(build, build_key, k, m_bits)
+    pruned = probe.filter(bloom_might_contain(F.col(probe_key), bitmap, k, m_bits))
+    return pruned.join(
+        F.broadcast(build.select(F.col(build_key).alias("__bk")).distinct()),
+        F.col(probe_key) == F.col("__bk"),
+        "left_semi",
+    )

@@ -65,6 +65,54 @@ def sample_hash_sql(key_expr: str, strata_expr: str) -> str:
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    split_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in exactly
+    one split by hash bucket, independent of partitioning or cluster size.
+
+    splits: {name: fraction} summing to <= 1 (a shortfall from rounding goes
+    to the LAST split, so every row is always assigned). Same md5 hash rule
+    as stratified_sample; the salt decorrelates the split assignment from
+    any sampling decisions made on the same key. Narrow projection — no
+    shuffle, survives any scale.
+    """
+    if not splits:
+        raise ValueError("hash_split needs at least one split")
+    h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))) % DENOM
+    names = list(splits)
+    bounds: list[int] = []
+    acc = 0
+    for name in names[:-1]:
+        acc += round(splits[name] * DENOM)
+        bounds.append(acc)
+    expr = None
+    for name, b in zip(names[:-1], bounds):
+        expr = F.when(h < b, name) if expr is None else expr.when(h < b, name)
+    expr = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql(key_expr: str, splits: dict[str, float], salt: str = "split") -> str:
+    """DuckDB twin of hash_split's assignment CASE."""
+    h = (
+        f"CAST(CONCAT('0x', substring(md5(concat_ws('|', CAST({key_expr} AS VARCHAR), "
+        f"'{salt}')), 1, 8)) AS UBIGINT) % {DENOM}"
+    )
+    names = list(splits)
+    whens, acc = [], 0
+    for name in names[:-1]:
+        acc += round(splits[name] * DENOM)
+        whens.append(f"WHEN {h} < {acc} THEN '{name}'")
+    if not whens:
+        return f"'{names[-1]}'"
+    return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+
+
 def mix_datasets(
     parts: list[tuple["DataFrame", float]],
     key_col: str,

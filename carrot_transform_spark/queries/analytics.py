@@ -240,6 +240,66 @@ _ROLLUP_SQL = f"""
     """
 
 
+def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel over the event stream: users whose first view,
+    first click, first purchase happen in that order (operators/funnel.py —
+    one conditional aggregation, no windows)."""
+    from carrot_transform_spark.operators.funnel import funnel_steps
+
+    e = load(spark, sf_dir, "events")
+    return funnel_steps(e, "user_id", "event_type", "ts", _FUNNEL_STEPS).orderBy("step_idx")
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_sql() -> str:
+    from carrot_transform_spark.operators.funnel import funnel_steps_sql
+
+    return funnel_steps_sql("events", "user_id", "event_type", "ts", _FUNNEL_STEPS) + " ORDER BY step_idx"
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort by first-activity week, distinct
+    active users per (cohort, week offset) (operators/retention.py)."""
+    from carrot_transform_spark.operators.retention import retention_cohorts
+
+    e = load(spark, sf_dir, "events")
+    return retention_cohorts(e, "user_id", "ts", period_days=7).orderBy(
+        "cohort_start", "period_offset"
+    )
+
+
+def _retention_sql() -> str:
+    from carrot_transform_spark.operators.retention import retention_cohorts_sql
+
+    return (
+        retention_cohorts_sql("events", "user_id", "ts", period_days=7)
+        + " ORDER BY cohort_start, period_offset"
+    )
+
+
+def join_salted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skewjoin.py): orders x customer on
+    the customer key, big side salted 8 ways, small side replicated — the
+    oracle is the PLAIN join, pinning exact result equivalence."""
+    from carrot_transform_spark.operators.skewjoin import salted_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return salted_join(o, c, on="o_custkey", salt_key="o_orderkey", n_salts=8).select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_SALTED_SQL = """
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+
 # One registry entry for the remaining window/set-op checks (the benched
 # running-total window stays standalone above).
 register_suite(
@@ -305,8 +365,26 @@ register_suite(
                 ("gid", "i"),
             ],
         ),
+        (
+            "ev_funnel_steps",
+            ev_funnel_steps,
+            _funnel_sql(),
+            [("step_idx", "i"), ("step_name", "s"), ("n_users", "i")],
+        ),
+        (
+            "ev_retention_cohorts",
+            ev_retention_cohorts,
+            _retention_sql(),
+            [("cohort_start", "date"), ("period_offset", "i"), ("n_users", "i")],
+        ),
+        (
+            "join_salted_orders",
+            join_salted_orders,
+            _SALTED_SQL,
+            [("o_orderkey", "i"), ("o_custkey", "i"), ("c_name", "s"), ("c_mktsegment", "s")],
+        ),
     ],
-    tags=("window", "setop", "cdc", "suite"),
+    tags=("window", "setop", "cdc", "funnel", "retention", "suite"),
 )
 
 

@@ -167,6 +167,50 @@ def dd_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN = 8
 _STRIDE = 4
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def ds_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket
+    (operators/sampling.hash_split) — partitioning- and scale-independent."""
+    from carrot_transform_spark.operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id", _SPLITS).orderBy("doc_id")
+
+
+def _hash_split_sql() -> str:
+    from carrot_transform_spark.operators.sampling import hash_split_sql
+
+    return (
+        f"SELECT doc_id, {hash_split_sql('doc_id', _SPLITS)} AS split "
+        f"FROM documents ORDER BY doc_id"
+    )
+
+
+_BLOOM_BAL = 9000  # build side: the few high-balance customers
+
+
+def dd_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact semi-join (operators/bloom.py): orders whose
+    customer sits in the selective high-balance build set. The bitmap prunes
+    the probe before any shuffle; the exact join removes false positives, so
+    the oracle is the PLAIN semi-join."""
+    from carrot_transform_spark.operators.bloom import bloom_semi_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > _BLOOM_BAL)
+    return bloom_semi_join(o, c, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_custkey"
+    ).orderBy("o_orderkey")
+
+
+_BLOOM_SQL = f"""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL})
+    ORDER BY o_orderkey
+    """
+
 
 register_suite(
     "pipe_ops_suite",
@@ -218,6 +262,18 @@ register_suite(
             dd_span_dups,
             span_dup_profile_sql("documents", "doc_id", "text", span=_SPAN, stride=_STRIDE),
             [("doc", "i"), ("n_spans", "i"), ("n_dup_spans", "i"), ("dup_span_frac", "f")],
+        ),
+        (
+            "ds_hash_split",
+            ds_hash_split,
+            _hash_split_sql(),
+            [("doc_id", "i"), ("split", "s")],
+        ),
+        (
+            "dd_bloom_semijoin",
+            dd_bloom_semijoin,
+            _BLOOM_SQL,
+            [("o_orderkey", "i"), ("o_custkey", "i")],
         ),
     ],
     tags=("pipeline", "suite"),

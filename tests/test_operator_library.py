@@ -504,3 +504,104 @@ def test_cdc_latest_snapshot_semantics(spark):
     assert out[1]["v"] == 2.0
     assert 2 not in out
     assert out[3]["change_id"] == 6
+
+
+def test_funnel_steps_first_touch(spark):
+    from datetime import datetime
+    from carrot_transform_spark.operators.funnel import funnel_steps
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    rows = [
+        # u1 converts fully: view@1 < click@2 < buy@3
+        (1, "view", t(1)), (1, "click", t(2)), (1, "buy", t(3)),
+        # u2 clicked BEFORE first view -> stops at step 1
+        (2, "click", t(1)), (2, "view", t(2)), (2, "buy", t(3)),
+        # u3 view only
+        (3, "view", t(5)),
+        # u4 never viewed -> counted nowhere
+        (4, "buy", t(1)),
+    ]
+    df = spark.createDataFrame(rows, "u long, et string, ts timestamp")
+    out = {r["step_idx"]: r["n_users"] for r in
+           funnel_steps(df, "u", "et", "ts", ["view", "click", "buy"]).collect()}
+    assert out == {1: 3, 2: 1, 3: 1}
+
+
+def test_retention_cohorts_buckets(spark):
+    from datetime import datetime
+    from carrot_transform_spark.operators.retention import retention_cohorts
+
+    rows = [
+        # u1 first active day 0, again day 8 (offset 1), day 15 (offset 2)
+        (1, datetime(1970, 1, 1)), (1, datetime(1970, 1, 9)), (1, datetime(1970, 1, 16)),
+        # u2 first active day 8 (cohort week 1), again day 9 (same period)
+        (2, datetime(1970, 1, 9)), (2, datetime(1970, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {(str(r["cohort_start"]), r["period_offset"]): r["n_users"]
+           for r in retention_cohorts(df, "u", "ts", period_days=7).collect()}
+    assert out == {
+        ("1970-01-01", 0): 1, ("1970-01-01", 1): 1, ("1970-01-01", 2): 1,
+        ("1970-01-08", 0): 1,
+    }
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from carrot_transform_spark.operators.skewjoin import salted_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = sorted(
+        (r["o_orderkey"], r["c_name"])
+        for r in o.join(c, "o_custkey").select("o_orderkey", "c_name").collect()
+    )
+    salted = sorted(
+        (r["o_orderkey"], r["c_name"])
+        for r in salted_join(o, c, on="o_custkey", salt_key="o_orderkey", n_salts=4)
+        .select("o_orderkey", "c_name").collect()
+    )
+    assert salted == plain
+    # left join keeps unmatched big-side rows exactly once
+    c_half = c.filter(F.col("o_custkey") % 2 == 0)
+    plain_l = o.join(c_half, "o_custkey", "left").count()
+    salted_l = salted_join(o, c_half, on="o_custkey", salt_key="o_orderkey",
+                           n_salts=4, how="left").count()
+    assert salted_l == plain_l
+
+
+def test_bloom_semijoin_exact(spark, sf_dir):
+    from carrot_transform_spark.operators.bloom import bloom_semi_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    expect = sorted(
+        r["o_orderkey"]
+        for r in o.join(
+            c.select(F.col("c_custkey").alias("o_custkey")).distinct(), "o_custkey", "left_semi"
+        ).collect()
+    )
+    # tiny bitmap forces false positives; the exact join must still remove them
+    got = sorted(
+        r["o_orderkey"]
+        for r in bloom_semi_join(o, c, "o_custkey", "c_custkey", k=3, m_bits=256).collect()
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from carrot_transform_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in
+         hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    b = {r["k"]: r["split"] for r in
+         hash_split(df.repartition(13), "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+    from collections import Counter
+    frac = Counter(a.values())
+    assert abs(frac["train"] / 2000 - 0.8) < 0.05
+    assert set(frac) == {"train", "val", "test"}
+    # every row assigned exactly once
+    assert len(a) == 2000
