@@ -212,6 +212,51 @@ _BLOOM_SQL = f"""
     """
 
 
+_PR_M = 400  # graph nodes: doc_id < 400 (present at every scale factor)
+_PR_ITERS = 4
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/pagerank.py) over a synthetic directed graph on
+    the document ids: u -> (u*u+1) mod M (quadratic — skewed in-degree) and
+    u -> (7u+3) mod M (bijective). 9-decimal rounded iterations make the
+    unrolled DuckDB twin reproduce every rank exactly."""
+    from carrot_transform_spark.operators.pagerank import pagerank
+
+    d = load(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < _PR_M)
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(_PR_M)).alias("dst"),
+    ).unionAll(
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 7 + 3, F.lit(_PR_M)).alias("dst"),
+        )
+    )
+    out = pagerank(edges, iters=_PR_ITERS)
+    # rank is 9-decimal-rounded by contract; emit it at 1e-9 integer scale so
+    # the checksum compare is exact to the last rounded digit
+    return out.select(
+        "node", F.floor(F.col("rank") * 1_000_000_000 + F.lit(0.5)).cast("long").alias("rank_e9")
+    ).orderBy("node")
+
+
+def _pagerank_sql() -> str:
+    from carrot_transform_spark.operators.pagerank import pagerank_sql
+
+    edges = (
+        f"SELECT doc_id AS src, (doc_id * doc_id + 1) % {_PR_M} AS dst "
+        f"FROM documents WHERE doc_id < {_PR_M} "
+        f"UNION ALL SELECT doc_id, (doc_id * 7 + 3) % {_PR_M} "
+        f"FROM documents WHERE doc_id < {_PR_M}"
+    )
+    inner = pagerank_sql(edges, iters=_PR_ITERS)
+    return (
+        f"SELECT node, CAST(FLOOR(rank * 1000000000 + 0.5) AS BIGINT) AS rank_e9 "
+        f"FROM ({inner}) pr ORDER BY node"
+    )
+
+
 register_suite(
     "pipe_ops_suite",
     [
@@ -274,6 +319,12 @@ register_suite(
             dd_bloom_semijoin,
             _BLOOM_SQL,
             [("o_orderkey", "i"), ("o_custkey", "i")],
+        ),
+        (
+            "graph_pagerank",
+            graph_pagerank,
+            _pagerank_sql(),
+            [("node", "i"), ("rank_e9", "i")],
         ),
     ],
     tags=("pipeline", "suite"),

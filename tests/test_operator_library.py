@@ -605,3 +605,21 @@ def test_hash_split_deterministic_and_partition_invariant(spark):
     assert set(frac) == {"train", "val", "test"}
     # every row assigned exactly once
     assert len(a) == 2000
+
+
+def test_pagerank_properties(spark):
+    from carrot_transform_spark.operators.pagerank import pagerank
+
+    # star graph: everyone points at hub 0; hub points at node 1
+    n = 50
+    edges = [(i, 0) for i in range(1, n)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    # mass conservation (within rounding); the hub and its sole successor
+    # (which receives the hub's whole concentrated mass) dominate the leaves
+    assert abs(sum(ranks.values()) - 1.0) < 1e-5
+    assert ranks[0] > ranks[2] and ranks[1] > ranks[0]
+    assert all(abs(ranks[i] - ranks[2]) < 1e-12 for i in range(3, n))
+    # partition-invariant: same result from a different layout
+    ranks2 = {r["node"]: r["rank"] for r in pagerank(df.repartition(7), iters=10).collect()}
+    assert ranks2 == ranks
