@@ -623,3 +623,38 @@ def test_pagerank_properties(spark):
     # partition-invariant: same result from a different layout
     ranks2 = {r["node"]: r["rank"] for r in pagerank(df.repartition(7), iters=10).collect()}
     assert ranks2 == ranks
+
+
+def test_pq_recall_and_compression(spark, emb):
+    from carrot_transform_spark.operators import pq
+
+    corpus = emb.limit(200)
+    dim = len(corpus.select("embedding").first()[0])
+    m = 4 if dim % 4 == 0 else 2
+    books = pq.train_codebooks(corpus, m=m, k_sub=8, iters=2)
+    assert len(books) == m and all(len(b) == 8 for b in books)
+    codes = pq.encode(corpus, books).persist()
+    rows = codes.collect()
+    assert all(len(r["code"]) == m for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["code"])
+
+    # recall@10 of ADC vs exact L2 for one query vector
+    q = corpus.orderBy("vec_id").first()
+    qv = [float(x) for x in q["embedding"]]
+    got = {r["neighbor_id"] for r in pq.adc_topk(codes, qv, books, k=10).collect()}
+    v = F.col("embedding").cast("array<double>")
+    exact_dist = F.aggregate(
+        F.zip_with(v, F.array(*[F.lit(x) for x in qv]), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    exact = {
+        r["vec_id"]
+        for r in corpus.select("vec_id", exact_dist.alias("d"))
+        .orderBy("d", "vec_id").limit(10).collect()
+    }
+    # PQ is lossy; require meaningful overlap with the exact top-10
+    assert len(got & exact) >= 4
+    # determinism: re-encoding from a different layout gives identical codes
+    codes2 = {r["id"]: r["code"] for r in pq.encode(corpus.repartition(7), books).collect()}
+    assert codes2 == {r["id"]: r["code"] for r in rows}
+    codes.unpersist()
