@@ -83,6 +83,8 @@ def hash_split(
     """
     if not splits:
         raise ValueError("hash_split needs at least one split")
+    if any(f < 0 for f in splits.values()) or sum(splits.values()) > 1 + 1e-9:
+        raise ValueError(f"hash_split fractions must be >= 0 and sum <= 1: {splits}")
     h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))) % DENOM
     names = list(splits)
     bounds: list[int] = []

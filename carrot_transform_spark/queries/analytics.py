@@ -240,6 +240,57 @@ _ROLLUP_SQL = f"""
     """
 
 
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one pass —
+    same composed grouping-id disambiguation as the rollup twin."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "sum_price", "gid")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_CUBE_SQL = f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS sum_price,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """
+
+
+def ev_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (30 min length, 10 min hop) — each event
+    lands in 3 windows; batch twin of streaming/events.sliding_user_activity.
+    Spark's window() generates the copies natively; the DuckDB twin derives
+    the same 3 hops by integer epoch math."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+        .orderBy("win_start")
+    )
+
+
+_SLIDING_SQL = """
+    WITH ev AS (
+        SELECT CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS hop
+        FROM events WHERE event_type = 'purchase'
+    ),
+    hops AS (SELECT hop - g.i AS win_hop FROM ev, UNNEST(generate_series(0, 2)) AS g(i))
+    SELECT make_timestamp(win_hop * 600 * 1000000) AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM hops GROUP BY win_hop ORDER BY win_start
+    """
+
+
 def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch funnel over the event stream: users whose first view,
     first click, first purchase happen in that order (operators/funnel.py —
@@ -382,6 +433,24 @@ register_suite(
             join_salted_orders,
             _SALTED_SQL,
             [("o_orderkey", "i"), ("o_custkey", "i"), ("c_name", "s"), ("c_mktsegment", "s")],
+        ),
+        (
+            "agg_cube_orders",
+            agg_cube_orders,
+            _CUBE_SQL,
+            [
+                ("o_orderstatus", "s"),
+                ("o_orderpriority", "s"),
+                ("n_orders", "i"),
+                ("sum_price", "f"),
+                ("gid", "i"),
+            ],
+        ),
+        (
+            "ev_sliding_30m",
+            ev_sliding_30m,
+            _SLIDING_SQL,
+            [("win_start", "ts"), ("n_events", "i")],
         ),
     ],
     tags=("window", "setop", "cdc", "funnel", "retention", "suite"),
