@@ -216,7 +216,11 @@ def decontaminate(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(id, component_id) for every node in a pairwise edge list; the
     component id is the minimum node id reachable — turning near-dup PAIRS
@@ -264,6 +268,11 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    # the returned frame reads the final persisted labels; hand the cache to
+    # the caller for unpersist-after-materialize (same contract as
+    # operators/ids.with_dense_ids) instead of leaking it for the session
+    if persist_registry is not None:
+        persist_registry.append(labels)
     return labels.select("id", F.col("comp").alias("component_id"))
 
 
@@ -309,16 +318,22 @@ def simhash_signatures(
         if hi_bits
         else F.lit(0)
     )
-    return bit_rows.groupBy("id").agg(
+    out = bit_rows.groupBy("id").agg(
         hi_expr.cast("bigint").alias("sim_hi"),
         F.sum(F.when(F.col("wl") > 0, F.expr("shiftleft(1L, CAST(i AS INT))")).otherwise(0))
         .cast("bigint")
         .alias("sim_lo"),
     )
+    # the signature width travels WITH the frame (column metadata) so
+    # hamming_pairs can derive its blocking half instead of trusting a
+    # caller-repeated bits argument to stay in sync
+    return out.withColumn(
+        "sim_hi", F.col("sim_hi").alias("sim_hi", metadata={"simhash_bits": bits})
+    )
 
 
 def hamming_pairs(
-    sig: DataFrame, max_distance: int = 8, prefix_bits: int = 16, bits: int = 64
+    sig: DataFrame, max_distance: int = 8, prefix_bits: int = 16, bits: int | None = None
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked by a hash prefix
     so the pair space is bucket-local. (id_a, id_b, hamming).
@@ -328,12 +343,16 @@ def hamming_pairs(
     self-joins at 100 TB). Multi-probe (rotating which half supplies the
     prefix) trades recall for one more pass if needed.
 
-    bits: the signature width passed to simhash_signatures. For bits<=32 the
-    hi half is constant 0, so the prefix must come from sim_lo — blocking on
-    the degenerate hi half would put the whole corpus in ONE bucket (an
-    unblocked O(n^2) self-join)."""
+    bits: the signature width. Defaults to the width simhash_signatures
+    recorded in sim_hi's column metadata, so a 32-bit signature frame can't
+    silently block on its degenerate (constant-0) hi half — which would put
+    the whole corpus in ONE bucket, an unblocked O(n^2) self-join. Only
+    frames built elsewhere need the explicit argument (falling back to 64)."""
     if not 0 < prefix_bits <= 32:
         raise ValueError(f"prefix_bits must be in (0, 32], got {prefix_bits}")
+    if bits is None:
+        meta = dict(sig.schema["sim_hi"].metadata or {})
+        bits = int(meta.get("simhash_bits", 64))
     lo_bits = min(bits, 32)
     hi_bits = bits - lo_bits
     if hi_bits >= prefix_bits:

@@ -45,11 +45,16 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(node, rank) after `iters` rounds from a uniform start. The only
-    driver action is the node count (the teleport base's denominator)."""
+    driver action is the node count (the teleport base's denominator).
+    The persisted node set backs every round AND the returned frame; pass
+    persist_registry to unpersist it after materializing the result."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().persist()
+    if persist_registry is not None:
+        persist_registry.append(nodes)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.count()
     base = (1.0 - damping) / n

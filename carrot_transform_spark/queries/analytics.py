@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from carrot_transform_spark.queries import dsum, dsum_sql, load, register, register_suite
+from carrot_transform_spark.queries import dsum, dsum_sql, fround, fround_sql, load, register, register_suite
 
 # ---------------------------------------------------------------------------
 # window functions
@@ -178,12 +178,12 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         tombstone=F.col("event_type") == "error",
     )
     return snap.select(
-        "user_id", "event_id", "ts", "event_type", F.round("value", 4).alias("value")
+        "user_id", "event_id", "ts", "event_type", fround("value", 4).alias("value")
     ).orderBy("user_id")
 
 
-_CDC_SQL = """
-    SELECT user_id, event_id, ts, event_type, ROUND(value, 4) AS value FROM (
+_CDC_SQL = f"""
+    SELECT user_id, event_id, ts, event_type, {fround_sql('value', 4)} AS value FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY user_id ORDER BY ts DESC, event_id DESC
         ) AS rn FROM events

@@ -63,8 +63,16 @@ def apply_cdc_stream(
         allc = batch_df.unionByName(prev) if prev is not None else batch_df
         # keep tombstone winners in the stored snapshot (see docstring)
         snap = latest_snapshot(allc, key_cols, ts_col, tiebreak_col, tombstone=None)
-        vdir = f"v{batch_id}"
-        snap.write.mode("overwrite").parquet(os.path.join(base_dir, vdir))
+        # never reuse an existing version dir: a checkpoint replay of batch N
+        # whose pointer already advanced to vN would otherwise OVERWRITE the
+        # very directory `prev` is lazily reading (Spark refuses, and a crash
+        # mid-write could destroy the live snapshot). A fresh suffixed dir
+        # keeps every attempt isolated; the pointer swap stays atomic.
+        vdir, attempt = f"v{batch_id}", 0
+        while os.path.exists(os.path.join(base_dir, vdir)):
+            attempt += 1
+            vdir = f"v{batch_id}.{attempt}"
+        snap.write.parquet(os.path.join(base_dir, vdir))
         tmp = os.path.join(base_dir, f"._LATEST.{batch_id}")
         with open(tmp, "w") as fh:
             fh.write(vdir)

@@ -316,11 +316,19 @@ def test_hamming_pairs_narrow_signature_buckets(spark):
     pairs = dd.hamming_pairs(sig32, max_distance=2, prefix_bits=16, bits=32)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 100) in got
+    # the width travels in column metadata: omitting bits must derive 32
+    # (not silently one-bucket on the degenerate hi half)
+    auto = {(r["id_a"], r["id_b"]) for r in dd.hamming_pairs(
+        sig32, max_distance=2, prefix_bits=16).collect()}
+    assert auto == got
     with pytest.raises(ValueError, match="prefix_bits"):
         dd.hamming_pairs(sig32, prefix_bits=0)
     with pytest.raises(ValueError, match="exceeds"):
         dd.hamming_pairs(dd.simhash_signatures(df, "id", "text", bits=16),
                          prefix_bits=20, bits=16)
+    with pytest.raises(ValueError, match="exceeds"):
+        dd.hamming_pairs(dd.simhash_signatures(df, "id", "text", bits=16),
+                         prefix_bits=20)
 
 
 def test_chunk_token_windows_boundaries(spark):
