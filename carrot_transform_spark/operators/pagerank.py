@@ -93,8 +93,15 @@ def pagerank_sql(
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        f"r0 AS (SELECT node, {r9('1.0 / nn.n')} AS rank FROM nodes, nn)",
+        f"r0 AS (SELECT node, {r9('CAST(1.0 AS DOUBLE) / nn.n')} AS rank FROM nodes, nn)",
     ]
+    # CAST the teleport constants to DOUBLE so DuckDB performs the same IEEE
+    # subtract-then-divide Python used for Spark's literal base — DECIMAL
+    # parsing of 1.0/0.85 can differ by 1 ulp before the 9-decimal rounding.
+    new_rank = (
+        f"(CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / nn.n"
+        f" + CAST({damping} AS DOUBLE) * COALESCE(CAST(s.s AS DOUBLE), 0.0)"
+    )
     for t in range(iters):
         contrib = (
             f"SELECT e.dst AS node, CAST({r9(f'r{t}.rank / deg.deg')} AS DECIMAL(38,12)) AS c "
@@ -102,7 +109,7 @@ def pagerank_sql(
         )
         ctes.append(
             f"r{t + 1} AS (SELECT nodes.node, "
-            f"{r9(f'(1.0 - {damping}) / nn.n + {damping} * COALESCE(CAST(s.s AS DOUBLE), 0.0)')} AS rank "
+            f"{r9(new_rank)} AS rank "
             f"FROM nodes CROSS JOIN nn LEFT JOIN "
             f"(SELECT node, SUM(c) AS s FROM ({contrib}) GROUP BY node) s ON nodes.node = s.node)"
         )
