@@ -45,16 +45,53 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros — the
-        # same truncation DuckDB applies when loading nanos into its
-        # micro-precision TIMESTAMP.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        import pyspark.sql.functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, f"{sf_dir}/{table}.parquet")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read events parquet and normalize `ts` to a session-tz TIMESTAMP.
+
+    The testdata has shipped `ts` in different physical encodings across
+    rounds (TIMESTAMP(NANOS), then timestamp[us]), so branch on the dtype
+    Spark actually infers instead of assuming one:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it outright unless
+      `spark.sql.legacy.parquet.nanosAsLong` is set, so the first read
+      attempt raises; retry with the conf on and truncate nanos -> micros,
+      the same truncation DuckDB applies loading nanos into its
+      micro-precision TIMESTAMP. The conf stays set: the scan consults it
+      at *execution* time (restoring it pre-collect breaks the read), and
+      it only changes how TIMESTAMP(NANOS) columns parse — columns that
+      would otherwise be unreadable — so it cannot alter any other read.
+    - timestamp[us] without UTC adjustment: reads as TIMESTAMP_NTZ; cast
+      to TIMESTAMP (session tz is UTC — see session.py — so the cast is
+      value-preserving and renders identically to DuckDB's naive TIMESTAMP).
+    - TIMESTAMP / anything else: passthrough.
+
+    Downstream queries rely on `ts` being TIMESTAMP (e.g. ev_sessionize
+    does CAST(ts AS BIGINT), which is illegal on TIMESTAMP_NTZ), so the
+    normalization is a contract, covered by tests/test_events_loader.py.
+    """
+    import pyspark.sql.functions as F
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # Illegal Parquet type: INT64 (TIMESTAMP(NANOS,..))
+        if "NANOS" not in str(exc):
+            raise
+        spark.conf.set(conf_key, "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # nanosAsLong already on session-wide: same nanos -> micros truncation.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def dsum(expr, scale: int = 2):
