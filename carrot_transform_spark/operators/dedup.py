@@ -181,10 +181,18 @@ def minhash_lsh_dedup(
     rows_per_band: int = 2,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: (id_a, id_b, jaccard)."""
+    """Full MinHash+LSH near-dup pipeline: (id_a, id_b, jaccard).
+
+    The shingle index is persisted (it feeds signature, candidate, and both
+    verify branches); pass persist_registry to take ownership of the cache
+    and unpersist it after materializing the result — same contract as
+    connected_components / with_dense_ids."""
     index = exploded_shingle_index(df, id_col, text_col, n=shingle_n, persist=True)
     index.count()  # materialize before the multi-branch DAG races the cache
+    if persist_registry is not None:
+        persist_registry.append(index)
     sig = minhash_signatures(index, k=k)
     cand = lsh_candidate_pairs(lsh_bands(sig, k=k, rows_per_band=rows_per_band))
     return jaccard_verify(cand, index, threshold=threshold)
@@ -346,13 +354,21 @@ def hamming_pairs(
     bits: the signature width. Defaults to the width simhash_signatures
     recorded in sim_hi's column metadata, so a 32-bit signature frame can't
     silently block on its degenerate (constant-0) hi half — which would put
-    the whole corpus in ONE bucket, an unblocked O(n^2) self-join. Only
-    frames built elsewhere need the explicit argument (falling back to 64)."""
+    the whole corpus in ONE bucket, an unblocked O(n^2) self-join. If the
+    metadata was lost (a transform rebuilt the column) and bits is not
+    given, this raises rather than guessing 64 — the wrong guess is exactly
+    the O(n^2) failure the metadata exists to prevent."""
     if not 0 < prefix_bits <= 32:
         raise ValueError(f"prefix_bits must be in (0, 32], got {prefix_bits}")
     if bits is None:
         meta = dict(sig.schema["sim_hi"].metadata or {})
-        bits = int(meta.get("simhash_bits", 64))
+        if "simhash_bits" not in meta:
+            raise ValueError(
+                "hamming_pairs: sig has no simhash_bits column metadata "
+                "(lost through a transform that rebuilt sim_hi?); pass the "
+                "signature width explicitly via bits="
+            )
+        bits = int(meta["simhash_bits"])
     lo_bits = min(bits, 32)
     hi_bits = bits - lo_bits
     if hi_bits >= prefix_bits:

@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from carrot_transform_spark.functions import sql_str
+
 
 def funnel_steps(
     df: DataFrame,
@@ -69,7 +71,7 @@ def funnel_steps_sql(
 ) -> str:
     """DuckDB twin of funnel_steps."""
     mins = ", ".join(
-        f"MIN(CASE WHEN {type_expr} = '{s}' THEN {ts_expr} END) AS t{i}"
+        f"MIN(CASE WHEN {type_expr} = {sql_str(s)} THEN {ts_expr} END) AS t{i}"
         for i, s in enumerate(steps)
     )
     selects = []
@@ -79,7 +81,7 @@ def funnel_steps_sql(
             conds.append(f"t{j} IS NOT NULL AND t{j} > t{j - 1}")
         cond = " AND ".join(conds)
         selects.append(
-            f"SELECT {i + 1} AS step_idx, '{s}' AS step_name, "
+            f"SELECT {i + 1} AS step_idx, {sql_str(s)} AS step_name, "
             f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_users "
             f"FROM firsts"
         )

@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from carrot_transform_spark.functions import sql_str
+
 DENOM = 10_000
 
 
@@ -53,7 +55,7 @@ def stratified_sample(
 def sample_threshold_sql(strata_expr: str, rates: dict[str, float], default_rate: float = 1.0) -> str:
     """DuckDB twin of the per-stratum threshold CASE."""
     whens = " ".join(
-        f"WHEN {strata_expr} = '{s}' THEN {int(r * DENOM)}" for s, r in rates.items()
+        f"WHEN {strata_expr} = {sql_str(s)} THEN {int(r * DENOM)}" for s, r in rates.items()
     )
     return f"CASE {whens} ELSE {int(default_rate * DENOM)} END"
 
@@ -103,16 +105,16 @@ def hash_split_sql(key_expr: str, splits: dict[str, float], salt: str = "split")
     """DuckDB twin of hash_split's assignment CASE."""
     h = (
         f"CAST(CONCAT('0x', substring(md5(concat_ws('|', CAST({key_expr} AS VARCHAR), "
-        f"'{salt}')), 1, 8)) AS UBIGINT) % {DENOM}"
+        f"{sql_str(salt)})), 1, 8)) AS UBIGINT) % {DENOM}"
     )
     names = list(splits)
     whens, acc = [], 0
     for name in names[:-1]:
         acc += round(splits[name] * DENOM)
-        whens.append(f"WHEN {h} < {acc} THEN '{name}'")
+        whens.append(f"WHEN {h} < {acc} THEN {sql_str(name)}")
     if not whens:
-        return f"'{names[-1]}'"
-    return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+        return sql_str(names[-1])
+    return f"CASE {' '.join(whens)} ELSE {sql_str(names[-1])} END"
 
 
 def mix_datasets(

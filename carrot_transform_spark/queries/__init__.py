@@ -30,6 +30,49 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+# Query-local persisted intermediates (multi-consumer frames a single query
+# caches so its DAG doesn't recompute them per branch). The driver runs
+# registry queries back-to-back in one long session; without release these
+# caches pile up until LRU eviction thrash. Each query invocation releases
+# the previous query's caches, bounding live cache to one query's worth —
+# by then the previous result has been collected, and even if a stale
+# DataFrame is re-collected later, unpersist only costs a lineage recompute,
+# never correctness.
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def qpersist(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Persist a query-local intermediate and record it for release.
+
+    eager=True materializes immediately — required when the downstream DAG
+    reads the frame from several branches within ONE action (a cold cache is
+    raced and recomputed per branch otherwise)."""
+    df = df.persist()
+    _QUERY_CACHES.append(df)
+    if eager:
+        df.count()
+    return df
+
+
+def release_query_caches() -> None:
+    """Unpersist every query-local cache recorded since the last release."""
+    while _QUERY_CACHES:
+        df = _QUERY_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+
+
+def _released(fn: SparkQuery) -> SparkQuery:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_query_caches()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
@@ -37,7 +80,9 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(name=name, spark_fn=fn, oracle=oracle, tags=tags)
+        REGISTRY[name] = QueryDef(
+            name=name, spark_fn=_released(fn), oracle=oracle, tags=tags
+        )
         return fn
 
     return deco
@@ -232,6 +277,7 @@ def register_suite(name: str, parts: list[SuitePart], tags: tuple[str, ...] = ()
     from functools import reduce
 
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_query_caches()
         dfs = [checksum_df(fn(spark, sf_dir), cols, cname) for cname, fn, _, cols in parts]
         return reduce(DataFrame.unionByName, dfs).orderBy("check_name")
 

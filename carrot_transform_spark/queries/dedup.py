@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from carrot_transform_spark.queries import load, register, register_suite
+from carrot_transform_spark.queries import load, qpersist, register, register_suite
 
 # shared deterministic 32-bit hash: identical in Spark and DuckDB
 #   spark : conv(substring(md5(s), 1, 8), 16, 10)::bigint
@@ -105,7 +105,11 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str, persist: bool = False) 
     e = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("s")
     ).filter(F.col("s").isNotNull())
-    return e.persist() if persist else e
+    # qpersist (not bare persist): registers the cache for release at the
+    # next registry-query invocation, so back-to-back driver runs don't
+    # accumulate shingle indexes until LRU thrash. Lazy — callers decide
+    # when to materialize (most .count() right before a multi-branch DAG).
+    return qpersist(e, eager=False) if persist else e
 
 
 # ---------------------------------------------------------------------------
@@ -378,8 +382,7 @@ def dd_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sig = simhash_signatures(d, "doc_id", "text", bits=64).persist()
-    sig.count()
+    sig = qpersist(simhash_signatures(d, "doc_id", "text", bits=64))
     return (
         hamming_pairs(sig, max_distance=8, prefix_bits=16)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")

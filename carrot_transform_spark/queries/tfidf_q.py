@@ -21,7 +21,7 @@ from carrot_transform_spark.operators.tfidf import (
     tfidf_weights,
     tfidf_weights_sql,
 )
-from carrot_transform_spark.queries import load
+from carrot_transform_spark.queries import load, qpersist
 
 _SLICE = 80  # doc_id < _SLICE; covers the whole corpus at sf0.001
 _TOP = 40
@@ -31,8 +31,7 @@ def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _SLICE)
     # the weights frame feeds three consumers (pair join a-side, b-side,
     # norms) — persist it once instead of re-running scan+explode+agg 3x
-    w = tfidf_weights(d, idf_mode="ratio").persist()
-    w.count()
+    w = qpersist(tfidf_weights(d, idf_mode="ratio"))
     pairs = cosine_pairs(w, threshold=0.0)
     rn = F.row_number().over(
         Window.orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))

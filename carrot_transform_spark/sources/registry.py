@@ -43,6 +43,18 @@ class Source:
             df = df.select(*keep)
         return df.withColumn(LINE_COL, F.monotonically_increasing_id())
 
+    def _finalize_csv(self, df: DataFrame) -> DataFrame:
+        """CSV variant of _finalize: also trims the Excel trailing-comma
+        artifact. The reference (sources.py:160-177) drops the LAST column
+        when its header name is blank; Spark's CSV reader renames a blank
+        header field to its positional ``_c{i}``, so the blank-name check
+        alone never fires — match the exact name Spark generates for an
+        unnamed final column instead."""
+        cols = df.columns
+        if cols and cols[-1] == f"_c{len(cols) - 1}":
+            df = df.select(*cols[:-1])
+        return self._finalize(df)
+
 
 class CsvDirSource(Source):
     """<dir>/<table>.csv, read as strings with header (reference S1)."""
@@ -67,7 +79,7 @@ class CsvDirSource(Source):
             .option("mode", "PERMISSIVE")
             .csv(str(path))
         )
-        return self._finalize(df)
+        return self._finalize_csv(df)
 
 
 class ParquetDirSource(Source):
@@ -124,7 +136,7 @@ class S3CsvSource(Source):
             .option("inferSchema", False)
             .csv(f"{self.base_url}/{table}")
         )
-        return self._finalize(df)
+        return self._finalize_csv(df)
 
 
 _URL_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
