@@ -64,8 +64,32 @@ def release_query_caches() -> None:
             pass  # session already stopped; nothing to release
 
 
+def _disable_df_debugging(spark: SparkSession) -> None:
+    """Turn off pyspark's per-API-call call-site capture for this session.
+
+    Every DataFrame/Column API call otherwise inspects the Python stack and
+    makes an extra JVM round trip so error messages can cite user code —
+    measured ~45% of driver-side plan-construction time on the when-chain-
+    heavy OMOP plans. The queries here are driver-graded, not interactive,
+    so the enrichment buys nothing. pyspark caches the flag in a module
+    global after the first API call; registry queries may run on a
+    driver-owned session created before we get control, so set both the
+    conf and (best-effort) the cache."""
+    try:
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    except Exception:
+        pass
+    try:
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass  # private cache moved/renamed: the conf (when early) still works
+
+
 def _released(fn: SparkQuery) -> SparkQuery:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _disable_df_debugging(spark)
         release_query_caches()
         return fn(spark, sf_dir)
 
@@ -277,6 +301,7 @@ def register_suite(name: str, parts: list[SuitePart], tags: tuple[str, ...] = ()
     from functools import reduce
 
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _disable_df_debugging(spark)
         release_query_caches()
         dfs = [checksum_df(fn(spark, sf_dir), cols, cname) for cname, fn, _, cols in parts]
         return reduce(DataFrame.unionByName, dfs).orderBy("check_name")

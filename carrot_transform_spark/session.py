@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # per-DataFrame-API-call stack inspection + a JVM round trip, only
+        # used to enrich error messages with user call sites; measured ~45%
+        # of driver-side plan-construction time on expression-heavy plans
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
