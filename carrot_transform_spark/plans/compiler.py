@@ -102,18 +102,27 @@ class CarrotPlanner:
     # person anonymisation map (J2/W2)
     # ------------------------------------------------------------------
 
-    def _spread(self, df: DataFrame, source: Source | None = None) -> DataFrame:
+    def _spread(
+        self, df: DataFrame, source: Source | None = None, table: str | None = None
+    ) -> DataFrame:
         """Small single-file scans arrive as one partition; the expensive
         stages downstream (regex normalisation, record structs) are per-row
         compute, so spread first. Safe: the line/order column is assigned at
         read time, before any repartitioning. At real scale multi-split
-        scans skip this. Sources that declare pre_spread skip the probe
-        entirely — df.rdd.getNumPartitions() costs ~1s of driver-side
-        plan-to-RDD conversion per scan."""
+        scans skip this.
+
+        Split-count discovery, cheapest first: sources that declare
+        pre_spread skip everything; sources that can estimate their scan's
+        split count from file size (scan_splits) answer driver-side with no
+        Spark work; only an unknown source pays the
+        df.rdd.getNumPartitions() probe (~1s of plan-to-RDD conversion)."""
         if source is not None and source.pre_spread:
             return df
         target = self.spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, target // 2):
+        splits = source.scan_splits(table) if source is not None and table else None
+        if splits is None:
+            splits = df.rdd.getNumPartitions()
+        if splits < max(2, target // 2):
             return df.repartition(target)
         return df
 
@@ -122,7 +131,7 @@ class CarrotPlanner:
         FILE, strict dob validation (person_helpers.py:90-151,
         validation.py:13-63). Returns (source_subject, target_subject)."""
         dob_field, pid_field = self.rules.person_source_info("person")
-        df = self._spread(source.read(self.person_table), source)
+        df = self._spread(source.read(self.person_table), source, self.person_table)
         pid = _resolve(df, pid_field)
         dob = _resolve(df, dob_field)
         valid = df.filter(valid_value(pid) & strict_date(dob).isNotNull())
@@ -168,7 +177,7 @@ class CarrotPlanner:
         parts: list[DataFrame] = []
         cand_bound: int | None = 0
         for src_file, tm in per_source.items():
-            df = self._spread(source.read(tm.source_table), source)
+            df = self._spread(source.read(tm.source_table), source, tm.source_table)
             part = self._file_records(df, tm, schema, stats)
             parts.append(part.withColumn(FILEIDX_COL, F.lit(global_files.index(src_file))))
             if cand_bound is not None:

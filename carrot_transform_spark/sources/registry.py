@@ -22,6 +22,23 @@ from pyspark.sql import DataFrame, SparkSession
 LINE_COL = "__ct_line"
 
 
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """spark.sql.files.maxPartitionBytes as an int (values like '128MB' or
+    '134217728b' both appear depending on how the conf was set)."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("k", 1 << 10),
+                      ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return max(1, int(raw) * mult)
+    except ValueError:
+        return 128 << 20
+
+
 class Source:
     # True when read() already returns a well-spread DataFrame (e.g. it ends
     # in a repartition); lets the planner skip its partition-count probe,
@@ -35,6 +52,13 @@ class Source:
         """Cheap upper bound on read(table)'s row count (e.g. parquet footer
         metadata), or None when unknowable without a scan. Lets dense-id
         assignment skip its sizing pass for known-small inputs."""
+        return None
+
+    def scan_splits(self, table: str) -> int | None:
+        """Estimated number of partitions the scan of `table` produces, or
+        None when unknowable cheaply. Lets the planner decide whether to
+        spread a narrow scan without the ~1s driver-side plan-to-RDD
+        conversion of df.rdd.getNumPartitions()."""
         return None
 
     def _finalize(self, df: DataFrame) -> DataFrame:
@@ -64,13 +88,24 @@ class CsvDirSource(Source):
         self.directory = Path(directory)
         self.sep = sep
 
-    def read(self, table: str) -> DataFrame:
+    def _path(self, table: str) -> Path:
         name = table if table.endswith(".csv") else f"{table}.csv"
         path = self.directory / name
         if not path.exists():
             # allow tables named without extension on disk
             alt = self.directory / table
             path = alt if alt.exists() else path
+        return path
+
+    def scan_splits(self, table: str) -> int | None:
+        try:
+            size = self._path(table).stat().st_size
+        except OSError:
+            return None
+        return max(1, -(-size // _max_partition_bytes(self.spark)))
+
+    def read(self, table: str) -> DataFrame:
+        path = self._path(table)
         df = (
             self.spark.read.option("header", True)
             .option("sep", self.sep)
@@ -90,6 +125,13 @@ class ParquetDirSource(Source):
         self.spark = spark
         self.directory = Path(directory)
 
+    def scan_splits(self, table: str) -> int | None:
+        try:
+            size = (self.directory / f"{table}.parquet").stat().st_size
+        except OSError:
+            return None
+        return max(1, -(-size // _max_partition_bytes(self.spark)))
+
     def read(self, table: str) -> DataFrame:
         df = self.spark.read.parquet(str(self.directory / f"{table}.parquet"))
         df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
@@ -103,6 +145,14 @@ class JdbcSource(Source):
         self.spark = spark
         self.url = url
         self.properties = properties or {}
+
+    def scan_splits(self, table: str) -> int | None:
+        # a JDBC scan is one partition unless numPartitions/partitionColumn
+        # options parallelize it
+        try:
+            return max(1, int(self.properties.get("numPartitions", 1)))
+        except (TypeError, ValueError):
+            return None
 
     def read(self, table: str) -> DataFrame:
         # rules name sources by file ("Demographics.csv"); DB tables drop the
