@@ -112,18 +112,41 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Temporal columns per testdata table. Every one is normalized to a
+# session-tz TIMESTAMP on load, whatever physical encoding the driver's
+# generator used this round — the encoding has CHANGED across rounds
+# (TIMESTAMP(NANOS) -> timestamp[us]) and a loader assuming one encoding
+# zeroed round 4.
+_TEMPORAL_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    if table == "events":
-        return _load_events(spark, f"{sf_dir}/{table}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # Part of the temporal contract: have the parquet reader surface
+    # NTZ-eligible columns (timestamp[us] without UTC adjustment) as
+    # session-tz TIMESTAMP directly — zero-cost, no cast projection over
+    # the scan. The cast branch in _load_normalized stays as a fallback
+    # for sessions where this conf is overridden.
+    conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    if spark.conf.get(conf_key, "true") != "false":
+        try:
+            spark.conf.set(conf_key, "false")
+        except Exception:
+            pass
+    return _load_normalized(
+        spark, f"{sf_dir}/{table}.parquet", _TEMPORAL_COLS.get(table, ())
+    )
 
 
-def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """Read events parquet and normalize `ts` to a session-tz TIMESTAMP.
+def _load_normalized(
+    spark: SparkSession, path: str, temporal_cols: tuple[str, ...]
+) -> DataFrame:
+    """Read parquet and normalize declared temporal columns to TIMESTAMP.
 
-    The testdata has shipped `ts` in different physical encodings across
-    rounds (TIMESTAMP(NANOS), then timestamp[us]), so branch on the dtype
-    Spark actually infers instead of assuming one:
+    Branch on the dtype Spark actually infers instead of assuming one:
 
     - TIMESTAMP(NANOS): Spark's reader rejects it outright unless
       `spark.sql.legacy.parquet.nanosAsLong` is set, so the first read
@@ -138,9 +161,9 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
       value-preserving and renders identically to DuckDB's naive TIMESTAMP).
     - TIMESTAMP / anything else: passthrough.
 
-    Downstream queries rely on `ts` being TIMESTAMP (e.g. ev_sessionize
-    does CAST(ts AS BIGINT), which is illegal on TIMESTAMP_NTZ), so the
-    normalization is a contract, covered by tests/test_events_loader.py.
+    Downstream queries rely on the TIMESTAMP contract (e.g. ev_sessionize
+    does CAST(ts AS BIGINT), illegal on TIMESTAMP_NTZ); covered by
+    tests/test_events_loader.py.
     """
     import pyspark.sql.functions as F
 
@@ -148,18 +171,20 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
     except Exception as exc:  # Illegal Parquet type: INT64 (TIMESTAMP(NANOS,..))
-        if "NANOS" not in str(exc):
+        if "NANOS" not in str(exc) or not temporal_cols:
             raise
         spark.conf.set(conf_key, "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
-    dtype = dict(df.dtypes).get("ts")
-    if dtype == "bigint":
-        # nanosAsLong already on session-wide: same nanos -> micros truncation.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if dtype == "timestamp_ntz":
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    dtypes = dict(df.dtypes)
+    for c in temporal_cols:
+        dtype = dtypes.get(c)
+        if dtype == "bigint":
+            # epoch-nanos (via nanosAsLong or pre-flattened): truncate to
+            # micros, the same truncation DuckDB applies on load
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

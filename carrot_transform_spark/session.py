@@ -38,6 +38,10 @@ def get_spark(
         # used to enrich error messages with user call sites; measured ~45%
         # of driver-side plan-construction time on expression-heavy plans
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # engine-wide temporal contract: parquet timestamp[us] without UTC
+        # adjustment reads as session-tz TIMESTAMP (not TIMESTAMP_NTZ), so
+        # loaders need no cast projection over the scan
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -68,18 +68,28 @@ def test_ts_normalized_to_timestamp(spark, tmp_path, enc):
 
 
 def test_load_does_not_leak_session_conf(spark, tmp_path):
-    # Non-nanos reads must not touch session confs. (The nanos branch is
-    # the documented exception: nanosAsLong must stay set because the scan
-    # consults it at execution time, and it only affects TIMESTAMP(NANOS)
-    # columns, which are otherwise unreadable.)
+    # Non-nanos reads must not touch nanosAsLong. (Two documented
+    # exceptions exist: the nanos branch sets nanosAsLong because the scan
+    # consults it at execution time and it only affects otherwise-unreadable
+    # TIMESTAMP(NANOS) columns; and load() pins inferTimestampNTZ=false,
+    # the engine-wide temporal contract also set by session.py.)
     key = "spark.sql.legacy.parquet.nanosAsLong"
     before = spark.conf.get(key, None)
     sf_dir = _write_events(tmp_path, "leak", ENCODINGS["micros_ntz"])
     load(spark, sf_dir, "events").collect()
     assert spark.conf.get(key, None) == before
+    assert spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
 
 
 def test_real_testdata_contract(spark):
     df = load(spark, "/root/testdata/sf0.001", "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.limit(1).count() == 1
+
+
+def test_orders_lineitem_temporal_contract(spark):
+    # the same drift exposure exists for the other timestamp-bearing
+    # tables; load() normalizes them too
+    for table, col in [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]:
+        df = load(spark, "/root/testdata/sf0.001", table)
+        assert dict(df.dtypes)[col] == "timestamp", table
