@@ -121,7 +121,10 @@ def run_transform(
                 )
             )
             sink.write("person_ids", pm, ["SOURCE_SUBJECT", "TARGET_SUBJECT"])
-            sink.write_rows("summary_mapstream", SUMMARY_HEADER, metrics.summary_rows())
+            sink.write_rows(
+                "summary_mapstream", SUMMARY_HEADER, metrics.summary_rows(),
+                spark=planner.spark,
+            )
         finally:
             # outputs are on disk (or the write failed): either way drop every
             # cache the run accumulated so a long-lived session doesn't leak

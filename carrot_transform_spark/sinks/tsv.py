@@ -8,24 +8,50 @@ quoting (outputs.py:96-114). Two write modes:
                    driver never holds the full table.
 - ``distributed``: df.write.csv with tab separator — the 100 TB path
                    (many part files, committed by the cluster).
+
+The directory may be a local path OR an object-store URL (s3a://...,
+reference K3 writes multipart to S3/MinIO, outputs.py + sources.py s3
+coordinates). For URLs, distributed mode hands the URL straight to Spark's
+committer (the s3a committer handles multipart), and single mode streams
+the same toLocalIterator iteration through the Hadoop FileSystem API —
+one object, no local staging, never a full-table collect.
 """
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+
+_URL_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
 
 class TsvDirSink:
     def __init__(self, directory: str | Path, mode: str = "single", write_mode: str = "overwrite"):
         """write_mode: 'overwrite' (reference default) or 'append' — append
         adds rows to an existing TSV without re-writing the header
-        (reference v2 --write-mode)."""
-        self.directory = Path(directory)
-        self.directory.mkdir(parents=True, exist_ok=True)
+        (reference v2 --write-mode). Append targets local paths only:
+        object stores don't support appends."""
+        self.is_url = isinstance(directory, str) and bool(_URL_RE.match(directory))
+        if self.is_url:
+            self.base = str(directory).rstrip("/")
+            if write_mode == "append":
+                raise ValueError("append write-mode is not supported for object-store URLs")
+        else:
+            self.directory = Path(directory)
+            self.directory.mkdir(parents=True, exist_ok=True)
         self.mode = mode
         self.write_mode = write_mode
+
+    def _hadoop_open(self, spark, url: str):
+        """Create (overwrite) `url` via the Hadoop FileSystem for its scheme
+        and return the JVM output stream."""
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(url)
+        fs = jpath.getFileSystem(hconf)
+        return fs.create(jpath, True)
 
     def write(self, name: str, df: DataFrame, columns: list[str]) -> None:
         # "shorten" quirk (reference outputs.py:62-83 start/write): when the
@@ -36,6 +62,16 @@ class TsvDirSink:
             df = df.select(*[df.columns[i] for i in range(len(columns))])
         out = df.select(*columns)
         if self.mode == "single":
+            if self.is_url:
+                stream = self._hadoop_open(out.sparkSession, f"{self.base}/{name}.tsv")
+                try:
+                    stream.write(("\t".join(columns) + "\n").encode("utf-8"))
+                    for row in out.toLocalIterator():
+                        line = "\t".join("" if v is None else str(v) for v in row) + "\n"
+                        stream.write(line.encode("utf-8"))
+                finally:
+                    stream.close()
+                return
             path = self.directory / f"{name}.tsv"
             appending = self.write_mode == "append" and path.exists()
             with path.open("a" if appending else "w", encoding="utf-8") as fh:
@@ -44,24 +80,36 @@ class TsvDirSink:
                 for row in out.toLocalIterator():
                     fh.write("\t".join("" if v is None else str(v) for v in row) + "\n")
         else:
+            target = f"{self.base}/{name}" if self.is_url else str(self.directory / name)
             (
                 out.write.mode("overwrite")
                 .option("sep", "\t")
                 .option("header", True)
                 .option("emptyValue", "")
                 .option("nullValue", "")
-                .csv(str(self.directory / name))
+                .csv(target)
             )
 
-    def write_rows(self, name: str, header: list[str], rows: list[list[str]]) -> None:
+    def write_rows(
+        self, name: str, header: list[str], rows: list[list[str]], spark=None
+    ) -> None:
         shorten = bool(header) and header[-1] == ""
         if shorten:
             header = header[:-1]
+        lines = ["\t".join(header) + "\n"]
+        lines += ["\t".join(r[:-1] if shorten else r) + "\n" for r in rows]
+        if self.is_url:
+            if spark is None:
+                raise ValueError("write_rows to an object-store URL needs the spark session")
+            stream = self._hadoop_open(spark, f"{self.base}/{name}.tsv")
+            try:
+                stream.write("".join(lines).encode("utf-8"))
+            finally:
+                stream.close()
+            return
         path = self.directory / f"{name}.tsv"
         with path.open("w", encoding="utf-8") as fh:
-            fh.write("\t".join(header) + "\n")
-            for r in rows:
-                fh.write("\t".join(r[:-1] if shorten else r) + "\n")
+            fh.writelines(lines)
 
 
 class JdbcSink:

@@ -75,14 +75,26 @@ def s3a_local(spark, tmp_path_factory):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     prev_loader = hconf.getClassLoader()
     prev_impl = hconf.get("fs.s3a.impl", None)
+    committer_key = "mapreduce.outputcommitter.factory.scheme.s3a"
+    prev_committer = hconf.get(committer_key, None)
     hconf.setClassLoader(loader)
     hconf.set("fs.s3a.impl", "ct.testfs.S3ALocalFileSystem")
+    # Spark wires the s3a scheme to the S3A magic committer (hadoop-aws,
+    # absent here); the plain file committer works against the local fake
+    hconf.set(
+        committer_key,
+        "org.apache.hadoop.mapreduce.lib.output.FileOutputCommitterFactory",
+    )
     yield spark
     hconf.setClassLoader(prev_loader)
     if prev_impl is None:
         hconf.unset("fs.s3a.impl")
     else:
         hconf.set("fs.s3a.impl", prev_impl)
+    if prev_committer is None:
+        hconf.unset(committer_key)
+    else:
+        hconf.set(committer_key, prev_committer)
     # drop the cached s3a FileSystem so later sessions re-resolve cleanly
     jvm.org.apache.hadoop.fs.FileSystem.closeAll()
 
@@ -135,3 +147,47 @@ def test_local_csv_trailing_comma_trim(spark, tmp_path):
     d = _write_csv(tmp_path)
     df = make_source(spark, str(d)).read("Demographics.csv")
     assert df.columns == ["PersonID", "DOB", "Sex", LINE_COL]
+
+
+# ---------------------------------------------------------------------------
+# K3: object-store TSV sink, executed through the same s3a fake
+# ---------------------------------------------------------------------------
+
+
+def test_s3a_single_tsv_sink(s3a_local, tmp_path):
+    from carrot_transform_spark.sinks.tsv import TsvDirSink
+
+    df = s3a_local.createDataFrame(
+        [(1, "a"), (2, None)], "person_id long, gender string"
+    )
+    sink = TsvDirSink(f"s3a://{tmp_path}/out", mode="single")
+    sink.write("person", df.orderBy("person_id"), ["person_id", "gender"])
+    got = (tmp_path / "out" / "person.tsv").read_text()
+    assert got == "person_id\tgender\n1\ta\n2\t\n"
+    sink.write_rows("summary", ["k", "v"], [["x", "1"]], spark=s3a_local)
+    assert (tmp_path / "out" / "summary.tsv").read_text() == "k\tv\nx\t1\n"
+
+
+def test_s3a_distributed_tsv_sink(s3a_local, tmp_path):
+    from carrot_transform_spark.sinks.tsv import TsvDirSink
+
+    df = s3a_local.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    )
+    sink = TsvDirSink(f"s3a://{tmp_path}/dout", mode="distributed")
+    sink.write("t", df, ["id", "val"])
+    parts = sorted((tmp_path / "dout" / "t").glob("part-*"))
+    assert parts, "no part files committed"
+    rows = set()
+    for p in parts:
+        lines = p.read_text().splitlines()
+        assert lines[0] == "id\tval"
+        rows.update(lines[1:])
+    assert rows == {f"{i}\tv{i}" for i in range(10)}
+
+
+def test_url_sink_rejects_append(s3a_local, tmp_path):
+    from carrot_transform_spark.sinks.tsv import TsvDirSink
+
+    with pytest.raises(ValueError, match="append"):
+        TsvDirSink(f"s3a://{tmp_path}/x", write_mode="append")
