@@ -134,10 +134,28 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> tuple[CarrotPlanner, Source, 
     if key not in _MEMO:
         planner = _planner(spark)
         src = _SyntheticSource(spark, sf_dir)
+        # persist WITHOUT an eager count: the first action that consumes the
+        # map (usually the broadcast build inside target_records) materializes
+        # it in-plan, saving one driver job per registry sweep. Subsequent
+        # queries sharing the memo hit the cache as before.
         pm = planner.person_map(src).persist()
-        pm.count()
         _MEMO[key] = (planner, src, pm)
     return _MEMO[key]
+
+
+# Built logical plans, keyed by (spark id, sf_dir, query). DataFrames are
+# immutable lazy plans, so reusing one across calls is prepared-statement
+# reuse: the ~2s of py4j plan construction for the when-chain-heavy OMOP
+# targets is paid once per session while every execution still recomputes
+# the data (caches are cleared between bench runs).
+_PLAN_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _memo_plan(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _PLAN_MEMO:
+        _PLAN_MEMO[key] = build()
+    return _PLAN_MEMO[key]
 
 
 _PMAP_SQL = """
@@ -155,10 +173,13 @@ _PMAP_SQL = """
 def omop_person_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/W2: the person anonymisation map — strict dob validation, dense
     1..N ids in first-occurrence order."""
-    _planner_, _src, pm = _pipeline(spark, sf_dir)
-    return pm.select("source_subject", "target_subject").orderBy(
-        F.col("source_subject").cast("bigint")
-    )
+    def build() -> DataFrame:
+        _planner_, _src, pm = _pipeline(spark, sf_dir)
+        return pm.select("source_subject", "target_subject").orderBy(
+            F.col("source_subject").cast("bigint")
+        )
+
+    return _memo_plan(spark, sf_dir, "person_ids", build)
 
 
 _PERSON_COLS = (
@@ -213,11 +234,14 @@ def omop_person_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The person target end-to-end: first-wins dedup (J3), merged term maps
     with multi-concept explosion (J1+X1), birth date component split (D3),
     NOT NULL numeric defaults (P3), person-map join (J2)."""
-    planner, src, pm = _pipeline(spark, sf_dir)
-    df = planner.target_records(src, "person", pm)
-    return df.select(*_PERSON_COLS).orderBy(
-        F.col("person_id").cast("bigint"), F.col("gender_concept_id")
-    )
+    def build() -> DataFrame:
+        planner, src, pm = _pipeline(spark, sf_dir)
+        df = planner.target_records(src, "person", pm)
+        return df.select(*_PERSON_COLS).orderBy(
+            F.col("person_id").cast("bigint"), F.col("gender_concept_id")
+        )
+
+    return _memo_plan(spark, sf_dir, "person_table", build)
 
 
 _OBS_COLS = (
@@ -276,6 +300,9 @@ def omop_observation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     term maps (F5/J1), permissive datetime normalisation + linked date (D1/
     D4), auto-number ids consumed before the person join (W1 semantics),
     broadcast person-map join (J2/F4)."""
-    planner, src, pm = _pipeline(spark, sf_dir)
-    df = planner.target_records(src, "observation", pm)
-    return df.select(*_OBS_COLS).orderBy(F.col("observation_id").cast("bigint"))
+    def build() -> DataFrame:
+        planner, src, pm = _pipeline(spark, sf_dir)
+        df = planner.target_records(src, "observation", pm)
+        return df.select(*_OBS_COLS).orderBy(F.col("observation_id").cast("bigint"))
+
+    return _memo_plan(spark, sf_dir, "observation", build)
