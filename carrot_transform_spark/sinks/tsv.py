@@ -26,13 +26,57 @@ from pyspark.sql import DataFrame
 
 _URL_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
+# "single" mode exists for byte-exact parity with the reference goldens and
+# funnels every row through the driver (toLocalIterator). Refuse it when the
+# plan's input exceeds this cap so it can't be misused as a 100 TB funnel.
+SINGLE_MODE_INPUT_CAP = 1 << 30  # 1 GiB of leaf-scan input
+
+# buffer size for object-store streams: one py4j stream.write per ~4 MiB of
+# lines instead of one per row
+_URL_WRITE_CHUNK = 4 << 20
+
+
+def _plan_input_bytes(df: DataFrame) -> int | None:
+    """Estimated input size: sum of the optimized plan's LEAF stats.
+
+    Leaves (file scans, local relations) carry real sizes; intermediate
+    nodes are avoided because Catalyst's join estimates multiply child sizes
+    and would spuriously trip the cap on small inputs. Returns None when the
+    internals are unavailable (the guard then stays out of the way).
+    """
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        it = leaves.iterator()
+        total = 0
+        while it.hasNext():
+            size = it.next().stats().sizeInBytes()  # scala BigInt
+            size = size if isinstance(size, int) else int(size.toString())
+            # leaves without real statistics (e.g. RDD-backed relations)
+            # report spark.sql.defaultSizeInBytes = Long.MaxValue; skip them
+            # rather than poison the sum — the guard targets file scans,
+            # which always carry actual sizes
+            if size < (1 << 62):
+                total += size
+        return total
+    except Exception:
+        return None
+
 
 class TsvDirSink:
-    def __init__(self, directory: str | Path, mode: str = "single", write_mode: str = "overwrite"):
+    def __init__(
+        self,
+        directory: str | Path,
+        mode: str = "single",
+        write_mode: str = "overwrite",
+        single_size_cap: int | None = SINGLE_MODE_INPUT_CAP,
+    ):
         """write_mode: 'overwrite' (reference default) or 'append' — append
         adds rows to an existing TSV without re-writing the header
         (reference v2 --write-mode). Append targets local paths only:
-        object stores don't support appends."""
+        object stores don't support appends.
+
+        single_size_cap: maximum estimated input (leaf-scan bytes) accepted
+        in 'single' mode; pass None to disable the guard."""
         self.is_url = isinstance(directory, str) and bool(_URL_RE.match(directory))
         if self.is_url:
             self.base = str(directory).rstrip("/")
@@ -43,6 +87,7 @@ class TsvDirSink:
             self.directory.mkdir(parents=True, exist_ok=True)
         self.mode = mode
         self.write_mode = write_mode
+        self.single_size_cap = single_size_cap
 
     def _hadoop_open(self, spark, url: str):
         """Create (overwrite) `url` via the Hadoop FileSystem for its scheme
@@ -62,13 +107,33 @@ class TsvDirSink:
             df = df.select(*[df.columns[i] for i in range(len(columns))])
         out = df.select(*columns)
         if self.mode == "single":
+            if self.single_size_cap is not None:
+                est = _plan_input_bytes(out)
+                if est is not None and est > self.single_size_cap:
+                    raise ValueError(
+                        f"TsvDirSink single mode streams through the driver and is "
+                        f"meant for small byte-parity runs; this plan reads an "
+                        f"estimated {est} bytes (> cap {self.single_size_cap}). "
+                        f"Use mode='distributed' (the committer path), or pass "
+                        f"single_size_cap=None to force."
+                    )
             if self.is_url:
                 stream = self._hadoop_open(out.sparkSession, f"{self.base}/{name}.tsv")
                 try:
-                    stream.write(("\t".join(columns) + "\n").encode("utf-8"))
+                    # buffer lines into multi-MiB chunks: one py4j round trip
+                    # per chunk instead of per row
+                    buf: list[bytes] = [("\t".join(columns) + "\n").encode("utf-8")]
+                    buffered = len(buf[0])
                     for row in out.toLocalIterator():
                         line = "\t".join("" if v is None else str(v) for v in row) + "\n"
-                        stream.write(line.encode("utf-8"))
+                        b = line.encode("utf-8")
+                        buf.append(b)
+                        buffered += len(b)
+                        if buffered >= _URL_WRITE_CHUNK:
+                            stream.write(b"".join(buf))
+                            buf, buffered = [], 0
+                    if buf:
+                        stream.write(b"".join(buf))
                 finally:
                     stream.close()
                 return
