@@ -15,6 +15,53 @@ from pyspark.sql import DataFrame, SparkSession
 from carrot_transform_spark.queries import load, register
 
 
+@register(
+    "sketch_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS hll_ok,
+           TRUE AS median_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sketch",),
+)
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct + approximate quantiles — the sketch-based
+    scale path (exact twins are oracle-gated in ev_user_stats /
+    stat_percentiles).
+
+    Partial oracle: the sketch values themselves aren't SQL-reproducible, so
+    the query emits the EXACT aggregates (oracle-checked by DuckDB) plus
+    error-bound assertions on the sketches — hll_ok pins the HLL++ estimate
+    within 2.5% relative error (rsd=0.02), median_ok pins approx_percentile
+    within 5% of the exact median. A sketch regression flips a flag to false
+    and hash-mismatches."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("approx_percentile(value, 0.5)").alias("approx_median"),
+        F.expr("percentile(value, 0.5)").alias("exact_median"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.025)
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= F.greatest(F.abs(F.col("exact_median")) * F.lit(0.05), F.lit(1e-9))
+        ).alias("median_ok"),
+    ).orderBy("event_type")
+
+
 @register("mm_pipeline", oracle=None, tags=("multimodal", "rows-only"))
 def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal plumbing as one entry: decode-stats over
@@ -45,20 +92,3 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("n_bytes"),
     )
     return decoded.unionByName(frames).orderBy("part", "id", "idx")
-
-
-@register("sketch_approx_distinct", oracle=None, tags=("sketch", "rows-only"))
-def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct + approximate quantiles — the sketch-based
-    scale path (exact twins are oracle-gated in ev_user_stats /
-    stat_percentiles)."""
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.expr("approx_percentile(value, 0.5)").alias("approx_median_value"),
-        )
-        .orderBy("event_type")
-    )

@@ -39,7 +39,9 @@ def test_every_oracle_column_layout():
     exists for everything except the declared rows-only entries."""
     qs = all_queries()
     rows_only = {n for n, q in qs.items() if q.oracle is None}
-    assert rows_only == {"mm_pipeline", "sketch_approx_distinct"}
+    # round 6: sketch_approx_distinct gained a partial oracle (exact
+    # aggregates hash-checked, sketch values pinned by error-bound flags)
+    assert rows_only == {"mm_pipeline"}
 
 
 # The exact 50 names, in registration order, that went green in round 4/5.
@@ -63,8 +65,8 @@ GREEN_WINDOW = [
     "dd_simhash_hamming_pairs", "dd_index_suite", "sim_topk_bruteforce",
     "sim_ivf_topk", "sim_blocking_suite", "txt_doc_profile",
     "txt_word_freq", "txt_redact_patterns", "pipe_ops_suite",
-    "op_rowops_suite", "op_keyops_suite", "mm_pipeline",
-    "sketch_approx_distinct",
+    "op_rowops_suite", "op_keyops_suite", "sketch_approx_distinct",
+    "mm_pipeline",
 ]
 
 
@@ -75,4 +77,4 @@ def test_window_composition_is_pinned():
 
 def test_rows_only_by_design_sit_last():
     names = list(all_queries())
-    assert names[-2:] == ["mm_pipeline", "sketch_approx_distinct"]
+    assert names[-1] == "mm_pipeline"
