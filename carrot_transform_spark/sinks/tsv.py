@@ -179,16 +179,32 @@ class TsvDirSink:
 
 class JdbcSink:
     """CREATE-or-overwrite + bulk insert via df.write.jdbc (reference K2
-    creates all-Text columns and row-by-row INSERTs; Spark's JDBC writer
-    batches instead)."""
+    creates all-Text columns, outputs.py:133, and row-by-row INSERTs;
+    Spark's JDBC writer batches instead). Dialect quirks (identifier
+    folding, the dialect's text type, Trino's isolationLevel NONE) come
+    from sources/dialects.py."""
 
     def __init__(self, url: str, properties: dict[str, str] | None = None):
+        from carrot_transform_spark.sources.dialects import dialect_for_url
+
         self.url = url
         self.properties = properties or {}
+        self.dialect = dialect_for_url(url)
+
+    def write_spec(self, name: str, columns: list[str]) -> tuple[str, dict[str, str]]:
+        """(dbtable, writer options) — pure, so dialect contract tests can
+        assert it without a live server."""
+        options = dict(self.dialect.write_options)
+        # every sink column in the dialect's text type, matching the
+        # reference's all-Text CREATE; user-supplied options win
+        options["createTableColumnTypes"] = self.dialect.column_types_clause(columns)
+        options.update(self.properties)
+        return name, options
 
     def write(self, name: str, df: DataFrame, columns: list[str]) -> None:
+        dbtable, options = self.write_spec(name, columns)
         writer = df.select(*columns).write.mode("overwrite").format("jdbc")
-        writer = writer.option("url", self.url).option("dbtable", name)
-        for k, v in self.properties.items():
+        writer = writer.option("url", self.url).option("dbtable", dbtable)
+        for k, v in options.items():
             writer = writer.option(k, v)
         writer.save()

@@ -139,32 +139,51 @@ class ParquetDirSource(Source):
 
 
 class JdbcSource(Source):
-    """JDBC table scan (reference S2): identifiers lower-cased."""
+    """JDBC table scan (reference S2): identifiers lower-cased app-side
+    (sources.py:75-119 SQL_TO_LOWER) with per-dialect quirks from
+    sources/dialects.py."""
 
     def __init__(self, spark: SparkSession, url: str, properties: dict[str, str] | None = None):
+        from carrot_transform_spark.sources.dialects import dialect_for_url
+
         self.spark = spark
         self.url = url
         self.properties = properties or {}
+        self.dialect = dialect_for_url(url)
 
     def scan_splits(self, table: str) -> int | None:
-        # a JDBC scan is one partition unless numPartitions/partitionColumn
-        # options parallelize it
+        # a JDBC scan is one partition unless BOTH numPartitions and
+        # partitionColumn(+bounds) are set — numPartitions alone does not
+        # parallelize a read, so reporting it would make the planner skip a
+        # needed spread
+        if "partitionColumn" not in self.properties:
+            return 1
         try:
             return max(1, int(self.properties.get("numPartitions", 1)))
         except (TypeError, ValueError):
             return None
 
-    def read(self, table: str) -> DataFrame:
+    def read_spec(self, table: str) -> tuple[str, dict[str, str]]:
+        """(dbtable, reader options) — pure, so dialect contract tests can
+        assert it without a live server."""
         # rules name sources by file ("Demographics.csv"); DB tables drop the
         # extension (reference args.remove_csv_extension before source.open)
         if table.lower().endswith(".csv"):
             table = table[:-4]
+        options = dict(self.dialect.read_options)
+        options.update(self.properties)
+        return table.lower(), options
+
+    def read(self, table: str) -> DataFrame:
+        dbtable, options = self.read_spec(table)
         reader = self.spark.read.format("jdbc").option("url", self.url).option(
-            "dbtable", table.lower()
+            "dbtable", dbtable
         )
-        for k, v in self.properties.items():
+        for k, v in options.items():
             reader = reader.option(k, v)
         df = reader.load()
+        # headers lower-cased app-side regardless of how the server folded
+        # them (reference SQL_TO_LOWER; Trino flips case, Derby folds upper)
         df = df.toDF(*[c.lower() for c in df.columns])
         df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
         return self._finalize(df)
