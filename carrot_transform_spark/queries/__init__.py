@@ -128,8 +128,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Part of the temporal contract: have the parquet reader surface
     # NTZ-eligible columns (timestamp[us] without UTC adjustment) as
     # session-tz TIMESTAMP directly — zero-cost, no cast projection over
-    # the scan. The cast branch in _load_normalized stays as a fallback
-    # for sessions where this conf is overridden.
+    # the scan. The conf is pinned 'false' UNCONDITIONALLY, overriding even
+    # a session that set it 'true' (the conf API can't distinguish an
+    # explicit 'true' from the default, and the TIMESTAMP contract is
+    # load-bearing downstream); the cast branch in _load_normalized covers
+    # frames read before load() pinned it.
     conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
     if spark.conf.get(conf_key, "true") != "false":
         try:
@@ -185,6 +188,35 @@ def _load_normalized(
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
         elif dtype == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+
+    # Once the nanos retry set nanosAsLong session-wide, every LATER read
+    # of a TIMESTAMP(NANOS) column parses as plain bigint — fine for the
+    # declared temporal_cols (normalized above), silent data corruption for
+    # a column someone forgot to declare. Fail loudly instead: any bigint
+    # column whose parquet footer says "timestamp" must be in temporal_cols.
+    if spark.conf.get(conf_key, "false") == "true":
+        try:
+            import pyarrow.parquet as pq
+
+            footer = pq.read_schema(path)
+        except Exception:
+            footer = None
+        if footer is not None:
+            import pyarrow.types as patypes
+
+            for field in footer:
+                if (
+                    field.name not in temporal_cols
+                    and dict(df.dtypes).get(field.name) == "bigint"
+                    and patypes.is_timestamp(field.type)
+                ):
+                    raise RuntimeError(
+                        f"column '{field.name}' in {path} is TIMESTAMP in the "
+                        f"parquet footer but read as bigint under "
+                        f"{conf_key}=true and is not declared in "
+                        f"_TEMPORAL_COLS — declare it so it gets normalized "
+                        f"instead of silently surfacing epoch-nanos"
+                    )
     return df
 
 

@@ -67,16 +67,25 @@ class Source:
             df = df.select(*keep)
         return df.withColumn(LINE_COL, F.monotonically_increasing_id())
 
-    def _finalize_csv(self, df: DataFrame) -> DataFrame:
+    def _finalize_csv(self, df: DataFrame, header_line=None) -> DataFrame:
         """CSV variant of _finalize: also trims the Excel trailing-comma
         artifact. The reference (sources.py:160-177) drops the LAST column
         when its header name is blank; Spark's CSV reader renames a blank
         header field to its positional ``_c{i}``, so the blank-name check
         alone never fires — match the exact name Spark generates for an
-        unnamed final column instead."""
+        unnamed final column instead.
+
+        header_line: zero-arg callable returning the file's raw header line
+        (or None). A column GENUINELY named like '_c3' would pattern-match
+        the Spark-generated name, so before trimming, the raw header is
+        consulted — only a header that really ends with the separator (the
+        Excel artifact) triggers the drop. Only invoked when the name check
+        fires, so the common path costs nothing."""
         cols = df.columns
         if cols and cols[-1] == f"_c{len(cols) - 1}":
-            df = df.select(*cols[:-1])
+            raw = header_line() if header_line is not None else None
+            if raw is None or raw.rstrip("\r\n").endswith(getattr(self, "sep", ",")):
+                df = df.select(*cols[:-1])
         return self._finalize(df)
 
 
@@ -114,7 +123,16 @@ class CsvDirSource(Source):
             .option("mode", "PERMISSIVE")
             .csv(str(path))
         )
-        return self._finalize_csv(df)
+
+        def header_line() -> str | None:
+            try:
+                # utf-8-sig: strip the BOM the same way the reader does
+                with path.open("r", encoding="utf-8-sig", errors="replace") as fh:
+                    return fh.readline()
+            except OSError:
+                return None
+
+        return self._finalize_csv(df, header_line)
 
 
 class ParquetDirSource(Source):
@@ -199,13 +217,24 @@ class S3CsvSource(Source):
         self.sep = sep
 
     def read(self, table: str) -> DataFrame:
+        url = f"{self.base_url}/{table}"
         df = (
             self.spark.read.option("header", True)
             .option("sep", self.sep)
             .option("inferSchema", False)
-            .csv(f"{self.base_url}/{table}")
+            .csv(url)
         )
-        return self._finalize_csv(df)
+
+        def header_line() -> str | None:
+            # one tiny single-line job; only runs when the trailing-column
+            # name check fires in _finalize_csv
+            try:
+                first = self.spark.read.text(url).limit(1).collect()
+                return first[0][0] if first else None
+            except Exception:
+                return None
+
+        return self._finalize_csv(df, header_line)
 
 
 _URL_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")

@@ -93,3 +93,28 @@ def test_orders_lineitem_temporal_contract(spark):
     for table, col in [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]:
         df = load(spark, "/root/testdata/sf0.001", table)
         assert dict(df.dtypes)[col] == "timestamp", table
+
+
+def test_undeclared_nanos_column_fails_loudly(spark, tmp_path):
+    """Once a nanos retry has set nanosAsLong session-wide, a later table
+    with a TIMESTAMP(NANOS) column NOT declared in _TEMPORAL_COLS would
+    silently read as bigint epoch-nanos; load() must refuse instead."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        sf_dir = _write_events(tmp_path, "n1", ENCODINGS["nanos"])
+        load(spark, sf_dir, "events").collect()
+        assert spark.conf.get(key) == "true"
+
+        d = tmp_path / "docs"
+        d.mkdir()
+        table = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "created": pa.array([EPOCH_US[0] * 1000], pa.timestamp("ns")),
+            }
+        )
+        pq.write_table(table, str(d / "documents.parquet"))
+        with pytest.raises(RuntimeError, match="_TEMPORAL_COLS"):
+            load(spark, str(d), "documents")
+    finally:
+        spark.conf.unset(key)

@@ -149,6 +149,18 @@ def test_local_csv_trailing_comma_trim(spark, tmp_path):
     assert df.columns == ["PersonID", "DOB", "Sex", LINE_COL]
 
 
+def test_local_csv_genuine_underscore_column_kept(spark, tmp_path):
+    """A final column GENUINELY named like Spark's generated ``_c3`` must
+    survive: only a raw header that really ends with the separator (the
+    Excel artifact) triggers the trailing-column drop."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "t.csv").write_text("a,b,c,_c3\n1,2,3,4\n")
+    df = make_source(spark, str(d)).read("t.csv")
+    assert df.columns == ["a", "b", "c", "_c3", LINE_COL]
+    assert df.select("_c3").collect()[0][0] == "4"
+
+
 # ---------------------------------------------------------------------------
 # K3: object-store TSV sink, executed through the same s3a fake
 # ---------------------------------------------------------------------------
