@@ -24,7 +24,7 @@ from carrot_transform_spark.plans.compiler import CarrotPlanner, RejectStats
 from carrot_transform_spark.rules.ir import RuleSet
 from carrot_transform_spark.rules.loader import load_rules
 from carrot_transform_spark.atpath import DEFAULT_CONFIG, DEFAULT_DDL
-from carrot_transform_spark.sinks.tsv import TsvDirSink
+from carrot_transform_spark.sinks.tsv import make_sink
 from carrot_transform_spark.sources.registry import CsvDirSource, Source, make_source
 
 
@@ -107,7 +107,10 @@ def run_transform(
 
     if write_outputs and output_dir is not None:
         try:
-            sink = TsvDirSink(output_dir)
+            # output_dir may be a local folder, an object-store URL, a
+            # minio: spec, or a JDBC/SQLAlchemy database URL (reference
+            # outputs.py:324-341 dispatch)
+            sink = make_sink(spark, output_dir)
             for target, df in tables.items():
                 sink.write(target, df, omop.table(target).columns)
             # streamed through the sink like every other table (toLocalIterator

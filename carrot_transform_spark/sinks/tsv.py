@@ -208,3 +208,40 @@ class JdbcSink:
         for k, v in options.items():
             writer = writer.option(k, v)
         writer.save()
+
+    def write_rows(
+        self, name: str, header: list[str], rows: list[list[str]], spark=None
+    ) -> None:
+        """Driver-side rows (metrics summaries) as a table — the SQL twin of
+        TsvDirSink.write_rows, same shorten quirk."""
+        if spark is None:
+            raise ValueError("write_rows to a JDBC sink needs the spark session")
+        shorten = bool(header) and header[-1] == ""
+        if shorten:
+            header = header[:-1]
+            rows = [r[:-1] for r in rows]
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType([StructField(c, StringType()) for c in header])
+        df = spark.createDataFrame([tuple(r) for r in rows], schema)
+        self.write(name, df, header)
+
+
+def make_sink(spark, spec, mode: str = "single"):
+    """Dispatch a CLI --output spec to a sink (reference outputs.py:324-341:
+    minio: prefix, else SQLAlchemy URL, else a CSV folder)."""
+    s = str(spec)
+    if s.startswith("minio:"):
+        from carrot_transform_spark.sources.registry import configure_minio
+
+        return TsvDirSink(configure_minio(spark, s), mode=mode)
+    if s.startswith("s3a://") or s.startswith("s3://"):
+        return TsvDirSink(s.replace("s3://", "s3a://", 1), mode=mode)
+    if s.startswith("jdbc:"):
+        return JdbcSink(s)
+    if _URL_RE.match(s) and not s.startswith(("file://", "hdfs://")):
+        from carrot_transform_spark.sources.dialects import sqlalchemy_to_jdbc
+
+        url, props = sqlalchemy_to_jdbc(s)
+        return JdbcSink(url, props)
+    return TsvDirSink(spec if isinstance(spec, Path) else s, mode=mode)

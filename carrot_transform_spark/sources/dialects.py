@@ -106,3 +106,51 @@ def dialect_for_url(url: str) -> JdbcDialect:
         if any(low.startswith(p) for p in d.url_prefixes):
             return d
     return GENERIC
+
+
+# SQLAlchemy scheme -> JDBC subprotocol. The reference CLI accepts
+# SQLAlchemy engine URLs for both inputs and outputs (sources.py:66-67,
+# outputs.py:333-334); Spark needs JDBC form, where credentials ride in
+# properties instead of the authority component.
+_SQLALCHEMY_SCHEMES = {
+    "postgresql": "postgresql",
+    "postgres": "postgresql",
+    "trino": "trino",
+    "presto": "presto",
+    "mysql": "mysql",
+    "sqlite": "sqlite",
+}
+
+
+def sqlalchemy_to_jdbc(spec: str) -> tuple[str, dict[str, str]]:
+    """Translate an SQLAlchemy engine URL to (jdbc url, properties).
+
+    postgresql+psycopg2://u:p@host:5432/db?sslmode=require
+      -> ("jdbc:postgresql://host:5432/db?sslmode=require",
+          {"user": "u", "password": "p"})
+    sqlite:////tmp/db.sqlite -> ("jdbc:sqlite:/tmp/db.sqlite", {})
+
+    Raises ValueError for schemes with no JDBC mapping (the caller decides
+    the fallback).
+    """
+    from urllib.parse import unquote, urlsplit
+
+    parts = urlsplit(spec)
+    scheme = parts.scheme.split("+", 1)[0].lower()  # strip "+psycopg2" etc.
+    if scheme not in _SQLALCHEMY_SCHEMES:
+        raise ValueError(f"no JDBC mapping for SQLAlchemy scheme {parts.scheme!r}")
+    props: dict[str, str] = {}
+    if parts.username:
+        props["user"] = unquote(parts.username)
+    if parts.password:
+        props["password"] = unquote(parts.password)
+    sub = _SQLALCHEMY_SCHEMES[scheme]
+    if scheme == "sqlite":
+        # sqlite:///rel or sqlite:////abs — the path IS the database
+        return f"jdbc:sqlite:{parts.path.lstrip('/') if not parts.path.startswith('//') else parts.path[1:]}", props
+    host = parts.hostname or "localhost"
+    port = f":{parts.port}" if parts.port else ""
+    url = f"jdbc:{sub}://{host}{port}{parts.path}"
+    if parts.query:
+        url += f"?{parts.query}"
+    return url, props

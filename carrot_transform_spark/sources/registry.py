@@ -240,25 +240,36 @@ class S3CsvSource(Source):
 _URL_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
 
+def configure_minio(spark: SparkSession, spec: str) -> str:
+    """Parse a ``minio:user:pass@http://host:port/bucket/folder`` spec,
+    configure the session's s3a filesystem for the endpoint, and return the
+    ``s3a://bucket/folder`` URL (shared by source and sink dispatch)."""
+    m = re.match(r"^minio:([^:]+):([^@]+)@(https?://[^/]+)/(.+)$", spec)
+    if not m:
+        raise ValueError(f"bad minio spec: {spec}")
+    user, pw, endpoint, bucket_path = m.groups()
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.s3a.endpoint", endpoint)
+    hconf.set("fs.s3a.access.key", user)
+    hconf.set("fs.s3a.secret.key", pw)
+    hconf.set("fs.s3a.path.style.access", "true")
+    return f"s3a://{bucket_path}"
+
+
 def make_source(spark: SparkSession, spec: str) -> Source:
     """Dispatch a CLI --inputs spec to a connector (reference sources.py:57-69)."""
     if spec.startswith("minio:"):
-        # minio:user:pass@http://host:port/bucket/folder
-        m = re.match(r"^minio:([^:]+):([^@]+)@(https?://[^/]+)/(.+)$", spec)
-        if not m:
-            raise ValueError(f"bad minio spec: {spec}")
-        user, pw, endpoint, bucket_path = m.groups()
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        hconf.set("fs.s3a.endpoint", endpoint)
-        hconf.set("fs.s3a.access.key", user)
-        hconf.set("fs.s3a.secret.key", pw)
-        hconf.set("fs.s3a.path.style.access", "true")
-        return S3CsvSource(spark, f"s3a://{bucket_path}")
+        return S3CsvSource(spark, configure_minio(spark, spec))
     if spec.startswith("s3a://") or spec.startswith("s3://"):
         return S3CsvSource(spark, spec.replace("s3://", "s3a://", 1))
     if spec.startswith("jdbc:"):
         # JDBC URLs needn't contain '//' (e.g. jdbc:derby:/path/db)
         return JdbcSource(spark, spec)
     if _URL_RE.match(spec):
-        return JdbcSource(spark, spec if spec.startswith("jdbc:") else f"jdbc:{spec}")
+        # the reference accepts SQLAlchemy engine URLs (sources.py:66-67);
+        # translate to JDBC form, credentials moving into properties
+        from carrot_transform_spark.sources.dialects import sqlalchemy_to_jdbc
+
+        url, props = sqlalchemy_to_jdbc(spec)
+        return JdbcSource(spark, url, props)
     return CsvDirSource(spark, spec)
