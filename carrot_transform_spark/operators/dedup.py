@@ -238,8 +238,14 @@ def connected_components(
     (persisted, undirected) edge list and takes the elementwise min; rounds
     = graph diameter, which for near-dup clusters is tiny. Driver work per
     round is one changed-row count. For adversarially long chain graphs at
-    100 TB, switch to the alternating large-star/small-star formulation
-    (same join primitives, O(log n) rounds).
+    100 TB, use connected_components_star (same join primitives, O(log n)
+    rounds regardless of diameter).
+
+    Each round references the prior labels twice (the neighbor-min join and
+    the changed-count compare), so lineage is cut per round with an eager
+    localCheckpoint — .persist() alone leaves the LOGICAL plan growing
+    exponentially, and past ~15 rounds merely rendering the plan string for
+    the AQE listener OOMs the driver.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -249,8 +255,7 @@ def connected_components(
     )
     labels = (
         edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
-    ).persist()
-    labels.count()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -263,7 +268,7 @@ def connected_components(
                 labels["id"],
                 F.least(labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -271,17 +276,112 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
-    # the returned frame reads the final persisted labels; hand the cache to
-    # the caller for unpersist-after-materialize (same contract as
-    # operators/ids.with_dense_ids) instead of leaking it for the session
+    # the returned frame reads the final checkpointed labels; the registry
+    # contract is kept for callers (unpersist on a checkpointed frame is a
+    # no-op — the backing RDD is released by the ContextCleaner once the
+    # frame is dropped)
     if persist_registry is not None:
         persist_registry.append(labels)
     return labels.select("id", F.col("comp").alias("component_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+    persist_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(id, component_id) via alternating large-star / small-star rounds —
+    the MapReduce-native CC formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"). Same output contract as
+    connected_components (component id = min node id), but round count is
+    O(log n) on ANY graph shape, vs min-label propagation's O(diameter):
+    an adversarial 10M-link chain converges in ~25 rounds here where the
+    propagation loop would need 10M. Use this variant when the dup graph's
+    diameter isn't known to be tiny.
+
+    Each round is two groupBy+join passes over the current edge list:
+    - large-star: every node links its LARGER neighbors to m = min of its
+      neighborhood (incl. itself) — long chains fold toward their minimum;
+    - small-star: edges directed large→small; every node links its
+      (all-smaller) neighbors and itself to their minimum — stars flatten.
+    The edge list monotonically contracts toward one star per component;
+    fixpoint detected when the (count, bit_xor of edge hashes) signature
+    stops changing (order/partitioning-independent, one tiny driver row per
+    round). No stage ever materializes more than ~2|E| rows, and every join
+    keys on a node id, so AQE's skew splitting covers hub nodes.
+
+    Lineage note: each round references the prior edge list FOUR times (the
+    undirected union feeds both sides of the large-star join), so an
+    unpersisted loop grows the logical plan exponentially — every round
+    therefore cuts lineage with an eager localCheckpoint (the idiomatic
+    Spark pattern for iterative graph algorithms; on a real cluster point
+    sparkContext.setCheckpointDir at durable storage and use checkpoint()
+    if executor loss must be survivable mid-iteration).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    edges = e.distinct().localCheckpoint(eager=True)
+    prev_sig = None
+
+    def _signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    for _ in range(max_iter):
+        # large-star over the undirected view
+        und = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = und.groupBy("u").agg(F.min("v").alias("mv"))
+        lmins = lmins.select("u", F.least("mv", "u").alias("m"))
+        large = (
+            und.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over edges directed large -> small
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = _signature(small)
+        edges = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint: edges form one star per component, pointing at the min id
+    labels = (
+        edges.groupBy("u").agg(F.min("v").alias("comp"))
+        .select(F.col("u").alias("id"), "comp")
+        .unionByName(
+            edges.select(F.col("v").alias("id"), F.col("v").alias("comp")).distinct()
+        )
+        .groupBy("id")
+        .agg(F.min("comp").alias("component_id"))
+    )
+    if persist_registry is not None:
+        persist_registry.append(edges)
+    return labels
 
 
 def simhash_signatures(

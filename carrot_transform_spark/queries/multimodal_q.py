@@ -1,10 +1,16 @@
-"""Multimodal + sketch queries — registered WITHOUT oracles (rows-only
-driver check, by design): binary payloads and approximate sketches aren't
-SQL-reproducible bit-for-bit in DuckDB.
+"""Multimodal + sketch queries.
 
 The multimodal payloads are synthesized deterministically from the
 documents table (utf-8 bytes of the text), so the mapInPandas decode
 plumbing runs on real distributed binary data every round.
+
+Both entries are oracle-gated as of round 6. The sketch entry emits exact
+aggregates plus error-bound flags (the sketch values themselves aren't SQL
+twins). The multimodal entry's oracle reproduces the DETERMINISTIC FAKE
+codec (operators/multimodal.fake_decode derives dimensions from the md5 of
+the payload, and DuckDB's md5(VARCHAR) hashes the same utf-8 bytes Spark
+encodes) — with a real image/audio codec the entry would revert to
+rows-only, which is why the decode seam stays pluggable.
 """
 
 from __future__ import annotations
@@ -62,12 +68,46 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@register("mm_pipeline", oracle=None, tags=("multimodal", "rows-only"))
+@register(
+    "mm_pipeline",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id AS id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS h
+        FROM documents
+    ), f AS (
+        SELECT id,
+               1 + ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) % 8
+               AS n_frames
+        FROM d
+    ), fr AS (
+        SELECT id, unnest(range(0, n_frames, 2)) AS idx FROM f
+    )
+    SELECT 'decode' AS part, id, 0 AS idx, n_bytes FROM d
+    UNION ALL
+    SELECT 'frames' AS part, id, CAST(idx AS INTEGER) AS idx,
+           CAST(32 AS BIGINT) AS n_bytes
+    FROM fr
+    ORDER BY part, id, idx
+    """,
+    tags=("multimodal",),
+)
 def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal plumbing as one entry: decode-stats over
     binary image payloads + video frame-sampling fan-out (variable rows per
     input), both via mapInPandas with the codec stubbed deterministically
-    (see operators/multimodal.py). Canonical (part, id, idx, n_bytes) rows."""
+    (see operators/multimodal.py). Canonical (part, id, idx, n_bytes) rows.
+
+    Oracle: the fake codec is a pure function of md5(payload bytes) —
+    fake_decode width/height/n_frames come from digest bytes, the sampled
+    frame payload is a 32-byte sha256 — and the payload is the utf-8
+    encoding of documents.text, which DuckDB's md5(VARCHAR) hashes
+    identically. n_frames needs digest byte 2 = hex chars 5-6 of the md5
+    string; frame rows are range(0, n_frames, every_n=2). So the whole
+    mapInPandas fan-out has an exact SQL twin, and the driver hash-checks
+    the Arrow plumbing end-to-end (1,736 rows at sf0.01)."""
     from carrot_transform_spark.operators.multimodal import (
         attach_payload_meta,
         decode_stats,

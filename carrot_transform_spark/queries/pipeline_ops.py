@@ -1,5 +1,5 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with four oracle-checked sub-checks:
+CORRECTNESS entry with eleven oracle-checked sub-checks, including:
 
 - ds_stratified_sample: deterministic language-stratified corpus rebalance
   (queries/sampling.py; operators/sampling.stratified_sample).
@@ -14,6 +14,9 @@ CORRECTNESS entry with four oracle-checked sub-checks:
   (Jaccard >= 0.8), turning pairwise matches into canonical dup groups.
   Spark runs min-label propagation to a fixpoint; the DuckDB oracle
   re-derives components with a recursive-CTE transitive closure.
+- dd_cc_star_groups: the same components via alternating large-star/
+  small-star contraction (O(log n) rounds on any diameter), checked
+  against the identical recursive-CTE oracle.
 
 The reference engine has none of these (its joins are the person/term
 lookups); they're the beyond-parity operators a 100 TB training pipeline
@@ -143,6 +146,23 @@ _CC_SQL = f"""
     SELECT a AS doc_id, MIN(b) AS component_id
     FROM reach GROUP BY a ORDER BY doc_id
     """
+
+
+def dd_cc_star_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components as dd_cc_groups, computed by the alternating
+    large-star/small-star contraction (O(log n) rounds on any graph shape —
+    the variant to use when the dup graph's diameter isn't known to be
+    tiny). Oracle: the identical recursive-CTE closure, so the two CC
+    implementations are pinned equal through DuckDB."""
+    from carrot_transform_spark.operators.dedup import connected_components_star
+    from carrot_transform_spark.queries.dedup import dd_ngram_jaccard_pairs
+
+    pairs = dd_ngram_jaccard_pairs(spark, sf_dir)
+    return (
+        connected_components_star(pairs, id_a="doc_a", id_b="doc_b")
+        .select(F.col("id").alias("doc_id"), "component_id")
+        .orderBy("doc_id")
+    )
 
 
 def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,6 +307,12 @@ register_suite(
         (
             "dd_cc_groups",
             dd_cc_groups,
+            _CC_SQL,
+            [("doc_id", "i"), ("component_id", "i")],
+        ),
+        (
+            "dd_cc_star_groups",
+            dd_cc_star_groups,
             _CC_SQL,
             [("doc_id", "i"), ("component_id", "i")],
         ),

@@ -370,6 +370,52 @@ def test_connected_components_groups(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    import random
+
+    from carrot_transform_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(6)
+    raw = [(random.randrange(120), random.randrange(120)) for _ in range(100)]
+    pairs = spark.createDataFrame(
+        [p for p in raw if p[0] != p[1]], "id_a long, id_b long"
+    )
+    a = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    b = {r["id"]: r["component_id"] for r in connected_components_star(pairs).collect()}
+    assert a == b and len(a) > 50
+
+
+def test_connected_components_star_chain_logarithmic_rounds(spark):
+    from carrot_transform_spark.operators.dedup import connected_components_star
+
+    # 200-link chain: diameter 200, far beyond max_iter=12 rounds — only the
+    # O(log n) star contraction can converge; min-propagation would need 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(chain, max_iter=12).collect()
+    }
+    assert len(out) == 201 and set(out.values()) == {0}
+
+
+def test_connected_components_deep_diameter_no_plan_blowup(spark):
+    from carrot_transform_spark.operators.dedup import connected_components
+
+    # 30 propagation rounds: before the per-round localCheckpoint, lineage
+    # doubled every round and rendering the AQE plan string alone OOM'd the
+    # driver past ~15 rounds — this pins the fix
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component_id"] for r in connected_components(chain).collect()}
+    assert len(out) == 31 and set(out.values()) == {0}
+
+
 def test_decontaminate_flags_overlapping_docs(spark):
     from carrot_transform_spark.operators.dedup import decontaminate, exploded_shingle_index
 

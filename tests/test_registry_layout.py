@@ -28,20 +28,22 @@ def test_no_oracle_entries_register_last():
     qs = all_queries()
     names = list(qs)
     without = [n for n in names if qs[n].oracle is None]
-    assert names[-len(without):] == without, (
-        "rows-only (no-oracle) entries must register last so a shrunken "
-        f"driver window drops them first: {without}"
-    )
+    if without:  # names[-0:] would be the whole list, not []
+        assert names[-len(without):] == without, (
+            "rows-only (no-oracle) entries must register last so a shrunken "
+            f"driver window drops them first: {without}"
+        )
 
 
 def test_every_oracle_column_layout():
-    """Spot structural guarantees the driver compare relies on: oracle SQL
-    exists for everything except the declared rows-only entries."""
+    """Spot structural guarantees the driver compare relies on: every entry
+    carries oracle SQL. Round 6 closed the last two: sketch_approx_distinct
+    (exact aggregates hash-checked + error-bound flags on the sketches) and
+    mm_pipeline (the deterministic fake codec is a pure function of
+    md5(payload), which DuckDB reproduces over the same utf-8 bytes)."""
     qs = all_queries()
     rows_only = {n for n, q in qs.items() if q.oracle is None}
-    # round 6: sketch_approx_distinct gained a partial oracle (exact
-    # aggregates hash-checked, sketch values pinned by error-bound flags)
-    assert rows_only == {"mm_pipeline"}
+    assert rows_only == set()
 
 
 # The exact 50 names, in registration order, that went green in round 4/5.
@@ -75,6 +77,9 @@ def test_window_composition_is_pinned():
     assert names[:MAX_ENTRIES] == GREEN_WINDOW
 
 
-def test_rows_only_by_design_sit_last():
+def test_mm_pipeline_still_sits_last():
+    """mm_pipeline keeps the final slot (its oracle pins the deterministic
+    fake codec; with a real codec it reverts to rows-only, and last-slot
+    registration keeps that future change window-safe)."""
     names = list(all_queries())
     assert names[-1] == "mm_pipeline"
