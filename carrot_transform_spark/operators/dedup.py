@@ -16,8 +16,34 @@ Scale design:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+
+
+@contextmanager
+def _constraint_propagation_off(spark):
+    """Scope-bounded workaround for a Catalyst crash in the iterative CC
+    loops: localCheckpoint captures the origin plan's constraint set into
+    the LogicalRDD, and when the INPUT edge list was itself a union those
+    captured constraints reference union-child attributes that aren't in
+    the checkpoint's output — any Union later built on top then dies in
+    UnionBase.rewriteConstraints with "key not found: <attr>". With
+    propagation off, checkpoints capture an empty constraint set and the
+    loop's unions never compute constraints. The only cost inside the
+    scope is losing InferFiltersFromConstraints on already-trivial
+    equi-join plans; the conf is restored on exit and every returned frame
+    is materialized (eager checkpoint) inside the scope, so downstream
+    consumers re-optimize clean LogicalRDD-backed plans at full strength.
+    """
+    key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def h32(col: Column) -> Column:
@@ -245,41 +271,43 @@ def connected_components(
     the changed-count compare), so lineage is cut per round with an eager
     localCheckpoint — .persist() alone leaves the LOGICAL plan growing
     exponentially, and past ~15 rounds merely rendering the plan string for
-    the AQE listener OOMs the driver.
+    the AQE listener OOMs the driver. Constraint propagation is disabled
+    for the loop's scope (see _constraint_propagation_off).
     """
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
+    with _constraint_propagation_off(pairs.sparkSession):
+        e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        edges = (
+            e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .persist()
         )
-        new_labels = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                labels["id"],
-                F.least(labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])).alias("comp"),
+        labels = (
+            edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
+        ).localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("comp").alias("nbr_comp"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+            new_labels = (
+                labels.join(nbr, labels["id"] == nbr["src"], "left")
+                .select(
+                    labels["id"],
+                    F.least(labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        edges.unpersist()
     # the returned frame reads the final checkpointed labels; the registry
     # contract is kept for callers (unpersist on a checkpointed frame is a
     # no-op — the backing RDD is released by the ContextCleaner once the
@@ -324,63 +352,67 @@ def connected_components_star(
     sparkContext.setCheckpointDir at durable storage and use checkpoint()
     if executor loss must be survivable mid-iteration).
     """
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
-        F.col("u") != F.col("v")
-    )
-    edges = e.distinct().localCheckpoint(eager=True)
-    prev_sig = None
+    with _constraint_propagation_off(pairs.sparkSession):
+        e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+            F.col("u") != F.col("v")
+        )
+        edges = e.distinct().localCheckpoint(eager=True)
+        prev_sig = None
 
-    def _signature(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+        def _signature(df: DataFrame) -> tuple:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).collect()[0]
+            return (row["n"], row["h"])
 
-    for _ in range(max_iter):
-        # large-star over the undirected view
-        und = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        lmins = und.groupBy("u").agg(F.min("v").alias("mv"))
-        lmins = lmins.select("u", F.least("mv", "u").alias("m"))
-        large = (
-            und.join(lmins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # small-star over edges directed large -> small
-        directed = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            directed.join(smins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .unionByName(smins.select("u", F.col("m").alias("v")))
-            .distinct()
+        for _ in range(max_iter):
+            # large-star over the undirected view
+            und = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            lmins = und.groupBy("u").agg(F.min("v").alias("mv"))
+            lmins = lmins.select("u", F.least("mv", "u").alias("m"))
+            large = (
+                und.join(lmins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star over edges directed large -> small
+            directed = large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                directed.join(smins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .unionByName(smins.select("u", F.col("m").alias("v")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            sig = _signature(small)
+            edges = small
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        # fixpoint: edges form one star per component, pointing at the min id;
+        # the final labels are materialized inside the scope so downstream
+        # consumers see a clean LogicalRDD, not the union-over-checkpoints plan
+        labels = (
+            edges.groupBy("u").agg(F.min("v").alias("comp"))
+            .select(F.col("u").alias("id"), "comp")
+            .unionByName(
+                edges.select(F.col("v").alias("id"), F.col("v").alias("comp")).distinct()
+            )
+            .groupBy("id")
+            .agg(F.min("comp").alias("component_id"))
             .localCheckpoint(eager=True)
         )
-        sig = _signature(small)
-        edges = small
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    # fixpoint: edges form one star per component, pointing at the min id
-    labels = (
-        edges.groupBy("u").agg(F.min("v").alias("comp"))
-        .select(F.col("u").alias("id"), "comp")
-        .unionByName(
-            edges.select(F.col("v").alias("id"), F.col("v").alias("comp")).distinct()
-        )
-        .groupBy("id")
-        .agg(F.min("comp").alias("component_id"))
-    )
     if persist_registry is not None:
-        persist_registry.append(edges)
+        persist_registry.append(labels)
     return labels
 
 

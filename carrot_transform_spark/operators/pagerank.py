@@ -59,7 +59,7 @@ def pagerank(
     n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(_r9f(1.0 / n)).alias("rank"))
-    for _ in range(iters):
+    for t in range(iters):
         contrib = (
             e.join(ranks, e.src == F.col("node"))
             .join(deg, "src")
@@ -79,6 +79,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # ranks is referenced once per round, so lineage grows linearly (not
+        # the CC loop's exponential case) — but Catalyst re-analyzes the whole
+        # accumulated tree per action, a quadratic cost that bites past ~20
+        # rounds. Cut lineage every 8 rounds; checkpointing changes no values,
+        # so the unrolled DuckDB twin stays exact.
+        if (t + 1) % 8 == 0 and t + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

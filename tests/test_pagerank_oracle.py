@@ -63,6 +63,18 @@ def test_pagerank_sql_iters_zero_is_uniform():
     assert got == {1: _r9(0.5), 2: _r9(0.5)}
 
 
+def test_pagerank_spark_deep_iters_matches_python_oracle(spark):
+    """20 rounds crosses the every-8-rounds localCheckpoint lineage cut
+    twice — pins that checkpointing changes no values AND that deep
+    iteration counts don't accumulate an unanalyzable plan."""
+    from carrot_transform_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=20).collect()}
+    want = _pagerank_py(EDGES, iters=20, damping=0.85)
+    assert got == want  # exact float equality — that's the contract
+
+
 def test_pagerank_sql_ranks_sum_near_one():
     edges_sql = " UNION ALL ".join(f"SELECT {s} AS src, {d} AS dst" for s, d in EDGES)
     ranks = [r for _, r in duckdb.sql(pagerank_sql(edges_sql, iters=8)).fetchall()]
