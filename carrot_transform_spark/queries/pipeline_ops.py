@@ -165,6 +165,66 @@ def dd_cc_star_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W, _CMS_D, _CMS_K = 2048, 4, 20
+
+
+def txt_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/freqitems.py): the top-K
+    corpus words with their exact counts AND the CMS estimates. The sketch
+    is deterministic md5-derived integer arithmetic, so the DuckDB oracle
+    rebuilds the identical depth x width cell grid and min-estimates —
+    the approximate path is value-hash-checked exactly, not just bounded."""
+    from carrot_transform_spark.operators.freqitems import cms_build, cms_estimate
+    from carrot_transform_spark.queries import qpersist
+
+    d = load(spark, sf_dir, "documents")
+    words = qpersist(
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w")).filter(
+            F.col("w") != ""
+        )
+    )
+    exact = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("w"))
+        .limit(_CMS_K)
+    )
+    cms = cms_build(words, "w", width=_CMS_W, depth=_CMS_D)
+    est = cms_estimate(cms, exact, "w", width=_CMS_W, depth=_CMS_D)
+    return (
+        exact.join(est, "w")
+        .select(F.col("w").alias("word"), "exact_n", "cms_est")
+        .orderBy(F.desc("exact_n"), "word")
+    )
+
+
+def _cms_sql() -> str:
+    from carrot_transform_spark.operators.freqitems import cms_cells_sql, cms_probes_sql
+
+    words = (
+        "SELECT w FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+        "FROM documents) t WHERE w <> ''"
+    )
+    cells = cms_cells_sql(words, width=_CMS_W, depth=_CMS_D)
+    topk = (
+        f"SELECT w, COUNT(*) AS exact_n FROM ({words}) ws "
+        f"GROUP BY w ORDER BY exact_n DESC, w LIMIT {_CMS_K}"
+    )
+    probes = cms_probes_sql("SELECT w FROM topk", width=_CMS_W, depth=_CMS_D)
+    return f"""
+    WITH cells AS ({cells}),
+    topk AS ({topk}),
+    est AS (
+        SELECT w, MIN(COALESCE(cnt, 0)) AS cms_est
+        FROM ({probes}) p LEFT JOIN cells USING (j, bucket)
+        GROUP BY w
+    )
+    SELECT topk.w AS word, exact_n, cms_est
+    FROM topk JOIN est ON topk.w = est.w
+    ORDER BY exact_n DESC, word
+    """
+
+
 def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-doc repetition metrics (dup-word / top-word /
     top-bigram fractions) — the quality filters a pretraining pipeline
@@ -315,6 +375,12 @@ register_suite(
             dd_cc_star_groups,
             _CC_SQL,
             [("doc_id", "i"), ("component_id", "i")],
+        ),
+        (
+            "txt_cms_heavy_hitters",
+            txt_cms_heavy_hitters,
+            _cms_sql(),
+            [("word", "s"), ("exact_n", "i"), ("cms_est", "i")],
         ),
         (
             "txt_repetition",

@@ -403,6 +403,34 @@ def test_connected_components_star_chain_logarithmic_rounds(spark):
     assert len(out) == 201 and set(out.values()) == {0}
 
 
+def test_connected_components_union_input_no_constraint_crash(spark):
+    import pyspark.sql.functions as F
+
+    from carrot_transform_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # edge list built as a UNION of two derived frames: localCheckpoint used
+    # to capture the union's constraint set into the LogicalRDD, and the
+    # loop's next Union crashed in rewriteConstraints ("key not found") —
+    # this pins the constraint-propagation scope fix
+    chain = spark.range(50).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stars = spark.range(10).select(
+        (F.lit(100) + F.col("id") * 2).alias("id_a"),
+        (F.lit(101) + F.col("id") * 2).alias("id_b"),
+    )
+    pairs = chain.unionByName(stars)
+    a = {r["id"]: r["component_id"] for r in connected_components_star(pairs).collect()}
+    assert len(a) == 71 and sum(1 for v in a.values() if v == 0) == 51
+    b = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert a == b
+    # the conf is restored after the operators return
+    assert spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
+
+
 def test_connected_components_deep_diameter_no_plan_blowup(spark):
     from carrot_transform_spark.operators.dedup import connected_components
 
@@ -414,6 +442,37 @@ def test_connected_components_deep_diameter_no_plan_blowup(spark):
     )
     out = {r["id"]: r["component_id"] for r in connected_components(chain).collect()}
     assert len(out) == 31 and set(out.values()) == {0}
+
+
+def test_cms_estimates_bound_exact_counts(spark):
+    import pyspark.sql.functions as F
+
+    from carrot_transform_spark.operators.freqitems import cms_build, cms_estimate
+
+    # 3 items with known counts, tiny sketch (width 8 forces some collisions)
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "w string")
+    cms = cms_build(df, "w", width=8, depth=4)
+    est = {
+        r["w"]: r["cms_est"]
+        for r in cms_estimate(cms, df, "w", width=8, depth=4).collect()
+    }
+    exact = {"a": 50, "b": 30, "c": 5}
+    for w, n in exact.items():
+        # CMS never undercounts; overshoot bounded by total mass
+        assert n <= est[w] <= n + 85 - n, (w, n, est[w])
+    # cell table never exceeds depth*width regardless of cardinality
+    assert cms.count() <= 4 * 8
+
+
+def test_cms_partition_invariant(spark):
+    from carrot_transform_spark.operators.freqitems import cms_build
+
+    rows = [(f"w{i % 17}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "w string")
+    a = sorted(map(tuple, cms_build(df.coalesce(1), "w", width=64, depth=4).collect()))
+    b = sorted(map(tuple, cms_build(df.repartition(16), "w", width=64, depth=4).collect()))
+    assert a == b
 
 
 def test_decontaminate_flags_overlapping_docs(spark):
