@@ -117,6 +117,93 @@ def hash_split_sql(key_expr: str, splits: dict[str, float], salt: str = "split")
     return f"CASE {' '.join(whens)} ELSE {sql_str(names[-1])} END"
 
 
+def curriculum_sample(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    n_buckets: int = 4,
+    rates: list[float] | None = None,
+    salt: str = "curr",
+) -> DataFrame:
+    """Quality-curriculum sampling: bucket rows by score quantile (bucket 1 =
+    highest scores) and keep each row with its bucket's rate, deterministically.
+
+    The bucket does NOT come from a global NTILE sort (a single-partition
+    window over the whole corpus — the classic 100 TB bottleneck). Instead
+    the SCORE HISTOGRAM is aggregated (map-side combine down to one row per
+    distinct score — integer quality scores have bounded cardinality), the
+    cumulative-start fraction runs over that tiny frame, and rows join back
+    to their bucket through a broadcast. Ties share a bucket, so assignment
+    is partitioning- and scale-independent. The keep decision is the same
+    md5-hash rule as stratified_sample.
+
+    rates[i] is bucket i+1's keep rate; default linearly decays from 1.0
+    (best bucket keeps everything) to 1/n_buckets.
+    """
+    from pyspark.sql import Window
+
+    if rates is None:
+        rates = [1.0 - i / n_buckets for i in range(n_buckets)]
+    if len(rates) != n_buckets:
+        raise ValueError(f"need {n_buckets} rates, got {len(rates)}")
+    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.desc(score_col)).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    start = (F.sum("__c").over(w) - F.col("__c")).cast("double")
+    total = F.sum("__c").over(tot).cast("double")
+    bucketed = hist.select(
+        score_col,
+        F.least(
+            F.lit(n_buckets), (F.floor(start * n_buckets / total) + 1).cast("int")
+        ).alias("bucket"),
+    )
+    h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))) % DENOM
+    thresh = None
+    for i, r in enumerate(rates):
+        t = DENOM if r >= 1.0 else round(r * DENOM)
+        cond = F.col("bucket") == i + 1
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    return df.join(F.broadcast(bucketed), score_col).withColumn(
+        "sampled", (h < thresh).cast("int")
+    )
+
+
+def curriculum_sample_sql(
+    inner_sql: str,
+    score_expr: str = "score",
+    key_expr: str = "doc_id",
+    n_buckets: int = 4,
+    rates: list[float] | None = None,
+    salt: str = "curr",
+) -> str:
+    """DuckDB twin of curriculum_sample over ``inner_sql`` rows."""
+    if rates is None:
+        rates = [1.0 - i / n_buckets for i in range(n_buckets)]
+    h = (
+        f"CAST(CONCAT('0x', substring(md5(concat_ws('|', CAST({key_expr} AS VARCHAR), "
+        f"{sql_str(salt)})), 1, 8)) AS UBIGINT) % {DENOM}"
+    )
+    whens = " ".join(
+        f"WHEN bucket = {i + 1} THEN {DENOM if r >= 1.0 else round(r * DENOM)}"
+        for i, r in enumerate(rates)
+    )
+    return f"""
+    WITH sig AS ({inner_sql}),
+    hist AS (SELECT {score_expr} AS __s, COUNT(*) AS __c FROM sig GROUP BY {score_expr}),
+    hb AS (
+        SELECT __s, LEAST({n_buckets}, CAST(FLOOR(
+            CAST(SUM(__c) OVER (ORDER BY __s DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - __c
+                 AS DOUBLE) * {n_buckets}
+            / (SELECT CAST(SUM(__c) AS DOUBLE) FROM hist)) AS INT) + 1) AS bucket
+        FROM hist
+    )
+    SELECT sig.*, hb.bucket,
+           CASE WHEN {h} < (CASE {whens} END) THEN 1 ELSE 0 END AS sampled
+    FROM sig JOIN hb ON sig.{score_expr} = hb.__s
+    """
+
+
 def mix_datasets(
     parts: list[tuple["DataFrame", float]],
     key_col: str,

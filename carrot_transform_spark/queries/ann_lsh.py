@@ -128,6 +128,50 @@ def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list (operators/semdedup.py): within-cell cosine pairs
+    >= threshold -> connected components -> keep the min-id member per
+    group. One output row per corpus vector; filter(keep=1) IS the
+    deduplicated corpus. Blocking via the label column (standing in for the
+    nearest-centroid cell an IVF/k-means stage assigns at scale)."""
+    from carrot_transform_spark.operators.semdedup import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(e, cell_col="label", threshold=_SEMDEDUP_THRESHOLD)
+    return out.select(F.col("id").alias("vec_id"), "component_id", "keep").orderBy(
+        "vec_id"
+    )
+
+
+def _semdedup_sql() -> str:
+    from carrot_transform_spark.queries.similarity import _DOT_SQL, _NORMED_SQL
+
+    dot = _DOT_SQL.format(a="a.v", b="b.v")
+    return f"""
+    WITH RECURSIVE n AS ({_NORMED_SQL}),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {dot} / (a.nrm * b.nrm) >= {_SEMDEDUP_THRESHOLD}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS component_id FROM reach GROUP BY a)
+    SELECT e.vec_id, COALESCE(c.component_id, e.vec_id) AS component_id,
+           CASE WHEN COALESCE(c.component_id, e.vec_id) = e.vec_id
+                THEN 1 ELSE 0 END AS keep
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    ORDER BY vec_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # suite: blocking/quantization checks as one entry (the exact and IVF top-k
 # queries stay standalone in similarity.py)
@@ -184,6 +228,12 @@ register_suite(
             sim_kmeans_lloyd,
             KMEANS_SQL,
             [("vec_id", "i"), ("cell", "i")],
+        ),
+        (
+            "sim_semantic_dedup",
+            sim_semantic_dedup,
+            _semdedup_sql(),
+            [("vec_id", "i"), ("component_id", "i"), ("keep", "i")],
         ),
     ],
     tags=("similarity", "lsh", "suite"),

@@ -225,6 +225,31 @@ def _cms_sql() -> str:
     """
 
 
+def txt_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/Gopher-style quality filter chain (operators/quality.py):
+    every doc scored against the length / stopword / alnum / repetition
+    rules in one scan + one profile join, with per-rule reject attribution
+    (reject_reasons CSV) and the keep flag. filter(keep=1) IS the cleaned
+    corpus; groupBy(reject_reasons) is the drop-rate dashboard."""
+    from carrot_transform_spark.operators.quality import quality_filter_chain
+
+    d = load(spark, sf_dir, "documents")
+    return quality_filter_chain(d, max_tokens=_QF_MAX_TOKENS).orderBy("doc")
+
+
+_QF_MAX_TOKENS = 90  # the synthetic corpus tops out at ~100 tokens — a 400
+# cap would never fire; 90 exercises the too_long path on real rows
+
+
+def _quality_filter_sql() -> str:
+    from carrot_transform_spark.operators.quality import quality_filter_chain_sql
+
+    return (
+        quality_filter_chain_sql("documents", "doc_id", "text", max_tokens=_QF_MAX_TOKENS)
+        + " ORDER BY doc"
+    )
+
+
 def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-doc repetition metrics (dup-word / top-word /
     top-bigram fractions) — the quality filters a pretraining pipeline
@@ -265,6 +290,49 @@ def _hash_split_sql() -> str:
     return (
         f"SELECT doc_id, {hash_split_sql('doc_id', _SPLITS)} AS split "
         f"FROM documents ORDER BY doc_id"
+    )
+
+
+def ds_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum sampling (operators/sampling.curriculum_sample):
+    docs bucketed into score quartiles (integer quality score = stopword
+    density + length) via the score HISTOGRAM — no global NTILE sort — then
+    kept at per-bucket rates (best bucket keeps all) by the deterministic
+    md5 rule. The downsample-low-quality / keep-high-quality mix step of a
+    pretraining data pipeline."""
+    from carrot_transform_spark.operators.sampling import curriculum_sample
+    from carrot_transform_spark.operators.text import occurrences
+
+    d = load(spark, sf_dir, "documents")
+    txt = F.trim("text")
+    padded = F.concat(F.lit(" "), txt, F.lit(" "))
+    sig = d.select(
+        "doc_id",
+        (occurrences(padded, " the ") * 100 + F.size(F.split(txt, r"\s+"))).alias(
+            "score"
+        ),
+    )
+    return (
+        curriculum_sample(sig, "score", "doc_id")
+        .select("doc_id", "score", "bucket", "sampled")
+        .orderBy("doc_id")
+    )
+
+
+def _curriculum_sql() -> str:
+    from carrot_transform_spark.operators.sampling import curriculum_sample_sql
+
+    stop = (
+        "CAST((LENGTH(' ' || trim(text) || ' ') - "
+        "LENGTH(REPLACE(' ' || trim(text) || ' ', ' the ', ''))) / 5 AS INTEGER)"
+    )
+    sig = (
+        f"SELECT doc_id, {stop} * 100 + "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS score FROM documents"
+    )
+    inner = curriculum_sample_sql(sig, "score", "doc_id")
+    return (
+        f"SELECT doc_id, score, bucket, sampled FROM ({inner}) c ORDER BY doc_id"
     )
 
 
@@ -383,6 +451,20 @@ register_suite(
             [("word", "s"), ("exact_n", "i"), ("cms_est", "i")],
         ),
         (
+            "txt_quality_filter",
+            txt_quality_filter,
+            _quality_filter_sql(),
+            [
+                ("doc", "i"),
+                ("n_tokens", "i"),
+                ("stopword_hits", "i"),
+                ("alnum_ratio", "f"),
+                ("dup_word_frac", "f"),
+                ("reject_reasons", "s"),
+                ("keep", "i"),
+            ],
+        ),
+        (
             "txt_repetition",
             txt_repetition,
             repetition_profile_sql("documents", "doc_id", "text"),
@@ -405,6 +487,12 @@ register_suite(
             ds_hash_split,
             _hash_split_sql(),
             [("doc_id", "i"), ("split", "s")],
+        ),
+        (
+            "ds_curriculum_sample",
+            ds_curriculum_sample,
+            _curriculum_sql(),
+            [("doc_id", "i"), ("score", "i"), ("bucket", "i"), ("sampled", "i")],
         ),
         (
             "dd_bloom_semijoin",

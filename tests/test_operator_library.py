@@ -771,3 +771,114 @@ def test_pq_recall_and_compression(spark, emb):
     codes2 = {r["id"]: r["code"] for r in pq.encode(corpus.repartition(7), books).collect()}
     assert codes2 == {r["id"]: r["code"] for r in rows}
     codes.unpersist()
+
+
+def test_semantic_dedup_keep_list(spark):
+    from carrot_transform_spark.operators import semdedup as sd
+
+    # two clusters of identical vectors + one singleton; cell separates 10/20
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.99, 0.01], 0),
+        (10, [0.0, 1.0], 1), (11, [0.0, 1.0], 1),
+        (20, [-1.0, 0.5], 1),  # same cell as 10/11 but far in cosine
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cell int")
+    out = {r["id"]: r for r in sd.semantic_dedup(df, cell_col="cell", threshold=0.95).collect()}
+    assert len(out) == 6  # exactly one row per input
+    assert out[1]["component_id"] == 1 and out[1]["keep"] == 1
+    assert out[2]["component_id"] == 1 and out[2]["keep"] == 0
+    assert out[3]["component_id"] == 1 and out[3]["keep"] == 0
+    assert out[10]["keep"] == 1 and out[11]["component_id"] == 10
+    assert out[20]["component_id"] == 20 and out[20]["keep"] == 1  # singleton keeps itself
+    # star variant produces identical groups
+    star = {r["id"]: tuple(r) for r in
+            sd.semantic_dedup(df, cell_col="cell", threshold=0.95, star=True).collect()}
+    assert star == {r["id"]: tuple(r) for r in out.values()}
+
+
+def test_semantic_dedup_blocks_by_cell(spark):
+    from carrot_transform_spark.operators import semdedup as sd
+
+    # identical vectors in DIFFERENT cells must NOT pair (blocking contract)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    out = {r["id"]: r for r in sd.semantic_dedup(df, cell_col="cell", threshold=0.9).collect()}
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 1
+
+
+def test_semantic_dedup_centroid_path(spark):
+    from carrot_transform_spark.operators import semdedup as sd
+
+    # no cell column: blocking comes from nearest-centroid assignment
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.98, 0.02]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r["id"]: r for r in sd.semantic_dedup(df, centroids=cents, threshold=0.95).collect()}
+    assert out[2]["component_id"] == 1 and out[2]["keep"] == 0
+    assert out[3]["keep"] == 1
+
+
+def test_quality_filter_chain_rules_and_attribution(spark):
+    from carrot_transform_spark.operators.quality import quality_filter_chain
+
+    long_clean = "the " + " ".join(f"w{i}" for i in range(30))  # 31 tokens, has ' the '
+    short = "tiny doc here"
+    repeated = "the " + ("dup " * 30).strip()  # dup_word_frac near 1
+    df = spark.createDataFrame(
+        [(1, long_clean), (2, short), (3, repeated)], "doc_id long, text string"
+    )
+    out = {r["doc"]: r for r in
+           quality_filter_chain(df, min_tokens=5, max_tokens=50).collect()}
+    assert out[1]["keep"] == 1 and out[1]["reject_reasons"] == ""
+    assert out[2]["keep"] == 0 and "too_short" in out[2]["reject_reasons"]
+    assert "no_stopword" in out[2]["reject_reasons"]  # multi-rule attribution
+    assert out[3]["keep"] == 0 and out[3]["reject_reasons"] == "dup_words"
+    # rule order in the CSV is fixed (chain order, not alphabetical)
+    assert out[2]["reject_reasons"] == "too_short,no_stopword"
+
+
+def test_quality_filter_chain_one_row_per_doc(spark, docs):
+    from carrot_transform_spark.operators.quality import quality_filter_chain
+
+    out = quality_filter_chain(docs)
+    assert out.count() == docs.count()
+    assert out.select("doc").distinct().count() == docs.count()
+
+
+def test_curriculum_sample_buckets_and_rates(spark):
+    from carrot_transform_spark.operators.sampling import curriculum_sample
+
+    # 400 rows, scores 0..399 -> quartile buckets by score descent
+    df = spark.createDataFrame([(i, i % 400) for i in range(400)], "doc_id long, score int")
+    out = curriculum_sample(df, "score", "doc_id", n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == 400
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert sorted(by_bucket) == [1, 2, 3, 4]
+    # score order respected: every bucket-1 score > every bucket-2 score, etc.
+    for hi, lo in [(1, 2), (2, 3), (3, 4)]:
+        assert min(r["score"] for r in by_bucket[hi]) > max(r["score"] for r in by_bucket[lo])
+    # bucket 1 keeps everything (rate 1.0); lower buckets keep progressively less
+    kept = {b: sum(r["sampled"] for r in rs) / len(rs) for b, rs in by_bucket.items()}
+    assert kept[1] == 1.0
+    assert kept[2] > kept[4]
+    # deterministic + partition-invariant
+    again = {(r["doc_id"], r["bucket"], r["sampled"])
+             for r in curriculum_sample(df.repartition(7), "score", "doc_id").collect()}
+    assert again == {(r["doc_id"], r["bucket"], r["sampled"]) for r in rows}
+
+
+def test_curriculum_sample_ties_share_bucket(spark):
+    from carrot_transform_spark.operators.sampling import curriculum_sample
+
+    # all rows share one score -> all land in bucket 1 (start_frac = 0)
+    df = spark.createDataFrame([(i, 5) for i in range(40)], "doc_id long, score int")
+    out = curriculum_sample(df, "score", "doc_id", n_buckets=4).collect()
+    assert {r["bucket"] for r in out} == {1}
+    assert all(r["sampled"] == 1 for r in out)  # bucket 1 keeps everything
