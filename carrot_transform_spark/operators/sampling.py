@@ -204,6 +204,56 @@ def curriculum_sample_sql(
     """
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    salt: str = "wsample",
+    flag_col: str = "sampled",
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling: keep each row with probability
+    ``w / max_w``, deterministically.
+
+    The continuous counterpart of curriculum_sample's quantile buckets —
+    e.g. sample inversely proportional to duplicate-cluster size, or
+    proportionally to a quality score, without bucketing first. Weights
+    must be non-negative INTEGERS (scores, counts): the keep threshold is
+    the exact integer ``(DENOM * w) div max_w``, so both engines (and any
+    retry/partitioning) reproduce the identical subset — no float rates
+    anywhere. max_w is a one-row aggregate joined back via broadcast; no
+    driver action, no shuffle on the data path. Rows with the max weight
+    are always kept (threshold == DENOM > any h % DENOM).
+    """
+    mx = df.agg(F.max(F.col(weight_col)).cast("long").alias("__max_w"))
+    h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))) % DENOM
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn(flag_col, (h < F.expr(f"({weight_col} * {DENOM}L) div __max_w")).cast("int"))
+        .drop("__max_w")
+    )
+
+
+def weighted_sample_sql(
+    inner_sql: str,
+    weight_expr: str = "weight",
+    key_expr: str = "doc_id",
+    salt: str = "wsample",
+    flag_col: str = "sampled",
+) -> str:
+    """DuckDB twin of weighted_sample over ``inner_sql`` rows."""
+    h = (
+        f"CAST(CONCAT('0x', substring(md5(concat_ws('|', CAST({key_expr} AS VARCHAR), "
+        f"{sql_str(salt)})), 1, 8)) AS UBIGINT) % {DENOM}"
+    )
+    return f"""
+    WITH sig AS ({inner_sql}),
+    mx AS (SELECT MAX({weight_expr}) AS __max_w FROM sig)
+    SELECT sig.*, CASE WHEN {h} < (CAST({weight_expr} AS BIGINT) * {DENOM}) // __max_w
+                  THEN 1 ELSE 0 END AS {flag_col}
+    FROM sig CROSS JOIN mx
+    """
+
+
 def mix_datasets(
     parts: list[tuple["DataFrame", float]],
     key_col: str,

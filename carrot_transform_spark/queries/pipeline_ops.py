@@ -336,6 +336,74 @@ def _curriculum_sql() -> str:
     )
 
 
+def ds_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row weighted Bernoulli sampling (operators/sampling.weighted_sample):
+    keep probability proportional to an integer weight (here: token count),
+    threshold computed with exact integer division so the subset is
+    bit-identical in any engine. The continuous counterpart of
+    ds_curriculum_sample's quantile buckets."""
+    from carrot_transform_spark.operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("weight")
+    )
+    return (
+        weighted_sample(sig, "weight", "doc_id")
+        .select("doc_id", "weight", "sampled")
+        .orderBy("doc_id")
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from carrot_transform_spark.operators.sampling import weighted_sample_sql
+
+    inner = (
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS weight "
+        "FROM documents"
+    )
+    return (
+        f"SELECT doc_id, weight, sampled FROM ({weighted_sample_sql(inner)}) w "
+        "ORDER BY doc_id"
+    )
+
+
+_Z_BITS = 8
+
+
+def ds_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering keys (operators/layout.zorder_key): the
+    bit-interleaved key that zorder_repartition range-partitions on so
+    parquet min/max stats skip files for predicates on EITHER dimension.
+    Pure integer bit math — the oracle recomputes every key exactly."""
+    from carrot_transform_spark.operators.layout import zorder_key
+
+    d = load(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(256)).alias("x"),
+        F.pmod(F.size(F.split(F.trim("text"), r"\s+")) * 7, F.lit(256)).alias("y"),
+    )
+    return (
+        sig.withColumn("z", zorder_key(["x", "y"], bits=_Z_BITS))
+        .orderBy("doc_id")
+    )
+
+
+def _zorder_sql() -> str:
+    from carrot_transform_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["x", "y"], bits=_Z_BITS)
+    return f"""
+    WITH sig AS (
+        SELECT doc_id, doc_id % 256 AS x,
+               (len(regexp_split_to_array(trim(text), '\\s+')) * 7) % 256 AS y
+        FROM documents
+    )
+    SELECT doc_id, x, y, {z} AS z FROM sig ORDER BY doc_id
+    """
+
+
 _BLOOM_BAL = 9000  # build side: the few high-balance customers
 
 
@@ -493,6 +561,18 @@ register_suite(
             ds_curriculum_sample,
             _curriculum_sql(),
             [("doc_id", "i"), ("score", "i"), ("bucket", "i"), ("sampled", "i")],
+        ),
+        (
+            "ds_weighted_sample",
+            ds_weighted_sample,
+            _weighted_sample_sql(),
+            [("doc_id", "i"), ("weight", "i"), ("sampled", "i")],
+        ),
+        (
+            "ds_zorder_keys",
+            ds_zorder_keys,
+            _zorder_sql(),
+            [("doc_id", "i"), ("x", "i"), ("y", "i"), ("z", "i")],
         ),
         (
             "dd_bloom_semijoin",
