@@ -404,6 +404,29 @@ def _zorder_sql() -> str:
     """
 
 
+_SKEW_K = 15
+
+
+def diag_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (operators/diagnostics.skew_profile): the
+    top heavy keys of orders.o_custkey with exact ppm share and the
+    integer salting hint that feeds salted_join(n_salts=...) — the
+    measure-before-salting step of skew management at scale."""
+    from carrot_transform_spark.operators.diagnostics import skew_profile
+
+    o = load(spark, sf_dir, "orders")
+    return skew_profile(o, "o_custkey", top_k=_SKEW_K).withColumnRenamed(
+        "key", "custkey"
+    )
+
+
+def _skew_sql() -> str:
+    from carrot_transform_spark.operators.diagnostics import skew_profile_sql
+
+    inner = skew_profile_sql("SELECT o_custkey FROM orders", "o_custkey", top_k=_SKEW_K)
+    return f"SELECT key AS custkey, n_rows, rank, ppm, salts_hint FROM ({inner}) s"
+
+
 _BLOOM_BAL = 9000  # build side: the few high-balance customers
 
 
@@ -573,6 +596,12 @@ register_suite(
             ds_zorder_keys,
             _zorder_sql(),
             [("doc_id", "i"), ("x", "i"), ("y", "i"), ("z", "i")],
+        ),
+        (
+            "diag_skew_profile",
+            diag_skew_profile,
+            _skew_sql(),
+            [("custkey", "i"), ("n_rows", "i"), ("rank", "i"), ("ppm", "i"), ("salts_hint", "i")],
         ),
         (
             "dd_bloom_semijoin",

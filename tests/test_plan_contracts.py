@@ -85,3 +85,52 @@ def test_sessionize_single_keyed_exchange(spark, sf_dir):
     # a global Sort outside a window (Exchange SinglePartition) would be a
     # scale bug; rangepartitioning only appears for the final oracle ORDER BY
     assert "Exchange SinglePartition" not in plan or "AdaptiveSparkPlan" in plan
+
+
+def test_weighted_sample_no_data_shuffle(spark):
+    """weighted_sample's data path is a narrow filter: the only exchange in
+    the plan is the 1-row max-weight broadcast — no hash/range exchange of
+    the data ever happens."""
+    from carrot_transform_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 10_000).selectExpr("id", "CAST(id % 7 + 1 AS INT) AS w")
+    plan = _executed_plan(weighted_sample(df, "w", "id"))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # allowed: the broadcast itself and the SinglePartition exchange that
+    # finalizes the 1-row max aggregate (carries <= n_partitions partial
+    # rows, not data). Disallowed: any hash/range partitioning of the data.
+    for line in plan.splitlines():
+        if ("Exchange hashpartitioning" in line) or ("Exchange rangepartitioning" in line):
+            raise AssertionError(f"unexpected data shuffle: {line}")
+
+
+def test_zorder_repartition_single_range_exchange(spark):
+    """zorder_repartition = broadcast min/max + narrow bit-interleave +
+    ONE range exchange (the shuffle any global clustering needs)."""
+    from carrot_transform_spark.operators.layout import zorder_repartition
+
+    df = spark.range(0, 4_096).selectExpr(
+        "CAST(id % 64 AS INT) AS x", "CAST(id DIV 64 AS INT) AS y"
+    )
+    plan = _executed_plan(zorder_repartition(df, ["x", "y"], num_partitions=16, bits=6))
+    ranges = [l for l in plan.splitlines() if "Exchange rangepartitioning" in l]
+    assert len(ranges) == 1, plan
+    # no hash exchange of the data anywhere; the SinglePartition exchange
+    # finalizing the 1-row min/max aggregate is metadata-sized and allowed
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "pythonudf" not in plan.lower()  # pure bitwise expression tree
+
+
+def test_skew_profile_takeordered_not_global_sort(spark):
+    """skew_profile's top-K is TakeOrdered (per-partition top-K + K-row
+    merge); the only keyed exchange is the per-key count aggregation."""
+    from carrot_transform_spark.operators.diagnostics import skew_profile
+
+    df = spark.range(0, 20_000).selectExpr("CAST(id % 500 AS INT) AS k", "id AS v")
+    out = skew_profile(df, "k", top_k=10)
+    out.collect()  # finalize the AQE plan so exchange reuse is visible
+    plan = _executed_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the totals branch and the top-K branch share ONE per-key count
+    # shuffle at runtime: AQE replaces the duplicate with a ReusedExchange
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
