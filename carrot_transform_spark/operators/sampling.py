@@ -254,6 +254,58 @@ def weighted_sample_sql(
     """
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "cap",
+    flag_col: str = "kept",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically.
+
+    The "at most N documents per domain/source" curation step. Rows are
+    ranked within their group by the md5 decision hash (key asc as the
+    tiebreak — total order, no ties), and the first ``cap`` survive. One
+    keyed shuffle + a partition-local window — the same shape as any
+    per-group top-K, scale-safe under AQE skew splitting. The choice is a
+    pure function of (key, salt): stable under retries, partitioning, and
+    cluster size, and uncorrelated with any other sampling decision made
+    on the same key (different salt -> different hash).
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn(
+        flag_col, (F.row_number().over(w) <= cap).cast("int")
+    )
+
+
+def cap_per_group_sql(
+    inner_sql: str,
+    group_expr: str,
+    key_expr: str,
+    cap: int,
+    salt: str = "cap",
+    flag_col: str = "kept",
+) -> str:
+    """DuckDB twin of cap_per_group over ``inner_sql`` rows."""
+    h = (
+        f"CAST(CONCAT('0x', substring(md5(concat_ws('|', CAST({key_expr} AS VARCHAR), "
+        f"{sql_str(salt)})), 1, 8)) AS UBIGINT)"
+    )
+    return f"""
+    WITH sig AS ({inner_sql})
+    SELECT sig.*, CASE WHEN ROW_NUMBER() OVER (
+        PARTITION BY {group_expr} ORDER BY {h}, {key_expr}
+    ) <= {cap} THEN 1 ELSE 0 END AS {flag_col}
+    FROM sig
+    """
+
+
 def mix_datasets(
     parts: list[tuple["DataFrame", float]],
     key_col: str,

@@ -404,6 +404,28 @@ def _zorder_sql() -> str:
     """
 
 
+_CAP_N = 40
+
+
+def ds_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap (operators/sampling.cap_per_group): keep at most N
+    docs per language, chosen by the deterministic md5 rank — the
+    "at most N documents per domain" curation step."""
+    from carrot_transform_spark.operators.sampling import cap_per_group
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cap_per_group(d, "lang", "doc_id", cap=_CAP_N).orderBy("doc_id")
+
+
+def _cap_sql() -> str:
+    from carrot_transform_spark.operators.sampling import cap_per_group_sql
+
+    inner = cap_per_group_sql(
+        "SELECT doc_id, lang FROM documents", "lang", "doc_id", cap=_CAP_N
+    )
+    return f"SELECT doc_id, lang, kept FROM ({inner}) c ORDER BY doc_id"
+
+
 _SKEW_K = 15
 
 
@@ -596,6 +618,12 @@ register_suite(
             ds_zorder_keys,
             _zorder_sql(),
             [("doc_id", "i"), ("x", "i"), ("y", "i"), ("z", "i")],
+        ),
+        (
+            "ds_cap_per_group",
+            ds_cap_per_group,
+            _cap_sql(),
+            [("doc_id", "i"), ("lang", "s"), ("kept", "i")],
         ),
         (
             "diag_skew_profile",

@@ -60,3 +60,39 @@ def test_skew_profile_uniform_hints_are_one(spark):
     prof = skew_profile(df, "k", top_k=50).collect()
     assert all(r["salts_hint"] == 1 for r in prof)
     assert all(r["ppm"] == 20_000 for r in prof)  # 20/1000 exactly
+
+
+def test_cap_per_group_deterministic_and_capped(spark):
+    from carrot_transform_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = cap_per_group(df, "g", "id", cap=20)
+    per_g = out.filter("kept = 1").groupBy("g").count().collect()
+    assert all(r["count"] == 20 for r in per_g)  # every group has >20 rows
+    assert out.count() == 300  # flag, not filter: nothing dropped
+    # deterministic + partition invariant
+    a = {(r["id"], r["kept"]) for r in out.collect()}
+    b = {
+        (r["id"], r["kept"])
+        for r in cap_per_group(df.repartition(16, "id"), "g", "id", cap=20).collect()
+    }
+    assert a == b
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    from carrot_transform_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, g string")
+    out = cap_per_group(df, "g", "id", cap=5).collect()
+    assert all(r["kept"] == 1 for r in out)
+
+
+def test_cap_per_group_rejects_bad_cap(spark):
+    import pytest as _pytest
+
+    from carrot_transform_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame([(1, "a")], "id long, g string")
+    with _pytest.raises(ValueError):
+        cap_per_group(df, "g", "id", cap=0)
