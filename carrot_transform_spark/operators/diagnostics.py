@@ -7,7 +7,10 @@ combined), global totals as a one-row broadcast, and the top-K heavy keys
 with their exact parts-per-million share and an integer ``salts_hint`` —
 the over-representation factor vs a uniform key, i.e. the number of salt
 shards that brings the key down to average load, directly consumable by
-operators/skewjoin.salted_join(n_salts=...).
+operators/skewjoin.salted_join(n_salts=...). The hint is the raw factor;
+callers should clamp it to the cluster's useful parallelism (a 20%-hot
+key among 1M keys yields a ~200k factor, but n_salts beyond the shuffle
+partition count buys nothing).
 
 All derived columns are exact integer arithmetic (ppm = n*1e6 div total),
 so the DuckDB oracle reproduces every value; ordering is (count desc, key

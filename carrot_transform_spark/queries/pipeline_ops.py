@@ -1,5 +1,5 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with eleven oracle-checked sub-checks, including:
+CORRECTNESS entry with eighteen oracle-checked sub-checks, including:
 
 - ds_stratified_sample: deterministic language-stratified corpus rebalance
   (queries/sampling.py; operators/sampling.stratified_sample).
