@@ -224,6 +224,108 @@ def minhash_lsh_dedup(
     return jaccard_verify(cand, index, threshold=threshold)
 
 
+# ---------------------------------------------------------------------------
+# Incremental MinHash index maintenance
+#
+# At 100 TB you do not re-dedup the corpus when a new batch of documents
+# arrives — you keep a persisted LSH index (banded signatures + shingle
+# inverted index, both plain parquet) and run each batch against it:
+#   new-vs-index candidates  = batch bands  JOIN  stored bands   (equi-join)
+#   new-vs-new   candidates  = batch bands self-join
+# then exact-Jaccard-verify candidates only, and append the batch's rows to
+# the index. The base corpus TEXT is never re-read; the only base-side data
+# touched is the band rows sharing a bucket with the batch and the shingle
+# rows of candidate ids. Cost per step is O(batch + collisions), not
+# O(corpus).
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_frames(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    persist_registry: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, shingle_index) — the two frames a persisted near-dup index
+    consists of. bands: (id, band, bkey); shingle_index: (id, n, s)."""
+    index = exploded_shingle_index(df, id_col, text_col, n=shingle_n, persist=True)
+    index.count()  # bands + future verify both traverse it
+    if persist_registry is not None:
+        persist_registry.append(index)
+    bands = lsh_bands(minhash_signatures(index, k=k), k=k, rows_per_band=rows_per_band)
+    return bands, index
+
+
+def save_minhash_index(bands: DataFrame, index: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an index as two parquet dirs (`bands/`, `shingles/`). `mode`
+    "append" is the maintenance path — adds a batch's rows to the store."""
+    bands.write.mode(mode).parquet(f"{path}/bands")
+    index.write.mode(mode).parquet(f"{path}/shingles")
+
+
+def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Reopen a saved index: (bands, shingle_index)."""
+    return spark.read.parquet(f"{path}/bands"), spark.read.parquet(f"{path}/shingles")
+
+
+def incremental_candidate_pairs(batch_bands: DataFrame, base_bands: DataFrame) -> DataFrame:
+    """(id_a, id_b) candidates touching the new batch: batch-vs-index bucket
+    collisions plus batch-vs-batch, canonicalized id_a < id_b. Equals the
+    full corpus's candidate set restricted to pairs with >= 1 batch member,
+    so incremental results match a from-scratch run exactly."""
+    a = batch_bands.alias("a")
+    b = base_bands.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+    )
+    return cross.unionByName(lsh_candidate_pairs(batch_bands)).distinct()
+
+
+def update_minhash_index(
+    path: str,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One maintenance step of a persisted index at `path`: returns the
+    verified near-dup pairs (id_a, id_b, jaccard) of the batch against
+    index+batch, then appends the batch's band/shingle rows to the store.
+
+    The pairs frame is eagerly localCheckpoint-ed BEFORE the append so its
+    lineage cannot re-list the parquet dirs and double-count the batch."""
+    spark = batch_df.sparkSession
+    base_bands, base_index = load_minhash_index(spark, path)
+    reg: list[DataFrame] = []
+    b_bands, b_index = minhash_index_frames(
+        batch_df, id_col, text_col, k=k, rows_per_band=rows_per_band,
+        shingle_n=shingle_n, persist_registry=reg,
+    )
+    cand = incremental_candidate_pairs(b_bands, base_bands)
+    pairs = jaccard_verify(
+        cand, base_index.unionByName(b_index), threshold=threshold
+    ).localCheckpoint(eager=True)
+    save_minhash_index(b_bands, b_index, path, mode="append")
+    for df in reg:
+        df.unpersist()
+    return pairs
+
+
 def decontaminate(
     corpus_index: DataFrame, bench_index: DataFrame, min_hits: int = 2
 ) -> DataFrame:

@@ -1,5 +1,5 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with eighteen oracle-checked sub-checks, including:
+CORRECTNESS entry with nineteen oracle-checked sub-checks, including:
 
 - ds_stratified_sample: deterministic language-stratified corpus rebalance
   (queries/sampling.py; operators/sampling.stratified_sample).
@@ -473,6 +473,73 @@ _BLOOM_SQL = f"""
     """
 
 
+_INC_MOD = 5  # doc_id % 5 == 0 -> the "new batch"; the rest = the stored index
+
+
+def dd_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance (operators/dedup.py incremental_*):
+    docs with doc_id % 5 == 0 play the "new batch" arriving against an LSH
+    index built from the other 80% of the corpus. Candidates = batch-vs-index
+    bucket collisions + batch-vs-batch; exact Jaccard verify on candidates
+    only; the base corpus text is never re-scanned. The oracle is the
+    from-scratch full-corpus LSH pair set restricted to pairs with >= 1
+    batch member — incremental must equal it exactly."""
+    from carrot_transform_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        jaccard_verify,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    e = _exploded_shingles(spark, sf_dir, persist=True)
+    e.count()  # base bands, batch bands, and the verify join all read it
+    idx = e.select(F.col("doc_id").alias("id"), "n", "s")
+    base_bands = lsh_bands(minhash_signatures(idx.filter(F.col("id") % _INC_MOD != 0)))
+    batch_bands = lsh_bands(minhash_signatures(idx.filter(F.col("id") % _INC_MOD == 0)))
+    cand = incremental_candidate_pairs(batch_bands, base_bands)
+    return (
+        jaccard_verify(cand, idx, threshold=0.7)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _incremental_sql() -> str:
+    """Full-corpus LSH pairs (same CTE stack as dd_minhash_lsh_pairs' oracle)
+    filtered to pairs touching the batch split."""
+    from carrot_transform_spark.queries.dedup import _minhash_sig_sql
+
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS (
+        SELECT doc_id, 0 AS band, CONCAT(mh0, '_', mh1) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, CONCAT(mh2, '_', mh3) FROM sig
+        UNION ALL SELECT doc_id, 2, CONCAT(mh4, '_', mh5) FROM sig
+        UNION ALL SELECT doc_id, 3, CONCAT(mh6, '_', mh7) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {_INC_MOD} = 0 OR b.doc_id % {_INC_MOD} = 0
+    ),
+    sh AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter,
+               ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM cand c
+        JOIN e a ON a.doc_id = c.doc_a
+        JOIN e b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM verified
+    WHERE inter * 1.0 / (na + nb - inter) >= 0.7
+    ORDER BY doc_a, doc_b
+    """
+
+
 _PR_M = 400  # graph nodes: doc_id < 400 (present at every scale factor)
 _PR_ITERS = 4
 
@@ -630,6 +697,12 @@ register_suite(
             diag_skew_profile,
             _skew_sql(),
             [("custkey", "i"), ("n_rows", "i"), ("rank", "i"), ("ppm", "i"), ("salts_hint", "i")],
+        ),
+        (
+            "dd_incremental_pairs",
+            dd_incremental_pairs,
+            _incremental_sql(),
+            [("doc_a", "i"), ("doc_b", "i"), ("jaccard", "f")],
         ),
         (
             "dd_bloom_semijoin",
