@@ -259,16 +259,61 @@ def minhash_index_frames(
     return bands, index
 
 
-def save_minhash_index(bands: DataFrame, index: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Persist an index as two parquet dirs (`bands/`, `shingles/`). `mode`
-    "append" is the maintenance path — adds a batch's rows to the store."""
-    bands.write.mode(mode).parquet(f"{path}/bands")
-    index.write.mode(mode).parquet(f"{path}/shingles")
+# The store is a pair of parquet dirs each holding versioned UNIT subdirs:
+#   {path}/bands/u-<unit>/     {path}/shingles/u-<unit>/
+# A unit is visible only once its bands dir carries Spark's _SUCCESS marker,
+# and shingles are read for exactly the unit names the bands dir committed
+# (shingles are written first, bands second, so the bands marker is the
+# atomic commit point for the pair). Appending into a live flat directory
+# would mix half-written part files into every concurrent read; fresh unit
+# dirs + marker-gated listing make a crashed update invisible and a replayed
+# update (same unit name, overwrite mode) a no-op — the property the
+# streaming maintainer (streaming/dedup_index.py) relies on.
+
+
+def _committed_units(spark, bands_dir: str) -> list[str]:
+    """Unit names under bands_dir with a _SUCCESS marker, via the Hadoop
+    FileSystem for the path's scheme (works for file:// and object stores)."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(bands_dir)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        return []
+    units = []
+    for st in fs.listStatus(jpath):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name.startswith("u-") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            units.append(name)
+    return sorted(units)
+
+
+def minhash_index_units(spark, path: str) -> list[str]:
+    """Committed unit names of the store at `path` (empty list = no store)."""
+    return _committed_units(spark, f"{path}/bands")
+
+
+def save_minhash_index(bands: DataFrame, index: DataFrame, path: str, unit: str = "base") -> None:
+    """Commit one unit (a base build or one batch) into the store at `path`.
+    Shingles first, bands second: the bands _SUCCESS is the commit point, so
+    a crash between the two writes leaves the unit invisible and a re-run
+    with the same unit name simply overwrites both dirs."""
+    index.write.mode("overwrite").parquet(f"{path}/shingles/u-{unit}")
+    bands.write.mode("overwrite").parquet(f"{path}/bands/u-{unit}")
 
 
 def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Reopen a saved index: (bands, shingle_index)."""
-    return spark.read.parquet(f"{path}/bands"), spark.read.parquet(f"{path}/shingles")
+    """Reopen a saved index: (bands, shingle_index) over all committed units."""
+    units = minhash_index_units(spark, path)
+    if not units:
+        raise FileNotFoundError(f"no committed index units under {path}")
+    bands = spark.read.parquet(*[f"{path}/bands/{u}" for u in units])
+    index = spark.read.parquet(*[f"{path}/shingles/{u}" for u in units])
+    return bands, index
 
 
 def incremental_candidate_pairs(batch_bands: DataFrame, base_bands: DataFrame) -> DataFrame:
@@ -302,15 +347,20 @@ def update_minhash_index(
     rows_per_band: int = 2,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    unit: str | None = None,
 ) -> DataFrame:
     """One maintenance step of a persisted index at `path`: returns the
     verified near-dup pairs (id_a, id_b, jaccard) of the batch against
-    index+batch, then appends the batch's band/shingle rows to the store.
+    index+batch, then commits the batch's band/shingle rows as a new unit.
 
-    The pairs frame is eagerly localCheckpoint-ed BEFORE the append so its
-    lineage cannot re-list the parquet dirs and double-count the batch."""
+    The pairs frame is eagerly localCheckpoint-ed BEFORE the commit so its
+    lineage cannot re-list the store and double-count the batch. `unit`
+    defaults to b<n> (n = committed unit count); pass a deterministic name
+    (e.g. the streaming batch id) to make a replayed step idempotent."""
     spark = batch_df.sparkSession
     base_bands, base_index = load_minhash_index(spark, path)
+    if unit is None:
+        unit = f"b{len(minhash_index_units(spark, path))}"
     reg: list[DataFrame] = []
     b_bands, b_index = minhash_index_frames(
         batch_df, id_col, text_col, k=k, rows_per_band=rows_per_band,
@@ -320,7 +370,7 @@ def update_minhash_index(
     pairs = jaccard_verify(
         cand, base_index.unionByName(b_index), threshold=threshold
     ).localCheckpoint(eager=True)
-    save_minhash_index(b_bands, b_index, path, mode="append")
+    save_minhash_index(b_bands, b_index, path, unit=unit)
     for df in reg:
         df.unpersist()
     return pairs
