@@ -156,6 +156,50 @@ class ParquetDirSource(Source):
         return self._finalize(df)
 
 
+class JsonlDirSource(Source):
+    """<dir>/<table>.jsonl — newline-delimited JSON, the training-data
+    interchange format (beyond-reference; dispatch prefix ``jsonl:``).
+
+    Primitives are read as their literal JSON tokens (primitivesAsString),
+    matching the stringly-typed CSV data plane without number round-trip
+    reformatting; nested objects/arrays are re-serialized to JSON strings.
+    Pass an explicit DDL `schema` to skip the inference pass — at scale an
+    extra full read for inference is never acceptable; inference is the
+    small-file convenience default only."""
+
+    def __init__(self, spark: SparkSession, directory: str | Path, schema: str | None = None):
+        self.spark = spark
+        self.directory = Path(directory)
+        self.schema = schema
+
+    def _path(self, table: str) -> Path:
+        for name in (table, f"{table}.jsonl", f"{table}.json"):
+            p = self.directory / name
+            if p.exists():
+                return p
+        return self.directory / f"{table}.jsonl"
+
+    def scan_splits(self, table: str) -> int | None:
+        try:
+            size = self._path(table).stat().st_size
+        except OSError:
+            return None
+        return max(1, -(-size // _max_partition_bytes(self.spark)))
+
+    def read(self, table: str) -> DataFrame:
+        reader = self.spark.read.option("primitivesAsString", True)
+        if self.schema:
+            reader = reader.schema(self.schema)
+        df = reader.json(str(self._path(table)))
+        df = df.select(
+            *[
+                (F.col(c) if t == "string" else F.to_json(F.col(c))).alias(c)
+                for c, t in df.dtypes
+            ]
+        )
+        return self._finalize(df)
+
+
 class JdbcSource(Source):
     """JDBC table scan (reference S2): identifiers lower-cased app-side
     (sources.py:75-119 SQL_TO_LOWER) with per-dialect quirks from
@@ -262,6 +306,8 @@ def make_source(spark: SparkSession, spec: str) -> Source:
         return S3CsvSource(spark, configure_minio(spark, spec))
     if spec.startswith("s3a://") or spec.startswith("s3://"):
         return S3CsvSource(spark, spec.replace("s3://", "s3a://", 1))
+    if spec.startswith("jsonl:"):
+        return JsonlDirSource(spark, spec[len("jsonl:"):])
     if spec.startswith("jdbc:"):
         # JDBC URLs needn't contain '//' (e.g. jdbc:derby:/path/db)
         return JdbcSource(spark, spec)

@@ -1,0 +1,55 @@
+"""JsonlDirSource: newline-delimited JSON into the stringly data plane."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from carrot_transform_spark.sources.registry import (
+    LINE_COL,
+    JsonlDirSource,
+    make_source,
+)
+
+
+@pytest.fixture()
+def jdir(tmp_path):
+    rows = [
+        {"id": 1, "name": "ada", "score": 1.5, "tags": ["a", "b"]},
+        {"id": 2, "name": "bob", "score": 2, "tags": []},
+        {"id": 3, "name": None, "score": None, "tags": None},
+    ]
+    with open(tmp_path / "people.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    return tmp_path
+
+
+def test_reads_strings_and_preserves_literals(spark, jdir):
+    src = JsonlDirSource(spark, jdir)
+    df = src.read("people")
+    assert all(t == "string" for c, t in df.dtypes if c != LINE_COL)
+    got = {r["id"]: r for r in df.collect()}
+    # primitivesAsString keeps the literal tokens: no 2 -> 2.0 reformatting
+    assert got["1"]["score"] == "1.5"
+    assert got["2"]["score"] == "2"
+    assert got["3"]["name"] is None
+    # nested values arrive as JSON text
+    assert got["1"]["tags"] == '["a","b"]'
+
+
+def test_dispatch_and_line_order(spark, jdir):
+    src = make_source(spark, f"jsonl:{jdir}")
+    assert isinstance(src, JsonlDirSource)
+    df = src.read("people.jsonl")
+    rows = sorted(df.collect(), key=lambda r: r[LINE_COL])
+    assert [r["id"] for r in rows] == ["1", "2", "3"]
+    assert src.scan_splits("people") == 1
+
+
+def test_explicit_schema_skips_inference(spark, jdir):
+    src = JsonlDirSource(spark, jdir, schema="id string, name string")
+    df = src.read("people")
+    assert set(df.columns) == {"id", "name", LINE_COL}
+    assert df.count() == 3
