@@ -259,61 +259,35 @@ def minhash_index_frames(
     return bands, index
 
 
-# The store is a pair of parquet dirs each holding versioned UNIT subdirs:
-#   {path}/bands/u-<unit>/     {path}/shingles/u-<unit>/
-# A unit is visible only once its bands dir carries Spark's _SUCCESS marker,
-# and shingles are read for exactly the unit names the bands dir committed
-# (shingles are written first, bands second, so the bands marker is the
-# atomic commit point for the pair). Appending into a live flat directory
-# would mix half-written part files into every concurrent read; fresh unit
-# dirs + marker-gated listing make a crashed update invisible and a replayed
-# update (same unit name, overwrite mode) a no-op — the property the
-# streaming maintainer (streaming/dedup_index.py) relies on.
+# The persisted index is a UnitStore (operators/unitstore.py) of two
+# datasets — `bands` (the marker) and `shingles` — so a crashed update is
+# invisible and a replayed one (same unit name) overwrites its own dirs:
+# the properties the streaming maintainer (streaming/dedup_index.py) keys on.
 
 
-def _committed_units(spark, bands_dir: str) -> list[str]:
-    """Unit names under bands_dir with a _SUCCESS marker, via the Hadoop
-    FileSystem for the path's scheme (works for file:// and object stores)."""
-    jvm = spark._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(bands_dir)
-    fs = jpath.getFileSystem(hconf)
-    if not fs.exists(jpath):
-        return []
-    units = []
-    for st in fs.listStatus(jpath):
-        if not st.isDirectory():
-            continue
-        name = st.getPath().getName()
-        if name.startswith("u-") and fs.exists(
-            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-        ):
-            units.append(name)
-    return sorted(units)
+def _index_store(spark, path: str):
+    from carrot_transform_spark.operators.unitstore import UnitStore
+
+    return UnitStore(spark, path, ("bands", "shingles"))
 
 
 def minhash_index_units(spark, path: str) -> list[str]:
     """Committed unit names of the store at `path` (empty list = no store)."""
-    return _committed_units(spark, f"{path}/bands")
+    return _index_store(spark, path).units()
 
 
 def save_minhash_index(bands: DataFrame, index: DataFrame, path: str, unit: str = "base") -> None:
-    """Commit one unit (a base build or one batch) into the store at `path`.
-    Shingles first, bands second: the bands _SUCCESS is the commit point, so
-    a crash between the two writes leaves the unit invisible and a re-run
-    with the same unit name simply overwrites both dirs."""
-    index.write.mode("overwrite").parquet(f"{path}/shingles/u-{unit}")
-    bands.write.mode("overwrite").parquet(f"{path}/bands/u-{unit}")
+    """Commit one unit (a base build or one batch) into the store at `path`."""
+    _index_store(bands.sparkSession, path).commit(
+        unit, {"bands": bands, "shingles": index}
+    )
 
 
 def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Reopen a saved index: (bands, shingle_index) over all committed units."""
-    units = minhash_index_units(spark, path)
-    if not units:
-        raise FileNotFoundError(f"no committed index units under {path}")
-    bands = spark.read.parquet(*[f"{path}/bands/{u}" for u in units])
-    index = spark.read.parquet(*[f"{path}/shingles/{u}" for u in units])
-    return bands, index
+    store = _index_store(spark, path)
+    units = store.units()
+    return store.load("bands", units), store.load("shingles", units)
 
 
 def incremental_candidate_pairs(batch_bands: DataFrame, base_bands: DataFrame) -> DataFrame:

@@ -1,0 +1,115 @@
+"""Streaming IVF vector-index maintenance + incremental embedding near-dup.
+
+The embedding twin of streaming/dedup_index.py, on the same UnitStore
+commit substrate: each micro-batch of vectors is coarse-quantized to its
+nearest centroid cell (operators/similarity.assign_cells — plan-literal
+centroids, no UDF), near-dup pairs against the index-so-far plus the batch
+are emitted, and the batch commits as one versioned unit of
+(id, v, nrm, cell) rows.
+
+Invariant (tested): union of per-step pair outputs == the one-shot
+cell-blocked neardup_pairs over the full corpus — a pair is discovered
+exactly once, when its later member arrives. Replay safety is inherited
+from the store: pairs are written before the unit commit, the unit name is
+the micro-batch id, and listing is _SUCCESS-gated.
+
+Query-time search reads the committed units as the IVF corpus
+(`ivf_corpus`) and runs any of the operators/similarity.py probes over it;
+at 100 TB each unit is cell-partitioned parquet, so a probe is a
+partition-pruned scan of n_probe cells per unit, and compaction (rewrite k
+units clustered by cell, commit, drop old) restores one-dir-per-cell
+locality without stopping ingest.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from carrot_transform_spark.operators.similarity import _normed, assign_cells, dot
+from carrot_transform_spark.operators.unitstore import UnitStore
+
+_DATASET = "vectors"
+
+
+def vector_store(spark: SparkSession, path: str) -> UnitStore:
+    return UnitStore(spark, path, (_DATASET,))
+
+
+def ivf_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """(id, v, nrm, cell) over all committed units — the IVF search corpus."""
+    return vector_store(spark, path).load(_DATASET)
+
+
+def _side(df: DataFrame, suffix: str) -> DataFrame:
+    return df.select(
+        F.col("id").alias(f"id_{suffix}"), F.col("cell").alias(f"c{suffix}"),
+        F.col("v").alias(f"v{suffix}"), F.col("nrm").alias(f"n{suffix}"),
+    )
+
+
+def _cell_pairs(new: DataFrame, old: DataFrame, threshold: float) -> DataFrame:
+    """Same-cell cosine pairs (id_a < id_b) touching `new`: each such pair
+    exactly once — either its smaller id is new (p1: new vs old+new) or its
+    smaller id is old and the larger is new (p2). Frames carry
+    (id, v, nrm, cell)."""
+    lt = (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))
+    p1 = _side(new, "a").join(_side(old.unionByName(new), "b"), lt)
+    p2 = _side(old, "a").join(_side(new, "b"), lt)
+    pairs = p1.unionByName(p2).select(
+        "id_a", "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cs"),
+    )
+    return pairs.filter(F.col("cs") >= threshold).select(
+        "id_a", "id_b", F.round("cs", 4).alias("cosine_sim")
+    )
+
+
+def maintain_vector_index(
+    vectors: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+):
+    """Start (and return) the streaming query maintaining the IVF store.
+
+    `vectors` is a streaming DataFrame of (id_col, vec_col, ...). Each
+    micro-batch appends one store unit `s<batch_id>` and one pairs dir
+    `{pairs_dir}/s<batch_id>`; read all discovered pairs back with
+    spark.read.parquet(f"{pairs_dir}/s*")."""
+    spark = vectors.sparkSession
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"s{batch_id}"
+        store = vector_store(spark, store_dir)
+        units = store.units()
+        if unit in units:
+            return  # replayed batch already fully applied (incl. its pairs)
+        cells = assign_cells(batch_df, centroids, id_col, vec_col).withColumnRenamed(
+            "id", "__cid"
+        )
+        new = (
+            _normed(batch_df, id_col, vec_col)
+            .join(cells, F.col("id") == F.col("__cid"))
+            .drop("__cid")
+            .localCheckpoint(eager=True)  # small batch; reused by pairs + commit
+        )
+        old = (
+            store.load(_DATASET, units)
+            if units
+            else spark.createDataFrame([], new.schema)
+        )
+        pairs = _cell_pairs(new, old, threshold).localCheckpoint(eager=True)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/{unit}")
+        store.commit(unit, {_DATASET: new})
+
+    return (
+        vectors.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -59,7 +59,7 @@ def maintain_neardup_index(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         unit = f"s{batch_id}"
-        if f"u-{unit}" in minhash_index_units(spark, store_dir):
+        if unit in minhash_index_units(spark, store_dir):
             return  # replayed batch already fully applied (incl. its pairs)
         reg: list[DataFrame] = []
         b_bands, b_index = minhash_index_frames(
