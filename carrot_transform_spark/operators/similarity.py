@@ -142,6 +142,48 @@ def neardup_pairs(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    cell_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(id, neighbor_id, cosine_sim, rnk): every vector's top-k neighbors
+    within its coarse cell — the k-NN graph that SemDeDup, graph clustering,
+    and diversity filtering consume.
+
+    Unlike cosine_topk (broadcast query set) this is symmetric over the
+    whole corpus: a same-cell self-join (shuffle keyed on the cell — at
+    100 TB the corpus is written bucketed by cell so the join is co-located
+    and shuffle-free) followed by a per-node top-k window whose state is k
+    rows per node. Recall is governed by the coarse quantizer exactly as in
+    IVF search: neighbors outside the cell are unseen; raise recall by
+    assigning the corpus to multiple probe cells (probe_cells) before the
+    join, which multiplies candidate volume by n_probe, not by |corpus|."""
+    n = _normed(df, id_col, vec_col, extra=[cell_col])
+    a = n.select(
+        F.col("id"), F.col(cell_col).alias("ca"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("id").alias("neighbor_id"), F.col(cell_col).alias("cb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    scored = a.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("id") != F.col("neighbor_id"))
+    ).select(
+        "id", "neighbor_id",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cs"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+    )
+
+
 def probe_cells(
     df: DataFrame,
     centroids: list[list[float]],

@@ -180,9 +180,11 @@ def _semdedup_sql() -> str:
 from carrot_transform_spark.queries.similarity import (  # noqa: E402
     CENTROID_SQL,
     KMEANS_SQL,
+    KNN_SQL,
     NEARDUP_SQL,
     sim_centroid_assign,
     sim_kmeans_lloyd,
+    sim_knn_graph,
     sim_neardup_threshold,
 )
 from carrot_transform_spark.queries.tfidf_q import (  # noqa: E402
@@ -234,6 +236,12 @@ register_suite(
             sim_semantic_dedup,
             _semdedup_sql(),
             [("vec_id", "i"), ("component_id", "i"), ("keep", "i")],
+        ),
+        (
+            "sim_knn_graph",
+            sim_knn_graph,
+            KNN_SQL,
+            [("vec_id", "i"), ("neighbor_id", "i"), ("cosine_sim", "f"), ("rnk", "i")],
         ),
     ],
     tags=("similarity", "lsh", "suite"),

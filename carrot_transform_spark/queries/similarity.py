@@ -186,6 +186,41 @@ def sim_neardup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 3
+
+KNN_SQL = f"""
+    WITH n AS ({_NORMED_SQL}),
+    scored AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cs
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+        SELECT vec_id, neighbor_id, ROUND(cs, 4) AS cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT vec_id, neighbor_id, cosine_sim, rnk FROM r WHERE rnk <= {_KNN_K}
+    ORDER BY vec_id, rnk
+    """
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN graph blocked by the coarse cell (label stands in
+    for the nearest-centroid id, as in sim_ivf_topk): each vector's top-3
+    same-cell neighbors — operators/similarity.knn_graph. Both engines sum
+    the dot product in array-index order, so the unrounded doubles driving
+    the rank window agree bit-for-bit."""
+    from carrot_transform_spark.operators.similarity import knn_graph
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        knn_graph(e, "label", k=_KNN_K)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "rnk")
+    )
+
+
 _CENTROIDS = [
     [1.0 if d % 2 == 0 else -1.0 for d in range(64)],
     [1.0 if d % 3 == 0 else -0.5 for d in range(64)],
