@@ -29,11 +29,11 @@ from pyspark.sql import DataFrame
 
 from carrot_transform_spark.operators.dedup import (
     incremental_candidate_pairs,
-    jaccard_verify,
     load_minhash_index,
     minhash_index_frames,
     minhash_index_units,
     save_minhash_index,
+    verify_incremental,
 )
 
 
@@ -72,10 +72,10 @@ def maintain_neardup_index(
         else:  # first batch bootstraps the store: probe only itself
             base_bands = spark.createDataFrame([], b_bands.schema)
             base_index = spark.createDataFrame([], b_index.schema)
-        cand = incremental_candidate_pairs(b_bands, base_bands)
-        pairs = jaccard_verify(
-            cand, base_index.unionByName(b_index), threshold=threshold
-        ).localCheckpoint(eager=True)
+        cand = incremental_candidate_pairs(b_bands, base_bands).localCheckpoint(
+            eager=True
+        )
+        pairs = verify_incremental(cand, b_index, base_index, threshold=threshold)
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/{unit}")
         save_minhash_index(b_bands, b_index, store_dir, unit=unit)
         for df in reg:
