@@ -334,7 +334,7 @@ def update_minhash_index(
     spark = batch_df.sparkSession
     base_bands, base_index = load_minhash_index(spark, path)
     if unit is None:
-        unit = f"b{len(minhash_index_units(spark, path))}"
+        unit = _index_store(spark, path).fresh_unit()
     reg: list[DataFrame] = []
     b_bands, b_index = minhash_index_frames(
         batch_df, id_col, text_col, k=k, rows_per_band=rows_per_band,

@@ -2,9 +2,17 @@
 maintained indexes (MinHash/LSH dedup index, IVF vector index).
 
 Layout: ``{path}/{dataset}/u-{unit}/`` parquet dirs, one per (dataset,
-unit). A unit is visible only when the FIRST dataset (the marker) carries
-Spark's ``_SUCCESS``; commit() writes the marker last, so the marker's
-_SUCCESS is the atomic commit point for the whole unit across datasets.
+unit), plus two tiny store-owned files per unit under the FIRST dataset
+(the marker):
+
+- ``_COMMIT``   — written last; its existence is the atomic commit point
+  for the whole unit across datasets.
+- ``_COMPACTS`` — optional, written before _COMMIT; names older units this
+  unit replaces. units() excludes any unit named by a committed compactor,
+  so the instant a compacted unit commits, its inputs vanish from every
+  listing — readers can never double-count. Old dirs become garbage,
+  reclaimed by vacuum() at leisure.
+
 Consequences:
 
 - a crash mid-commit leaves the unit invisible (reads see only whole
@@ -12,17 +20,23 @@ Consequences:
   ``mode("append")`` into a live directory cannot guarantee);
 - re-running a commit with the same unit name overwrites the same dirs —
   the idempotent-replay property streaming maintainers key on;
+- compaction (rewrite k units as one, commit with compacts=[...]) is
+  atomic and can run concurrently with readers; only vacuum() needs the
+  compacted unit to be committed first, which it checks;
 - listing goes through the Hadoop FileSystem for the path's scheme, so
   file:// and object-store URLs behave identically.
 
 At 100 TB each unit is one batch's output written by a normal distributed
-Spark job; readers union committed unit dirs, so compaction is just
-"rewrite k units as one and commit, then drop the old ones".
+Spark job; readers union committed unit dirs, so small-file pressure is a
+compact() call away without stopping ingest.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+_COMMIT = "_COMMIT"
+_COMPACTS = "_COMPACTS"
 
 
 class UnitStore:
@@ -33,42 +47,136 @@ class UnitStore:
         self.path = path.rstrip("/")
         self.datasets = tuple(datasets)
 
-    # -- listing ----------------------------------------------------------
-    def units(self) -> list[str]:
-        """Committed unit names (sorted), _SUCCESS-gated on the marker."""
+    # -- filesystem plumbing ----------------------------------------------
+    def _fs(self):
         jvm = self.spark._jvm
         hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        marker_dir = f"{self.path}/{self.datasets[0]}"
-        jpath = jvm.org.apache.hadoop.fs.Path(marker_dir)
-        fs = jpath.getFileSystem(hconf)
-        if not fs.exists(jpath):
-            return []
-        units = []
-        for st in fs.listStatus(jpath):
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        return jpath.getFileSystem(hconf), jvm
+
+    def _jp(self, jvm, *parts: str):
+        return jvm.org.apache.hadoop.fs.Path("/".join((self.path,) + parts))
+
+    def _write_file(self, rel_parts: tuple[str, ...], body: str) -> None:
+        fs, jvm = self._fs()
+        out = fs.create(self._jp(jvm, *rel_parts), True)
+        try:
+            out.write(body.encode("utf-8"))
+        finally:
+            out.close()
+
+    def _read_file(self, fs, jvm, rel_parts: tuple[str, ...]) -> str:
+        # commons-io rides on Spark's classpath; py4j can't mutate a Python
+        # bytearray through InputStream.read(byte[]), so read JVM-side
+        inp = fs.open(self._jp(jvm, *rel_parts))
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")
+        finally:
+            inp.close()
+
+    # -- listing ----------------------------------------------------------
+    def _scan(self) -> tuple[list[str], set[str], set[str]]:
+        """(committed units, compacted-away names, every u-* dir name)."""
+        fs, jvm = self._fs()
+        marker_dir = self._jp(jvm, self.datasets[0])
+        if not fs.exists(marker_dir):
+            return [], set(), set()
+        committed: list[str] = []
+        replaced: set[str] = set()
+        on_disk: set[str] = set()
+        for st in fs.listStatus(marker_dir):
             if not st.isDirectory():
                 continue
             name = st.getPath().getName()
-            if name.startswith("u-") and fs.exists(
-                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-            ):
-                units.append(name[2:])
-        return sorted(units)
+            if not name.startswith("u-"):
+                continue
+            unit = name[2:]
+            on_disk.add(unit)
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), _COMMIT)):
+                continue
+            committed.append(unit)
+            cpath = jvm.org.apache.hadoop.fs.Path(st.getPath(), _COMPACTS)
+            if fs.exists(cpath):
+                body = self._read_file(fs, jvm, (self.datasets[0], name, _COMPACTS))
+                replaced.update(u for u in body.split("\n") if u)
+        return committed, replaced, on_disk
+
+    def units(self) -> list[str]:
+        """Committed, not-compacted-away unit names (sorted)."""
+        committed, replaced, _ = self._scan()
+        return sorted(u for u in committed if u not in replaced)
+
+    def fresh_unit(self, prefix: str = "b") -> str:
+        """A unit name never used in this store — compacted-away names are
+        permanently retired (a committed _COMPACTS hides them forever), so
+        auto-naming must skip every name on disk, live or not."""
+        _, replaced, on_disk = self._scan()
+        taken = replaced | on_disk
+        n = 0
+        while f"{prefix}{n}" in taken:
+            n += 1
+        return f"{prefix}{n}"
 
     # -- writing ----------------------------------------------------------
-    def commit(self, unit: str, frames: dict[str, DataFrame]) -> None:
-        """Write one unit across all datasets; marker dataset last."""
+    def commit(
+        self, unit: str, frames: dict[str, DataFrame], compacts: list[str] | None = None
+    ) -> None:
+        """Write one unit across all datasets and commit it atomically.
+        `compacts` names older units this unit replaces — they disappear
+        from listings the instant this commit lands."""
         if set(frames) != set(self.datasets):
             raise ValueError(f"commit needs exactly {self.datasets}, got {sorted(frames)}")
+        _, replaced, _ = self._scan()
+        if unit in replaced:
+            raise ValueError(
+                f"unit name {unit!r} was compacted away and is retired; "
+                "use fresh_unit() for auto-naming"
+            )
         for name in self.datasets[1:]:
             frames[name].write.mode("overwrite").parquet(self._dir(name, unit))
         frames[self.datasets[0]].write.mode("overwrite").parquet(
             self._dir(self.datasets[0], unit)
         )
+        if compacts:
+            self._write_file(
+                (self.datasets[0], f"u-{unit}", _COMPACTS), "\n".join(compacts)
+            )
+        self._write_file((self.datasets[0], f"u-{unit}", _COMMIT), "")
+
+    def compact(self, unit: str, units: list[str] | None = None) -> list[str]:
+        """Rewrite the given (default: all live) units as ONE unit named
+        `unit` and commit it atomically over them. Returns the replaced
+        unit names (pass to vacuum() to reclaim their dirs)."""
+        src = self.units() if units is None else units
+        if not src:
+            raise FileNotFoundError(f"nothing to compact under {self.path}")
+        if unit in src:
+            raise ValueError(f"compacted unit name {unit!r} collides with an input")
+        self.commit(
+            unit,
+            {name: self.load(name, src) for name in self.datasets},
+            compacts=src,
+        )
+        return src
+
+    def vacuum(self, replaced: list[str]) -> None:
+        """Delete the dirs of units that a COMMITTED compactor replaced.
+        Safe any time after the compacting commit; refuses live units."""
+        live = set(self.units())
+        bad = live.intersection(replaced)
+        if bad:
+            raise ValueError(f"refusing to vacuum live units: {sorted(bad)}")
+        fs, jvm = self._fs()
+        for u in replaced:
+            for name in self.datasets:
+                p = self._jp(jvm, name, f"u-{u}")
+                if fs.exists(p):
+                    fs.delete(p, True)
 
     # -- reading ----------------------------------------------------------
     def load(self, dataset: str, units: list[str] | None = None) -> DataFrame:
-        """Union of the dataset over the given (default: all committed)
-        units. Raises FileNotFoundError on an empty store."""
+        """Union of the dataset over the given (default: all live) units.
+        Raises FileNotFoundError on an empty store."""
         if dataset not in self.datasets:
             raise ValueError(f"unknown dataset {dataset!r}; have {self.datasets}")
         units = self.units() if units is None else units

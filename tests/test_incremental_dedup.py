@@ -106,6 +106,30 @@ def test_update_is_checkpointed_before_append(docs, tmp_path):
     assert _rows(pairs) == first
 
 
+def test_compaction_transparent_to_updates(docs, tmp_path):
+    """Compacting the store between updates changes nothing downstream:
+    the next batch's pairs and the final index still equal the one-shot."""
+    from carrot_transform_spark.operators.dedup import _index_store
+
+    spark = docs.sparkSession
+    path = str(tmp_path / "mh_index")
+    third = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    save_minhash_index(*minhash_index_frames(third[0], "doc_id", "text"), path)
+    update_minhash_index(path, third[1], "doc_id", "text")
+    store = _index_store(spark, path)
+    replaced = store.compact("c0")
+    store.vacuum(replaced)
+    pairs = update_minhash_index(path, third[2], "doc_id", "text")
+    expected = _full_pairs(docs).filter(
+        (F.col("doc_a") % 3 == 2) | (F.col("doc_b") % 3 == 2)
+    ).select("doc_a", "doc_b", "jaccard")
+    assert _rows(pairs) == _rows(expected)
+    got_bands, got_index = load_minhash_index(spark, path)
+    full_bands, full_index = minhash_index_frames(docs, "doc_id", "text")
+    assert _rows(got_bands) == _rows(full_bands)
+    assert _rows(got_index) == _rows(full_index)
+
+
 def test_disjoint_batch_yields_no_pairs(spark, tmp_path):
     """A batch with no shingles in common with the index and no internal
     dups returns zero pairs and still appends cleanly."""

@@ -24,15 +24,49 @@ def test_commit_load_units(spark, tmp_path):
 
 
 def test_uncommitted_unit_invisible(spark, tmp_path):
-    """A unit whose marker dataset lacks _SUCCESS (crash between datasets)
+    """A unit whose _COMMIT file is missing (crash before the commit point)
     must not be listed or read."""
     st = UnitStore(spark, str(tmp_path / "s"), ("a", "b"))
     st.commit("u1", {"a": _df(spark, [1]), "b": _df(spark, [2])})
-    # simulate a crash: marker dir exists but _SUCCESS is gone
+    # simulate a crash: data dirs fully written but _COMMIT never landed
     st.commit("u2", {"a": _df(spark, [9]), "b": _df(spark, [9])})
-    os.remove(tmp_path / "s" / "a" / "u-u2" / "_SUCCESS")
+    os.remove(tmp_path / "s" / "a" / "u-u2" / "_COMMIT")
     assert st.units() == ["u1"]
     assert [r.x for r in st.load("a").collect()] == [1]
+
+
+def test_compact_atomic_and_vacuum(spark, tmp_path):
+    """compact() folds live units into one; inputs vanish from listings the
+    moment it commits; vacuum reclaims dirs and refuses live units."""
+    st = UnitStore(spark, str(tmp_path / "s"), ("a", "b"))
+    st.commit("u1", {"a": _df(spark, [1]), "b": _df(spark, [5])})
+    st.commit("u2", {"a": _df(spark, [2, 3]), "b": _df(spark, [6])})
+    replaced = st.compact("c1")
+    assert replaced == ["u1", "u2"]
+    assert st.units() == ["c1"]
+    assert sorted(r.x for r in st.load("a").collect()) == [1, 2, 3]
+    assert sorted(r.x for r in st.load("b").collect()) == [5, 6]
+    # a later unit coexists with the compacted one
+    st.commit("u3", {"a": _df(spark, [4]), "b": _df(spark, [7])})
+    assert st.units() == ["c1", "u3"]
+    assert sorted(r.x for r in st.load("a").collect()) == [1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        st.vacuum(["c1"])  # live
+    st.vacuum(replaced)
+    assert not (tmp_path / "s" / "a" / "u-u1").exists()
+    assert st.units() == ["c1", "u3"]
+
+
+def test_compact_crash_leaves_inputs_live(spark, tmp_path):
+    """If the compacting unit never commits, the inputs stay visible —
+    readers never see a half-compacted store."""
+    st = UnitStore(spark, str(tmp_path / "s"), ("a",))
+    st.commit("u1", {"a": _df(spark, [1])})
+    st.commit("u2", {"a": _df(spark, [2])})
+    st.compact("c1")
+    os.remove(tmp_path / "s" / "a" / "u-c1" / "_COMMIT")
+    assert st.units() == ["u1", "u2"]
+    assert sorted(r.x for r in st.load("a").collect()) == [1, 2]
 
 
 def test_replay_overwrites(spark, tmp_path):
