@@ -265,7 +265,8 @@ def minhash_index_frames(
 # the properties the streaming maintainer (streaming/dedup_index.py) keys on.
 
 
-def _index_store(spark, path: str):
+def minhash_index_store(spark, path: str):
+    """The UnitStore backing a persisted MinHash index at `path`."""
     from carrot_transform_spark.operators.unitstore import UnitStore
 
     return UnitStore(spark, path, ("bands", "shingles"))
@@ -273,19 +274,19 @@ def _index_store(spark, path: str):
 
 def minhash_index_units(spark, path: str) -> list[str]:
     """Committed unit names of the store at `path` (empty list = no store)."""
-    return _index_store(spark, path).units()
+    return minhash_index_store(spark, path).units()
 
 
 def save_minhash_index(bands: DataFrame, index: DataFrame, path: str, unit: str = "base") -> None:
     """Commit one unit (a base build or one batch) into the store at `path`."""
-    _index_store(bands.sparkSession, path).commit(
+    minhash_index_store(bands.sparkSession, path).commit(
         unit, {"bands": bands, "shingles": index}
     )
 
 
 def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Reopen a saved index: (bands, shingle_index) over all committed units."""
-    store = _index_store(spark, path)
+    store = minhash_index_store(spark, path)
     units = store.units()
     return store.load("bands", units), store.load("shingles", units)
 
@@ -334,7 +335,7 @@ def update_minhash_index(
     spark = batch_df.sparkSession
     base_bands, base_index = load_minhash_index(spark, path)
     if unit is None:
-        unit = _index_store(spark, path).fresh_unit()
+        unit = minhash_index_store(spark, path).fresh_unit()
     reg: list[DataFrame] = []
     b_bands, b_index = minhash_index_frames(
         batch_df, id_col, text_col, k=k, rows_per_band=rows_per_band,
@@ -343,6 +344,35 @@ def update_minhash_index(
     cand = incremental_candidate_pairs(b_bands, base_bands).localCheckpoint(eager=True)
     pairs = verify_incremental(cand, b_index, base_index, threshold=threshold)
     save_minhash_index(b_bands, b_index, path, unit=unit)
+    for df in reg:
+        df.unpersist()
+    return pairs
+
+
+def lookup_minhash_index(
+    path: str,
+    probe_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Read-only near-dup lookup: pairs of the probe docs against the
+    stored index AND within the probe set, WITHOUT modifying the store —
+    dedup-as-a-service for a candidate batch you may still reject (the
+    usual shape: look up, drop the dups, then update with the survivors).
+    Same cost profile as one maintenance step: O(probe + collisions)."""
+    spark = probe_df.sparkSession
+    base_bands, base_index = load_minhash_index(spark, path)
+    reg: list[DataFrame] = []
+    p_bands, p_index = minhash_index_frames(
+        probe_df, id_col, text_col, k=k, rows_per_band=rows_per_band,
+        shingle_n=shingle_n, persist_registry=reg,
+    )
+    cand = incremental_candidate_pairs(p_bands, base_bands).localCheckpoint(eager=True)
+    pairs = verify_incremental(cand, p_index, base_index, threshold=threshold)
     for df in reg:
         df.unpersist()
     return pairs

@@ -74,8 +74,11 @@ def maintain_vector_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    compact_every: int | None = None,
 ):
     """Start (and return) the streaming query maintaining the IVF store.
+    compact_every=N folds the store back to one unit whenever N live units
+    accumulate (atomic; immediate vacuum assumes single-maintainer GC).
 
     `vectors` is a streaming DataFrame of (id_col, vec_col, ...). Each
     micro-batch appends one store unit `s<batch_id>` and one pairs dir
@@ -106,6 +109,8 @@ def maintain_vector_index(
         pairs = _cell_pairs(new, old, threshold).localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/{unit}")
         store.commit(unit, {_DATASET: new})
+        if compact_every and len(store.units()) >= compact_every:
+            store.vacuum(store.compact(store.fresh_unit("c")))
 
     return (
         vectors.writeStream.foreachBatch(step)

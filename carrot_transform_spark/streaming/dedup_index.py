@@ -48,13 +48,21 @@ def maintain_neardup_index(
     rows_per_band: int = 2,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    compact_every: int | None = None,
 ):
     """Start (and return) the streaming query maintaining the index.
 
     `docs` is a streaming DataFrame of (id_col, text_col, ...). Each
     micro-batch appends one store unit `s<batch_id>` and one pairs dir
     `{pairs_dir}/s<batch_id>`; read all discovered pairs back with
-    spark.read.parquet(f"{pairs_dir}/s*")."""
+    spark.read.parquet(f"{pairs_dir}/s*").
+
+    compact_every=N folds the store back to one unit whenever N live units
+    accumulate (atomic — see UnitStore) and vacuums the replaced dirs;
+    immediate vacuum assumes this maintainer is the store's only live
+    reader between batches (hold GC separately if other readers attach)."""
+    from carrot_transform_spark.operators.dedup import minhash_index_store
+
     spark = docs.sparkSession
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -80,6 +88,9 @@ def maintain_neardup_index(
         save_minhash_index(b_bands, b_index, store_dir, unit=unit)
         for df in reg:
             df.unpersist()
+        store = minhash_index_store(spark, store_dir)
+        if compact_every and len(store.units()) >= compact_every:
+            store.vacuum(store.compact(store.fresh_unit("c")))
 
     return (
         docs.writeStream.foreachBatch(step)

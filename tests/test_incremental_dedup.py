@@ -106,17 +106,41 @@ def test_update_is_checkpointed_before_append(docs, tmp_path):
     assert _rows(pairs) == first
 
 
+def test_lookup_is_readonly(docs, tmp_path):
+    """lookup_minhash_index returns the same pairs an update would, without
+    committing anything to the store."""
+    from carrot_transform_spark.operators.dedup import (
+        lookup_minhash_index,
+        minhash_index_store,
+    )
+
+    spark = docs.sparkSession
+    path = str(tmp_path / "mh_index")
+    base = docs.filter(F.col("doc_id") % _MOD != 0)
+    batch = docs.filter(F.col("doc_id") % _MOD == 0)
+    save_minhash_index(*minhash_index_frames(base, "doc_id", "text"), path)
+    units_before = minhash_index_store(spark, path).units()
+    pairs = lookup_minhash_index(path, batch, "doc_id", "text")
+    expected = (
+        _full_pairs(docs)
+        .filter((F.col("doc_a") % _MOD == 0) | (F.col("doc_b") % _MOD == 0))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    assert _rows(pairs) == _rows(expected)
+    assert minhash_index_store(spark, path).units() == units_before
+
+
 def test_compaction_transparent_to_updates(docs, tmp_path):
     """Compacting the store between updates changes nothing downstream:
     the next batch's pairs and the final index still equal the one-shot."""
-    from carrot_transform_spark.operators.dedup import _index_store
+    from carrot_transform_spark.operators.dedup import minhash_index_store
 
     spark = docs.sparkSession
     path = str(tmp_path / "mh_index")
     third = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
     save_minhash_index(*minhash_index_frames(third[0], "doc_id", "text"), path)
     update_minhash_index(path, third[1], "doc_id", "text")
-    store = _index_store(spark, path)
+    store = minhash_index_store(spark, path)
     replaced = store.compact("c0")
     store.vacuum(replaced)
     pairs = update_minhash_index(path, third[2], "doc_id", "text")
