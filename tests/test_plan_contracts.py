@@ -134,3 +134,53 @@ def test_skew_profile_takeordered_not_global_sort(spark):
     # the totals branch and the top-K branch share ONE per-key count
     # shuffle at runtime: AQE replaces the duplicate with a ReusedExchange
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_knn_graph_equijoin_not_cartesian(spark, sf_dir):
+    """The k-NN graph's candidate stage must be an equi-join on the cell
+    (shuffle- or broadcast-hash), never a cartesian/BNL product of the
+    corpus with itself."""
+    from carrot_transform_spark.operators.similarity import knn_graph
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _executed_plan(knn_graph(e, "label", k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_verify_narrows_store_read(spark, sf_dir, tmp_path, monkeypatch):
+    """update_minhash_index must hand jaccard_verify a CHECKPOINTED
+    candidate-narrowed index, not the raw store: the raw-store verify plan
+    scans the shingles dataset twice per step (both pair sides) — O(corpus)
+    IO that erased the incremental advantage by ~1.6M docs (BASELINE.md
+    row). Pinned by capturing the index frame the verify actually receives
+    and asserting its plan contains no store scan."""
+    import pyspark.sql.functions as F
+
+    from carrot_transform_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "mh_index")
+    dd.save_minhash_index(*dd.minhash_index_frames(base, "doc_id", "text"), path)
+
+    seen = []
+    real_verify = dd.jaccard_verify
+
+    def capture(pairs, index, threshold=0.7):
+        seen.append(index)
+        return real_verify(pairs, index, threshold=threshold)
+
+    monkeypatch.setattr(dd, "jaccard_verify", capture)
+    pairs = dd.update_minhash_index(path, batch, "doc_id", "text")
+    assert pairs.count() > 0
+    assert len(seen) == 1
+    # the only file scan allowed in the verify's index input is the batch's
+    # own documents read; the store side must arrive checkpointed (scanned
+    # once, upstream, already narrowed to candidate ids)
+    store_scans = [s for s in _scan_lines(_executed_plan(seen[0])) if path in s]
+    assert not store_scans, (
+        "verify received the raw store — candidate narrowing lost:\n"
+        + "\n".join(store_scans)
+    )
