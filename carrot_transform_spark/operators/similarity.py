@@ -100,21 +100,22 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cell): nearest centroid by cosine; centroids are literals in the
-    plan (fine for hundreds of cells — the usual IVF coarse codebook)."""
+    plan (fine for hundreds of cells — the usual IVF coarse codebook).
+
+    Implemented as array_min over (-sim, cell) structs — a WIDE expression,
+    not a nested when-chain: chained whens grow the tree depth linearly in
+    the cell count and overflow Spark's column-conversion stack around ~64
+    cells, while the flat array converts and codegens at any realistic
+    codebook size. Struct ordering breaks exact ties toward the lower cell
+    id, matching the keep-first semantics of the old chain."""
     n = _normed(df, id_col, vec_col)
-    best_cell = None
-    best_sim = None
+    entries = []
     for ci, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(x)) for x in c])
         cn = float(sum(x * x for x in c) ** 0.5) or 1.0
         sim = dot(F.col("v"), carr) / (F.col("nrm") * F.lit(cn))
-        if best_sim is None:
-            best_sim, best_cell = sim, F.lit(ci)
-        else:
-            cond = sim > best_sim
-            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-    return n.select(F.col("id"), best_cell.alias("cell"))
+        entries.append(F.struct((-sim).alias("neg"), F.lit(ci).alias("cell")))
+    return n.select(F.col("id"), F.array_min(F.array(*entries))["cell"].alias("cell"))
 
 
 def neardup_pairs(
