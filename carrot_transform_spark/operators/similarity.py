@@ -218,18 +218,28 @@ def ivf_topk_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    corpus_cell_col: str | None = None,
 ) -> DataFrame:
     """IVF top-k with query-side multi-probe: corpus vectors live in their
     primary cell; each query probes its n_probe nearest cells. Recall
     approaches brute force as n_probe grows; candidate volume stays
     ~n_probe/n_cells of the corpus. At 100 TB the corpus is written
-    bucketed by primary cell, so each probe is a bucket-pruned scan."""
-    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
-        "id", "__cid"
-    )
-    n = _normed(corpus, id_col, vec_col).join(
-        corpus_cells, F.col("id") == F.col("__cid")
-    ).drop("__cid")
+    bucketed by primary cell, so each probe is a bucket-pruned scan.
+
+    Pass corpus_cell_col when the corpus already carries its cell id (an
+    IVF store maintains one) — quantizing a stored corpus again on every
+    query batch is the dominant cost of a small search."""
+    if corpus_cell_col is not None:
+        n = _normed(corpus, id_col, vec_col, extra=[corpus_cell_col])
+        if corpus_cell_col != "cell":
+            n = n.withColumnRenamed(corpus_cell_col, "cell")
+    else:
+        corpus_cells = assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
+            "id", "__cid"
+        )
+        n = _normed(corpus, id_col, vec_col).join(
+            corpus_cells, F.col("id") == F.col("__cid")
+        ).drop("__cid")
     qcells = probe_cells(queries, centroids, n_probe, id_col, vec_col).withColumnRenamed(
         "id", "__qid"
     )

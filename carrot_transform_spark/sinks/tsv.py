@@ -227,10 +227,37 @@ class JdbcSink:
         self.write(name, df, header)
 
 
+class JsonlDirSink:
+    """<dir>/<table>.jsonl — newline-delimited JSON output (beyond-reference;
+    dispatch prefix ``jsonl:``), the hand-off format for training-data
+    tooling. Distributed: each partition writes its own part via Spark's
+    json writer and a committer rename; a trailing `.jsonl` directory of
+    parts, not a single file (single-file funnels don't scale — use the TSV
+    sink's guarded single mode when byte-exact one-file output is needed)."""
+
+    def __init__(self, directory: str | Path):
+        self.directory = str(directory).rstrip("/")
+
+    def write(self, name: str, df, columns: list[str]) -> None:
+        df.select(*columns).write.mode("overwrite").json(
+            f"{self.directory}/{name}.jsonl"
+        )
+
+    def write_rows(self, spark, name: str, header: list[str], rows) -> None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType([StructField(c, StringType()) for c in header])
+        df = spark.createDataFrame([tuple(r) for r in rows], schema)
+        self.write(name, df, header)
+
+
 def make_sink(spark, spec, mode: str = "single"):
     """Dispatch a CLI --output spec to a sink (reference outputs.py:324-341:
-    minio: prefix, else SQLAlchemy URL, else a CSV folder)."""
+    minio: prefix, else SQLAlchemy URL, else a CSV folder; plus the
+    beyond-reference ``jsonl:<dir>`` prefix)."""
     s = str(spec)
+    if s.startswith("jsonl:"):
+        return JsonlDirSink(s[len("jsonl:"):])
     if s.startswith("minio:"):
         from carrot_transform_spark.sources.registry import configure_minio
 

@@ -41,6 +41,30 @@ def ivf_corpus(spark: SparkSession, path: str) -> DataFrame:
     return vector_store(spark, path).load(_DATASET)
 
 
+def search_vector_store(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Multi-probe IVF top-k over the committed store, reusing the cell ids
+    the maintainer already assigned — only the (small) query batch is
+    quantized. (query_id, neighbor_id, cosine_sim, rnk)."""
+    from carrot_transform_spark.operators.similarity import ivf_topk_multiprobe
+
+    corpus = ivf_corpus(spark, path).select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col), "cell"
+    )
+    return ivf_topk_multiprobe(
+        corpus, queries, centroids, n_probe=n_probe, id_col=id_col,
+        vec_col=vec_col, k=k, corpus_cell_col="cell",
+    )
+
+
 def _side(df: DataFrame, suffix: str) -> DataFrame:
     return df.select(
         F.col("id").alias(f"id_{suffix}"), F.col("cell").alias(f"c{suffix}"),

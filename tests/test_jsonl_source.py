@@ -48,6 +48,22 @@ def test_dispatch_and_line_order(spark, jdir):
     assert src.scan_splits("people") == 1
 
 
+def test_jsonl_sink_round_trip(spark, tmp_path):
+    """jsonl: sink writes newline-delimited JSON the jsonl: source reads
+    back row-for-row."""
+    from carrot_transform_spark.sinks.tsv import JsonlDirSink, make_sink
+
+    sink = make_sink(spark, f"jsonl:{tmp_path}")
+    assert isinstance(sink, JsonlDirSink)
+    df = spark.createDataFrame(
+        [("1", "ada"), ("2", None)], ["id", "name"]
+    )
+    sink.write("out", df, ["id", "name"])
+    back = spark.read.json(str(tmp_path / "out.jsonl"))
+    got = sorted((r["id"], r["name"]) for r in back.collect())
+    assert got == [("1", "ada"), ("2", None)]
+
+
 def test_explicit_schema_skips_inference(spark, jdir):
     src = JsonlDirSource(spark, jdir, schema="id string, name string")
     df = src.read("people")

@@ -10,10 +10,15 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from carrot_transform_spark.operators.similarity import assign_cells, neardup_pairs
+from carrot_transform_spark.operators.similarity import (
+    assign_cells,
+    cosine_topk,
+    neardup_pairs,
+)
 from carrot_transform_spark.streaming.ann_index import (
     ivf_corpus,
     maintain_vector_index,
+    search_vector_store,
     vector_store,
 )
 
@@ -95,3 +100,12 @@ def test_stream_equals_batch_and_restart_noop(vecs, centroids, tmp_path):
             "id_a", "id_b", "cosine_sim"
         )
     ) == _rows(expected)
+
+    # query-time search over the store at full probe width == brute force
+    queries = vecs.filter(F.col("vec_id") < 5)
+    got = search_vector_store(
+        spark, str(tmp_path / "store"), queries, centroids,
+        n_probe=len(centroids), k=3,
+    )
+    want = cosine_topk(vecs, queries, k=3)
+    assert _rows(got) == _rows(want)
