@@ -333,9 +333,18 @@ def update_minhash_index(
     defaults to b<n> (n = committed unit count); pass a deterministic name
     (e.g. the streaming batch id) to make a replayed step idempotent."""
     spark = batch_df.sparkSession
-    base_bands, base_index = load_minhash_index(spark, path)
+    store = minhash_index_store(spark, path)
+    units = store.units()
     if unit is None:
-        unit = minhash_index_store(spark, path).fresh_unit()
+        unit = store.fresh_unit()
+    # replay safety: a re-run with the same unit name must see the store as
+    # it was BEFORE its first run, or the batch's own stored shingles would
+    # double the verify's intersection counts and corrupt every jaccard
+    units = [u for u in units if u != unit]
+    if not units:
+        raise FileNotFoundError(f"no committed index units under {path}")
+    base_bands = store.load("bands", units)
+    base_index = store.load("shingles", units)
     reg: list[DataFrame] = []
     b_bands, b_index = minhash_index_frames(
         batch_df, id_col, text_col, k=k, rows_per_band=rows_per_band,

@@ -1,5 +1,5 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with nineteen oracle-checked sub-checks, including:
+CORRECTNESS entry with twenty oracle-checked sub-checks, including:
 
 - ds_stratified_sample: deterministic language-stratified corpus rebalance
   (queries/sampling.py; operators/sampling.stratified_sample).
@@ -540,6 +540,60 @@ def _incremental_sql() -> str:
     """
 
 
+_VOCAB_MIN_FREQ = 2
+
+
+def txt_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + token-id encoding (operators/vocab.py): words
+    with corpus freq >= 2 ranked (freq desc, word) into dense ids, then each
+    doc encoded as its id sequence in token order (OOV -> -1). The ids_csv
+    column pins the exact sequence, not just a bag."""
+    from carrot_transform_spark.operators.vocab import build_vocab, encode_docs
+
+    d = load(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", min_freq=_VOCAB_MIN_FREQ)
+    return (
+        encode_docs(d, vocab, "doc_id", "text")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "n_unk",
+            F.concat_ws(",", F.transform("token_ids", lambda x: x.cast("string"))).alias("ids_csv"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_VOCAB_SQL = f"""
+    WITH arrs AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, word, pos FROM (
+            SELECT doc_id, unnest(arr) AS word,
+                   unnest(generate_series(1, len(arr))) AS pos
+            FROM arrs
+        ) z WHERE word <> ''
+    ),
+    counts AS (
+        SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+        HAVING COUNT(*) >= {_VOCAB_MIN_FREQ}
+    ),
+    vocab AS (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS word_id
+        FROM counts
+    ),
+    mapped AS (
+        SELECT t.doc_id, t.pos, COALESCE(v.word_id, -1) AS wid,
+               CASE WHEN v.word_id IS NULL THEN 1 ELSE 0 END AS unk
+        FROM toks t LEFT JOIN vocab v ON v.word = t.word
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(unk) AS n_unk,
+           STRING_AGG(CAST(wid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+    FROM mapped GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 _PR_M = 400  # graph nodes: doc_id < 400 (present at every scale factor)
 _PR_ITERS = 4
 
@@ -703,6 +757,12 @@ register_suite(
             dd_incremental_pairs,
             _incremental_sql(),
             [("doc_a", "i"), ("doc_b", "i"), ("jaccard", "f")],
+        ),
+        (
+            "txt_vocab_ids",
+            txt_vocab_ids,
+            _VOCAB_SQL,
+            [("doc_id", "i"), ("n_tokens", "i"), ("n_unk", "i"), ("ids_csv", "s")],
         ),
         (
             "dd_bloom_semijoin",

@@ -106,6 +106,22 @@ def test_update_is_checkpointed_before_append(docs, tmp_path):
     assert _rows(pairs) == first
 
 
+def test_update_replay_same_unit_idempotent(docs, tmp_path):
+    """Re-running an update under the same unit name must reproduce the
+    SAME pairs and store state — the replay must see the pre-unit store,
+    or the batch's own stored shingles double every intersection count."""
+    path = str(tmp_path / "mh_index")
+    base = docs.filter(F.col("doc_id") % _MOD != 0)
+    batch = docs.filter(F.col("doc_id") % _MOD == 0)
+    save_minhash_index(*minhash_index_frames(base, "doc_id", "text"), path)
+    first = _rows(update_minhash_index(path, batch, "doc_id", "text", unit="s1"))
+    replay = _rows(update_minhash_index(path, batch, "doc_id", "text", unit="s1"))
+    assert replay == first
+    got_bands, _ = load_minhash_index(docs.sparkSession, path)
+    full_bands, _ = minhash_index_frames(docs, "doc_id", "text")
+    assert _rows(got_bands) == _rows(full_bands)
+
+
 def test_lookup_is_readonly(docs, tmp_path):
     """lookup_minhash_index returns the same pairs an update would, without
     committing anything to the store."""
