@@ -46,6 +46,43 @@ def _batch_canonical(batch_df: DataFrame, id_col: str, text_col: str) -> DataFra
     return fp.join(canon, "fp")
 
 
+def decide_batch(
+    batch_df: DataFrame, existing: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, fingerprint, dup_of) for every batch row against `existing`
+    (the stored (fingerprint, canonical_id) set): dup_of null iff admitted.
+    Eagerly checkpointed — safe to write/commit in any order afterwards."""
+    cand = _batch_canonical(batch_df, id_col, text_col)
+    joined = cand.join(
+        existing.select(F.col("fingerprint").alias("fp"), "canonical_id"),
+        "fp",
+        "left",
+    )
+    return joined.select(
+        "id",
+        F.col("fp").alias("fingerprint"),
+        F.coalesce(
+            "canonical_id",  # already in the store -> dup of the stored canon
+            F.when(F.col("id") != F.col("canon_id"), F.col("canon_id")),
+        ).alias("dup_of"),
+    ).localCheckpoint(eager=True)
+
+
+def admitted_fingerprints(result: DataFrame) -> DataFrame:
+    """The store rows a decision frame admits (dup_of null)."""
+    return result.filter(F.col("dup_of").isNull()).select(
+        "fingerprint", F.col("id").cast("long").alias("canonical_id")
+    )
+
+
+def load_existing(store: UnitStore, units: list[str]) -> DataFrame:
+    return (
+        store.load(_DATASET, units)
+        if units
+        else store.spark.createDataFrame([], "fingerprint string, canonical_id long")
+    )
+
+
 def update_fingerprint_store(
     path: str,
     batch_df: DataFrame,
@@ -66,27 +103,6 @@ def update_fingerprint_store(
     # own prior commit, admitted comes out empty, and the overwrite WIPES
     # the unit (caught by test_replay_unit_is_idempotent)
     units = [u for u in units if u != unit]
-    existing = (
-        store.load(_DATASET, units)
-        if units
-        else spark.createDataFrame([], "fingerprint string, canonical_id long")
-    )
-    cand = _batch_canonical(batch_df, id_col, text_col)
-    joined = cand.join(
-        existing.select(F.col("fingerprint").alias("fp"), "canonical_id"),
-        "fp",
-        "left",
-    )
-    result = joined.select(
-        "id",
-        F.col("fp").alias("fingerprint"),
-        F.coalesce(
-            "canonical_id",  # already in the store -> dup of the stored canon
-            F.when(F.col("id") != F.col("canon_id"), F.col("canon_id")),
-        ).alias("dup_of"),
-    ).localCheckpoint(eager=True)
-    admitted = result.filter(F.col("dup_of").isNull()).select(
-        "fingerprint", F.col("id").cast("long").alias("canonical_id")
-    )
-    store.commit(unit, {_DATASET: admitted})
+    result = decide_batch(batch_df, load_existing(store, units), id_col, text_col)
+    store.commit(unit, {_DATASET: admitted_fingerprints(result)})
     return result

@@ -52,6 +52,52 @@ def test_within_and_cross_batch_dedup(spark, tmp_path):
     )
 
 
+def test_streaming_maintainer_matches_batch(spark, tmp_path):
+    """Stream the corpus in micro-batches: decisions over all steps must
+    equal the sequential batch updates, and the final store must hold one
+    canon per distinct text."""
+    import shutil
+
+    import pyspark.sql.functions as F2
+
+    from carrot_transform_spark.streaming.fingerprint_index import (
+        maintain_fingerprint_store,
+    )
+
+    docs = _docs(spark)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, cond in enumerate(["doc_id <= 3", "doc_id > 3"]):
+        part = tmp_path / f"p{i}"
+        docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(next(part.glob("part-*.parquet")), flat / f"{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(flat))
+    )
+    q = maintain_fingerprint_store(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        decisions_dir=str(tmp_path / "dec"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    dec = spark.read.parquet(str(tmp_path / "dec" / "s*"))
+    got = {r["id"]: r["dup_of"] for r in dec.collect()}
+    assert got == {1: None, 2: None, 3: None, 4: None, 5: 2, 6: 1}
+    stored = fingerprint_store(spark, str(tmp_path / "store")).load("fingerprints")
+    one_shot = exact_dedup_groups(docs, "doc_id", "text").select(
+        "fingerprint", F2.col("canonical_id").cast("long").alias("canonical_id")
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+
 def test_replay_unit_is_idempotent(spark, tmp_path):
     docs = _docs(spark)
     path = str(tmp_path / "fp")
