@@ -69,17 +69,24 @@ def decide_batch(
 
 
 def admitted_fingerprints(result: DataFrame) -> DataFrame:
-    """The store rows a decision frame admits (dup_of null)."""
+    """The store rows a decision frame admits (dup_of null). The id keeps
+    its source type — a hard cast('long') would turn string ids into NULL
+    canonical ids and silently re-admit their duplicates forever."""
     return result.filter(F.col("dup_of").isNull()).select(
-        "fingerprint", F.col("id").cast("long").alias("canonical_id")
+        "fingerprint", F.col("id").alias("canonical_id")
     )
 
 
-def load_existing(store: UnitStore, units: list[str]) -> DataFrame:
-    return (
-        store.load(_DATASET, units)
-        if units
-        else store.spark.createDataFrame([], "fingerprint string, canonical_id long")
+def load_existing(
+    store: UnitStore, units: list[str], batch_df: DataFrame, id_col: str
+) -> DataFrame:
+    """The stored (fingerprint, canonical_id) view; an empty store yields an
+    empty frame whose canonical_id matches the batch's id type."""
+    if units:
+        return store.load(_DATASET, units)
+    id_type = dict(batch_df.dtypes)[id_col]
+    return store.spark.createDataFrame(
+        [], f"fingerprint string, canonical_id {id_type}"
     )
 
 
@@ -103,6 +110,8 @@ def update_fingerprint_store(
     # own prior commit, admitted comes out empty, and the overwrite WIPES
     # the unit (caught by test_replay_unit_is_idempotent)
     units = [u for u in units if u != unit]
-    result = decide_batch(batch_df, load_existing(store, units), id_col, text_col)
+    result = decide_batch(
+        batch_df, load_existing(store, units, batch_df, id_col), id_col, text_col
+    )
     store.commit(unit, {_DATASET: admitted_fingerprints(result)})
     return result

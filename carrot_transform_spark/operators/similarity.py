@@ -219,6 +219,7 @@ def ivf_topk_multiprobe(
     vec_col: str = "embedding",
     k: int = 5,
     corpus_cell_col: str | None = None,
+    normed_corpus: bool = False,
 ) -> DataFrame:
     """IVF top-k with query-side multi-probe: corpus vectors live in their
     primary cell; each query probes its n_probe nearest cells. Recall
@@ -228,8 +229,12 @@ def ivf_topk_multiprobe(
 
     Pass corpus_cell_col when the corpus already carries its cell id (an
     IVF store maintains one) — quantizing a stored corpus again on every
-    query batch is the dominant cost of a small search."""
-    if corpus_cell_col is not None:
+    query batch is the dominant cost of a small search. normed_corpus=True
+    goes further: the corpus IS the store frame (id, v, nrm, cell), so
+    neither the cells nor the O(dim) norm folds are recomputed."""
+    if normed_corpus:
+        n = corpus.select("id", "v", "nrm", "cell")
+    elif corpus_cell_col is not None:
         n = _normed(corpus, id_col, vec_col, extra=[corpus_cell_col])
         if corpus_cell_col != "cell":
             n = n.withColumnRenamed(corpus_cell_col, "cell")

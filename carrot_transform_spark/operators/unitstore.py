@@ -106,6 +106,17 @@ class UnitStore:
         committed, replaced, _ = self._scan()
         return sorted(u for u in committed if u not in replaced)
 
+    def applied(self, unit: str) -> bool:
+        """True if `unit` was ever fully committed — live OR since folded
+        into a compactor. Replay guards must use this, not `units()`:
+        after an in-flight compaction retires a batch's unit name, a
+        liveness check misses, the replay recomputes against a store that
+        already contains the batch's own data (corrupt output), and the
+        re-commit of the retired name raises — killing the stream on every
+        restart."""
+        committed, replaced, _ = self._scan()
+        return unit in replaced or unit in committed
+
     def fresh_unit(self, prefix: str = "b") -> str:
         """A unit name never used in this store — compacted-away names are
         permanently retired (a committed _COMPACTS hides them forever), so

@@ -52,14 +52,16 @@ def encode_docs(
     df: DataFrame, vocab: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, n_tokens, n_unk, token_ids): each doc's tokens mapped to vocab
-    ids in token order; OOV -> UNK_ID (-1)."""
+    ids in token order; OOV -> UNK_ID (-1). EVERY input doc yields exactly
+    one output row — an empty/whitespace-only text encodes as
+    (id, 0, 0, []) rather than silently vanishing from the result."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(text_col), r"\s+")).alias("pos", "word"),
     ).filter(F.col("word") != "")
     mapped = toks.join(F.broadcast(vocab.select("word", "word_id")), "word", "left")
     wid = F.coalesce(F.col("word_id"), F.lit(UNK_ID))
-    return (
+    encoded = (
         mapped.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -68,5 +70,15 @@ def encode_docs(
                 F.array_sort(F.collect_list(F.struct(F.col("pos"), wid.alias("w")))),
                 lambda s: s["w"],
             ).alias("token_ids"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(encoded, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_unk", F.lit(0)).alias("n_unk"),
+            F.coalesce("token_ids", F.array().cast("array<long>")).alias("token_ids"),
         )
     )

@@ -549,9 +549,12 @@ def txt_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc encoded as its id sequence in token order (OOV -> -1). The ids_csv
     column pins the exact sequence, not just a bag."""
     from carrot_transform_spark.operators.vocab import build_vocab, encode_docs
+    from carrot_transform_spark.queries import _QUERY_CACHES
 
     d = load(spark, sf_dir, "documents")
-    vocab = build_vocab(d, "text", min_freq=_VOCAB_MIN_FREQ)
+    # with_dense_ids may leave its sizing cache persisted; route it into the
+    # registry's release list so repeated suite runs don't accumulate caches
+    vocab = build_vocab(d, "text", min_freq=_VOCAB_MIN_FREQ, persist_registry=_QUERY_CACHES)
     return (
         encode_docs(d, vocab, "doc_id", "text")
         .select(
@@ -587,10 +590,17 @@ _VOCAB_SQL = f"""
         SELECT t.doc_id, t.pos, COALESCE(v.word_id, -1) AS wid,
                CASE WHEN v.word_id IS NULL THEN 1 ELSE 0 END AS unk
         FROM toks t LEFT JOIN vocab v ON v.word = t.word
+    ),
+    enc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(unk) AS n_unk,
+               STRING_AGG(CAST(wid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+        FROM mapped GROUP BY doc_id
     )
-    SELECT doc_id, COUNT(*) AS n_tokens, SUM(unk) AS n_unk,
-           STRING_AGG(CAST(wid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
-    FROM mapped GROUP BY doc_id ORDER BY doc_id
+    -- every doc emits a row: empty/whitespace-only text -> (0, 0, '')
+    SELECT d.doc_id, COALESCE(e.n_tokens, 0) AS n_tokens,
+           COALESCE(e.n_unk, 0) AS n_unk, COALESCE(e.ids_csv, '') AS ids_csv
+    FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+    ORDER BY d.doc_id
     """
 
 

@@ -239,9 +239,12 @@ class JsonlDirSink:
         self.directory = str(directory).rstrip("/")
 
     def write(self, name: str, df, columns: list[str]) -> None:
-        df.select(*columns).write.mode("overwrite").json(
-            f"{self.directory}/{name}.jsonl"
-        )
+        # keep null fields in the emitted objects: the default
+        # ignoreNullFields drops all-null COLUMNS from the output entirely,
+        # so a re-read infers a narrower schema than was written
+        df.select(*columns).write.mode("overwrite").option(
+            "ignoreNullFields", False
+        ).json(f"{self.directory}/{name}.jsonl")
 
     def write_rows(self, spark, name: str, header: list[str], rows) -> None:
         from pyspark.sql.types import StringType, StructField, StructType

@@ -1,23 +1,21 @@
 """Streaming IVF vector-index maintenance + incremental embedding near-dup.
 
 The embedding twin of streaming/dedup_index.py, on the same UnitStore
-commit substrate: each micro-batch of vectors is coarse-quantized to its
-nearest centroid cell (operators/similarity.assign_cells — plan-literal
-centroids, no UDF), near-dup pairs against the index-so-far plus the batch
-are emitted, and the batch commits as one versioned unit of
-(id, v, nrm, cell) rows.
+commit substrate (protocol in streaming/maintenance.py): each micro-batch
+of vectors is coarse-quantized to its nearest centroid cell
+(operators/similarity.assign_cells — plan-literal centroids, no UDF),
+near-dup pairs against the index-so-far plus the batch are emitted, and
+the batch commits as one versioned unit of (id, v, nrm, cell) rows.
 
 Invariant (tested): union of per-step pair outputs == the one-shot
 cell-blocked neardup_pairs over the full corpus — a pair is discovered
-exactly once, when its later member arrives. Replay safety is inherited
-from the store: pairs are written before the unit commit, the unit name is
-the micro-batch id, and listing is _SUCCESS-gated.
+exactly once, when its later member arrives.
 
-Query-time search reads the committed units as the IVF corpus
-(`ivf_corpus`) and runs any of the operators/similarity.py probes over it;
-at 100 TB each unit is cell-partitioned parquet, so a probe is a
-partition-pruned scan of n_probe cells per unit, and compaction (rewrite k
-units clustered by cell, commit, drop old) restores one-dir-per-cell
+Query-time search (`search_vector_store`) reads the committed units as the
+IVF corpus, reusing BOTH the stored cell ids and the stored norms — only
+the query batch is quantized and normed; at 100 TB each unit is
+cell-partitioned parquet, so a probe is a partition-pruned scan of n_probe
+cells per unit, and compaction (compact_every) restores one-dir-per-cell
 locality without stopping ingest.
 """
 
@@ -28,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from carrot_transform_spark.operators.similarity import _normed, assign_cells, dot
 from carrot_transform_spark.operators.unitstore import UnitStore
+from carrot_transform_spark.streaming.maintenance import maintain_units
 
 _DATASET = "vectors"
 
@@ -52,16 +51,13 @@ def search_vector_store(
     k: int = 5,
 ) -> DataFrame:
     """Multi-probe IVF top-k over the committed store, reusing the cell ids
-    the maintainer already assigned — only the (small) query batch is
-    quantized. (query_id, neighbor_id, cosine_sim, rnk)."""
+    AND norms the maintainer already computed — only the (small) query
+    batch is quantized. (query_id, neighbor_id, cosine_sim, rnk)."""
     from carrot_transform_spark.operators.similarity import ivf_topk_multiprobe
 
-    corpus = ivf_corpus(spark, path).select(
-        F.col("id").alias(id_col), F.col("v").alias(vec_col), "cell"
-    )
     return ivf_topk_multiprobe(
-        corpus, queries, centroids, n_probe=n_probe, id_col=id_col,
-        vec_col=vec_col, k=k, corpus_cell_col="cell",
+        ivf_corpus(spark, path), queries, centroids, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, k=k, normed_corpus=True,
     )
 
 
@@ -101,8 +97,6 @@ def maintain_vector_index(
     compact_every: int | None = None,
 ):
     """Start (and return) the streaming query maintaining the IVF store.
-    compact_every=N folds the store back to one unit whenever N live units
-    accumulate (atomic; immediate vacuum assumes single-maintainer GC).
 
     `vectors` is a streaming DataFrame of (id_col, vec_col, ...). Each
     micro-batch appends one store unit `s<batch_id>` and one pairs dir
@@ -110,12 +104,7 @@ def maintain_vector_index(
     spark.read.parquet(f"{pairs_dir}/s*")."""
     spark = vectors.sparkSession
 
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        unit = f"s{batch_id}"
-        store = vector_store(spark, store_dir)
-        units = store.units()
-        if unit in units:
-            return  # replayed batch already fully applied (incl. its pairs)
+    def step(batch_df: DataFrame, store, units: list[str], unit: str) -> None:
         cells = assign_cells(batch_df, centroids, id_col, vec_col).withColumnRenamed(
             "id", "__cid"
         )
@@ -133,12 +122,11 @@ def maintain_vector_index(
         pairs = _cell_pairs(new, old, threshold).localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/{unit}")
         store.commit(unit, {_DATASET: new})
-        if compact_every and len(store.units()) >= compact_every:
-            store.vacuum(store.compact(store.fresh_unit("c")))
 
-    return (
-        vectors.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return maintain_units(
+        vectors,
+        checkpoint_dir,
+        lambda: vector_store(spark, store_dir),
+        step,
+        compact_every=compact_every,
     )

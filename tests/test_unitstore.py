@@ -57,6 +57,24 @@ def test_compact_atomic_and_vacuum(spark, tmp_path):
     assert st.units() == ["c1", "u3"]
 
 
+def test_applied_survives_compaction(spark, tmp_path):
+    """applied() — the streaming replay guard — must stay true for units a
+    compactor retired: a liveness check would let a replay recompute
+    against a store containing the batch's own data and then die
+    re-committing the retired name."""
+    st = UnitStore(spark, str(tmp_path / "s"), ("a",))
+    st.commit("s0", {"a": _df(spark, [1])})
+    st.commit("s1", {"a": _df(spark, [2])})
+    st.compact("c0")
+    assert "s1" not in st.units()
+    assert st.applied("s1") and st.applied("s0") and st.applied("c0")
+    assert not st.applied("s2")
+    # crash-uncommitted unit is NOT applied
+    st.commit("s3", {"a": _df(spark, [3])})
+    os.remove(tmp_path / "s" / "a" / "u-s3" / "_COMMIT")
+    assert not st.applied("s3")
+
+
 def test_compact_crash_leaves_inputs_live(spark, tmp_path):
     """If the compacting unit never commits, the inputs stay visible —
     readers never see a half-compacted store."""
