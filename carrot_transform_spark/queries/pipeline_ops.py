@@ -1,5 +1,5 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with twenty oracle-checked sub-checks, including:
+CORRECTNESS entry with twenty-one oracle-checked sub-checks, including:
 
 - ds_stratified_sample: deterministic language-stratified corpus rebalance
   (queries/sampling.py; operators/sampling.stratified_sample).
@@ -649,6 +649,67 @@ def _pagerank_sql() -> str:
     )
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the same synthetic graph PageRank
+    uses, undirected. The join-chain form: canonical edges (a < b), then
+    e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a < b < c finds each triangle once;
+    per-node counts via the 3-way unpivot. Every join is an equi-join on a
+    node id — at scale this is the standard 2-shuffle triangle count, and
+    degree-ordering (here: plain id order) bounds the join fan-out."""
+    d = load(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < _PR_M)
+    raw = d.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(_PR_M)).alias("dst"),
+    ).unionAll(
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 7 + 3, F.lit(_PR_M)).alias("dst"),
+        )
+    )
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    nodes = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+_TRI_SQL = f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_PR_M}),
+    raw AS (
+        SELECT doc_id AS src, (doc_id * doc_id + 1) % {_PR_M} AS dst FROM d
+        UNION ALL SELECT doc_id, (doc_id * 7 + 3) % {_PR_M} FROM d
+    ),
+    edges AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw WHERE src <> dst
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (
+        SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node ORDER BY node
+    """
+
+
 register_suite(
     "pipe_ops_suite",
     [
@@ -785,6 +846,12 @@ register_suite(
             graph_pagerank,
             _pagerank_sql(),
             [("node", "i"), ("rank_e9", "i")],
+        ),
+        (
+            "graph_triangles",
+            graph_triangles,
+            _TRI_SQL,
+            [("node", "i"), ("n_triangles", "i")],
         ),
     ],
     tags=("pipeline", "suite"),
