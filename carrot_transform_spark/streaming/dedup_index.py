@@ -31,26 +31,19 @@ from carrot_transform_spark.operators.dedup import (
 from carrot_transform_spark.streaming.maintenance import maintain_units
 
 
-def maintain_neardup_index(
-    docs: DataFrame,
-    store_dir: str,
+def neardup_step(
+    spark,
     pairs_dir: str,
-    checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.7,
     shingle_n: int = 3,
-    compact_every: int | None = None,
 ):
-    """Start (and return) the streaming query maintaining the index.
-
-    `docs` is a streaming DataFrame of (id_col, text_col, ...). Each
-    micro-batch appends one store unit `s<batch_id>` and one pairs dir
-    `{pairs_dir}/s<batch_id>`; read all discovered pairs back with
-    spark.read.parquet(f"{pairs_dir}/s*")."""
-    spark = docs.sparkSession
+    """The per-batch step_fn (see streaming/maintenance.py): build the
+    batch's frames, find+verify pairs against the pre-unit store view,
+    write pairs, commit the unit."""
 
     def step(batch_df: DataFrame, store, units: list[str], unit: str) -> None:
         reg: list[DataFrame] = []
@@ -74,6 +67,33 @@ def maintain_neardup_index(
         for df in reg:
             df.unpersist()
 
+    return step
+
+
+def maintain_neardup_index(
+    docs: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    compact_every: int | None = None,
+):
+    """Start (and return) the streaming query maintaining the index.
+
+    `docs` is a streaming DataFrame of (id_col, text_col, ...). Each
+    micro-batch appends one store unit `s<batch_id>` and one pairs dir
+    `{pairs_dir}/s<batch_id>`; read all discovered pairs back with
+    spark.read.parquet(f"{pairs_dir}/s*")."""
+    spark = docs.sparkSession
+    step = neardup_step(
+        spark, pairs_dir, id_col=id_col, text_col=text_col, k=k,
+        rows_per_band=rows_per_band, threshold=threshold, shingle_n=shingle_n,
+    )
     return maintain_units(
         docs,
         checkpoint_dir,

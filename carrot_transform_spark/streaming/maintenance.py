@@ -25,16 +25,16 @@ from pyspark.sql import DataFrame
 from carrot_transform_spark.operators.unitstore import UnitStore
 
 
-def maintain_units(
-    stream: DataFrame,
-    checkpoint_dir: str,
+def make_step(
     make_store: Callable[[], UnitStore],
     step_fn: Callable[[DataFrame, UnitStore, list[str], str], None],
     compact_every: int | None = None,
-):
-    """Start (and return) a foreachBatch query running
-    ``step_fn(batch_df, store, pre_unit_view, unit)`` per micro-batch under
-    the protocol above."""
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch function implementing the protocol above — exposed
+    so tests can drive replays deterministically without the streaming
+    engine (Spark's checkpoint manager flags out-of-band commit-log edits
+    as concurrent access, which makes crash simulation through the engine
+    itself unreliable)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         unit = f"s{batch_id}"
@@ -45,8 +45,21 @@ def maintain_units(
         if compact_every and len(store.units()) >= compact_every:
             store.vacuum(store.compact(store.fresh_unit("c")))
 
+    return step
+
+
+def maintain_units(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    make_store: Callable[[], UnitStore],
+    step_fn: Callable[[DataFrame, UnitStore, list[str], str], None],
+    compact_every: int | None = None,
+):
+    """Start (and return) a foreachBatch query running
+    ``step_fn(batch_df, store, pre_unit_view, unit)`` per micro-batch under
+    the protocol above."""
     return (
-        stream.writeStream.foreachBatch(step)
+        stream.writeStream.foreachBatch(make_step(make_store, step_fn, compact_every))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

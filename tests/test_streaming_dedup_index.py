@@ -89,6 +89,51 @@ def test_stream_equals_batch(docs, tmp_path, compact_every):
     assert n_units == (1 if compact_every else 3)
 
 
+def test_replay_after_compaction_is_noop(docs, tmp_path):
+    """Crash-replay a batch whose store unit an in-flight compaction has
+    already retired. Driven through the protocol's step function directly
+    (make_step) — Spark's checkpoint manager flags out-of-band commit-log
+    edits as concurrent access, so the crash can't be simulated through
+    the engine. The applied() guard must detect the retired unit and
+    no-op; the regression was a replay computing corrupted pairs against
+    a store containing its own data, then dying on the retired-name
+    re-commit."""
+    from carrot_transform_spark.operators.dedup import minhash_index_store
+    from carrot_transform_spark.streaming.dedup_index import neardup_step
+    from carrot_transform_spark.streaming.maintenance import make_step
+
+    spark = docs.sparkSession
+    store_dir = str(tmp_path / "store")
+    step = make_step(
+        lambda: minhash_index_store(spark, store_dir),
+        neardup_step(spark, str(tmp_path / "pairs")),
+        compact_every=1,  # every batch's unit is retired immediately
+    )
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    step(halves[0], 0)
+    step(halves[1], 1)
+    assert minhash_index_units(spark, store_dir) == ["c1"]  # s0, s1 retired
+
+    units1 = minhash_index_units(spark, store_dir)
+    pairs_df = spark.read.parquet(str(tmp_path / "pairs" / "s*")).select(
+        "id_a", "id_b", "jaccard"
+    )
+    pairs1 = _rows(pairs_df)
+
+    step(halves[1], 1)  # crash-replay of the retired batch -> full no-op
+    assert minhash_index_units(spark, store_dir) == units1
+    assert _rows(
+        spark.read.parquet(str(tmp_path / "pairs" / "s*")).select(
+            "id_a", "id_b", "jaccard"
+        )
+    ) == pairs1
+    # and the streamed results still match the one-shot batch run
+    expected = minhash_lsh_dedup(docs, "doc_id", "text").select(
+        "id_a", "id_b", "jaccard"
+    )
+    assert pairs1 == _rows(expected)
+
+
 def test_restart_is_noop(docs, tmp_path):
     """Restarting the stream over the same checkpoint adds no units and
     leaves the pairs dirs unchanged."""
