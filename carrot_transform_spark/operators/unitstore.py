@@ -130,11 +130,20 @@ class UnitStore:
 
     # -- writing ----------------------------------------------------------
     def commit(
-        self, unit: str, frames: dict[str, DataFrame], compacts: list[str] | None = None
+        self,
+        unit: str,
+        frames: dict[str, DataFrame],
+        compacts: list[str] | None = None,
+        partition_by: dict[str, list[str]] | None = None,
     ) -> None:
         """Write one unit across all datasets and commit it atomically.
         `compacts` names older units this unit replaces — they disappear
-        from listings the instant this commit lands."""
+        from listings the instant this commit lands. `partition_by` maps a
+        dataset name to hive-partition columns for its write: readers get
+        the column back through partition discovery, and filters/joins on
+        it prune to matching subdirs (static PartitionFilters or dynamic
+        partition pruning) — the file-level locality lever for probe-heavy
+        datasets like an IVF corpus partitioned by cell."""
         if set(frames) != set(self.datasets):
             raise ValueError(f"commit needs exactly {self.datasets}, got {sorted(frames)}")
         _, replaced, _ = self._scan()
@@ -143,21 +152,34 @@ class UnitStore:
                 f"unit name {unit!r} was compacted away and is retired; "
                 "use fresh_unit() for auto-naming"
             )
+
+        def write(name: str) -> None:
+            w = frames[name].write.mode("overwrite")
+            cols = (partition_by or {}).get(name)
+            if cols:
+                w = w.partitionBy(*cols)
+            w.parquet(self._dir(name, unit))
+
         for name in self.datasets[1:]:
-            frames[name].write.mode("overwrite").parquet(self._dir(name, unit))
-        frames[self.datasets[0]].write.mode("overwrite").parquet(
-            self._dir(self.datasets[0], unit)
-        )
+            write(name)
+        write(self.datasets[0])
         if compacts:
             self._write_file(
                 (self.datasets[0], f"u-{unit}", _COMPACTS), "\n".join(compacts)
             )
         self._write_file((self.datasets[0], f"u-{unit}", _COMMIT), "")
 
-    def compact(self, unit: str, units: list[str] | None = None) -> list[str]:
+    def compact(
+        self,
+        unit: str,
+        units: list[str] | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> list[str]:
         """Rewrite the given (default: all live) units as ONE unit named
         `unit` and commit it atomically over them. Returns the replaced
-        unit names (pass to vacuum() to reclaim their dirs)."""
+        unit names (pass to vacuum() to reclaim their dirs). partition_by
+        re-clusters datasets during the rewrite — compaction is exactly
+        when restoring physical locality is cheap."""
         src = self.units() if units is None else units
         if not src:
             raise FileNotFoundError(f"nothing to compact under {self.path}")
@@ -167,6 +189,7 @@ class UnitStore:
             unit,
             {name: self.load(name, src) for name in self.datasets},
             compacts=src,
+            partition_by=partition_by,
         )
         return src
 
@@ -193,7 +216,16 @@ class UnitStore:
         units = self.units() if units is None else units
         if not units:
             raise FileNotFoundError(f"no committed units under {self.path}")
-        return self.spark.read.parquet(*[self._dir(dataset, u) for u in units])
+        # one read per unit dir, unioned by NAME: units written with
+        # different partition_by layouts (a cell-partitioned compacted unit
+        # next to flat streamed ones) discover their partition columns
+        # independently — a single multi-path read would look for one
+        # common partition structure and lose the dir-encoded columns
+        frames = [self.spark.read.parquet(self._dir(dataset, u)) for u in units]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def _dir(self, dataset: str, unit: str) -> str:
         return f"{self.path}/{dataset}/u-{unit}"

@@ -40,6 +40,22 @@ def ivf_corpus(spark: SparkSession, path: str) -> DataFrame:
     return vector_store(spark, path).load(_DATASET)
 
 
+def compact_vector_store(spark: SparkSession, path: str, vacuum: bool = True) -> str:
+    """Fold all live units into ONE unit hive-partitioned by cell, so
+    every probe becomes a partition-pruned scan: a filter or broadcast
+    join on `cell` touches only the matching cell=… subdirs (static
+    PartitionFilters / dynamic partition pruning) instead of every file.
+    Run it when enough streamed units accumulate — the rewrite is exactly
+    one shuffle-free pass plus the atomic commit. Returns the new unit
+    name."""
+    store = vector_store(spark, path)
+    unit = store.fresh_unit("c")
+    replaced = store.compact(unit, partition_by={_DATASET: ["cell"]})
+    if vacuum:
+        store.vacuum(replaced)
+    return unit
+
+
 def search_vector_store(
     spark: SparkSession,
     path: str,

@@ -109,3 +109,23 @@ def test_stream_equals_batch_and_restart_noop(vecs, centroids, tmp_path):
     )
     want = cosine_topk(vecs, queries, k=3)
     assert _rows(got) == _rows(want)
+
+    # cell-partitioned compaction: contents identical, probes prune
+    from carrot_transform_spark.streaming.ann_index import compact_vector_store
+
+    compact_vector_store(spark, str(tmp_path / "store"))
+    stored2 = ivf_corpus(spark, str(tmp_path / "store"))
+    assert _rows(stored2.select("id", "cell")) == _rows(
+        corpus.select(F.col("vec_id").alias("id"), "cell")
+    )
+    one_cell = stored2.filter(F.col("cell") == 0)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan or "PartitionFilters: [cell" in plan or (
+        "cell#" in plan.split("PartitionFilters")[1][:120]
+    ), f"cell filter did not reach PartitionFilters:\n{plan[:800]}"
+    # search results unchanged over the compacted layout
+    got2 = search_vector_store(
+        spark, str(tmp_path / "store"), queries, centroids,
+        n_probe=len(centroids), k=3,
+    )
+    assert _rows(got2) == _rows(want)
