@@ -165,3 +165,131 @@ def span_dup_profile_sql(
            CAST(COALESCE(f.n_dup_spans, 0) AS DOUBLE) / t.n_spans AS dup_span_frac
     FROM totals t LEFT JOIN flagged f ON t.doc = f.doc
     """
+
+
+def scrub_cross_doc_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """(doc, n_tokens, n_removed, clean_text): the ACTION twin of
+    span_dup_profile — remove every token covered by a cross-document
+    duplicate span (ExactSubstr-style dedup: measure with the profile,
+    scrub with this). Every input doc emits a row; a fully-duplicated doc
+    comes back with clean_text ''.
+
+    Same shuffle structure as the profile (global group on the 128-bit
+    span hash, then per-doc aggregates); the extra work is one explode of
+    FLAGGED spans into covered token positions — proportional to the
+    duplicated material, not the corpus — and an anti-join of tokens
+    against it keyed on (doc, pos)."""
+    ch = chunk_token_windows(docs, id_col, text_col, size=span, overlap=span - stride)
+    spans = ch.select(
+        F.col("id").alias("doc"), "chunk_idx", "n_tokens", F.md5("chunk_text").alias("h")
+    )
+    cross = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    covered = (
+        spans.join(cross, "h", "left_semi")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(
+                    F.col("chunk_idx") * stride + 1,
+                    F.col("chunk_idx") * stride + F.col("n_tokens"),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("p0", "w"),
+        )
+        .select("doc", (F.col("p0") + 1).alias("pos"), "w")
+    )
+    kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+        ).alias("clean_text"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc"),
+        F.when(
+            F.length(F.trim(F.col(text_col))) > 0,
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+        )
+        .otherwise(0)
+        .alias("n_tokens"),
+    )
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def scrub_cross_doc_spans_sql(
+    table: str, id_expr: str, text_expr: str, span: int = 8, stride: int = 4
+) -> str:
+    """DuckDB twin of scrub_cross_doc_spans."""
+    chunks = chunk_token_windows_sql(
+        table, id_expr, text_expr, size=span, overlap=span - stride
+    )
+    return f"""
+    WITH spans AS (
+        SELECT id AS doc, chunk_idx, n_tokens, md5(chunk_text) AS h FROM ({chunks}) c
+    ),
+    cross_spans AS (
+        SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc) > 1
+    ),
+    covered AS (
+        SELECT DISTINCT doc,
+               unnest(generate_series(chunk_idx * {stride} + 1,
+                                      chunk_idx * {stride} + n_tokens)) AS pos
+        FROM spans WHERE h IN (SELECT h FROM cross_spans)
+    ),
+    toks AS (
+        SELECT doc, pos, w FROM (
+            SELECT {id_expr} AS doc,
+                   unnest(regexp_split_to_array(trim({text_expr}), '\\s+')) AS w,
+                   unnest(generate_series(1, len(regexp_split_to_array(trim({text_expr}), '\\s+')))) AS pos
+            FROM {table} WHERE LENGTH(trim({text_expr})) > 0
+        ) z
+    ),
+    kept AS (
+        SELECT t.doc, t.pos, t.w FROM toks t
+        LEFT JOIN covered c ON c.doc = t.doc AND c.pos = t.pos
+        WHERE c.doc IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc, COUNT(*) AS n_kept,
+               STRING_AGG(w, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc
+    ),
+    totals AS (
+        SELECT {id_expr} AS doc,
+               CASE WHEN LENGTH(trim({text_expr})) > 0
+                    THEN len(regexp_split_to_array(trim({text_expr}), '\\s+'))
+                    ELSE 0 END AS n_tokens
+        FROM {table}
+    )
+    SELECT t.doc, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r ON r.doc = t.doc
+    """

@@ -1,5 +1,5 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with twenty-one oracle-checked sub-checks, including:
+CORRECTNESS entry with twenty-two oracle-checked sub-checks, including:
 
 - ds_stratified_sample: deterministic language-stratified corpus rebalance
   (queries/sampling.py; operators/sampling.stratified_sample).
@@ -649,6 +649,30 @@ def _pagerank_sql() -> str:
     )
 
 
+_SCRUB_SPAN, _SCRUB_STRIDE = 8, 4
+
+
+def txt_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span REMOVAL (operators/repetition.scrub_cross_doc_spans)
+    — the action twin of dd_span_dups' measurement: tokens covered by a
+    span appearing in more than one document are cut, and the cleaned text
+    itself is pinned by the oracle (exact string, not just counts)."""
+    from carrot_transform_spark.operators.repetition import scrub_cross_doc_spans
+
+    d = load(spark, sf_dir, "documents")
+    return scrub_cross_doc_spans(
+        d, "doc_id", "text", span=_SCRUB_SPAN, stride=_SCRUB_STRIDE
+    ).orderBy("doc")
+
+
+def _span_scrub_sql() -> str:
+    from carrot_transform_spark.operators.repetition import scrub_cross_doc_spans_sql
+
+    return scrub_cross_doc_spans_sql(
+        "documents", "doc_id", "text", span=_SCRUB_SPAN, stride=_SCRUB_STRIDE
+    ) + " ORDER BY 1"
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the same synthetic graph PageRank
     uses, undirected. The join-chain form: canonical edges (a < b), then
@@ -852,6 +876,12 @@ register_suite(
             graph_triangles,
             _TRI_SQL,
             [("node", "i"), ("n_triangles", "i")],
+        ),
+        (
+            "txt_span_scrub",
+            txt_span_scrub,
+            _span_scrub_sql(),
+            [("doc", "i"), ("n_tokens", "i"), ("n_removed", "i"), ("clean_text", "s")],
         ),
     ],
     tags=("pipeline", "suite"),
