@@ -1,5 +1,5 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with twenty-two oracle-checked sub-checks, including:
+CORRECTNESS entry with twenty-three oracle-checked sub-checks, including:
 
 - ds_stratified_sample: deterministic language-stratified corpus rebalance
   (queries/sampling.py; operators/sampling.stratified_sample).
@@ -649,6 +649,25 @@ def _pagerank_sql() -> str:
     )
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+
+
+def diag_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders table
+    (operators/profile.table_profile, exact mode so the oracle matches
+    bit-for-bit; production default is the single-pass HLL++ variant)."""
+    from carrot_transform_spark.operators.profile import table_profile
+
+    d = load(spark, sf_dir, "orders")
+    return table_profile(d, _PROFILE_COLS, exact=True).orderBy("col_name")
+
+
+def _table_profile_sql() -> str:
+    from carrot_transform_spark.operators.profile import table_profile_sql
+
+    return table_profile_sql("orders", _PROFILE_COLS) + ' ORDER BY col_name'
+
+
 _SCRUB_SPAN, _SCRUB_STRIDE = 8, 4
 
 
@@ -882,6 +901,13 @@ register_suite(
             txt_span_scrub,
             _span_scrub_sql(),
             [("doc", "i"), ("n_tokens", "i"), ("n_removed", "i"), ("clean_text", "s")],
+        ),
+        (
+            "diag_table_profile",
+            diag_table_profile,
+            _table_profile_sql(),
+            [("col_name", "s"), ("n_rows", "i"), ("n_nulls", "i"), ("n_distinct", "i"),
+             ("min_s", "s"), ("max_s", "s")],
         ),
     ],
     tags=("pipeline", "suite"),
