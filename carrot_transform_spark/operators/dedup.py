@@ -657,6 +657,31 @@ def simhash_signatures(
     )
 
 
+def _simhash_bits(sig: DataFrame, bits: int | None) -> int:
+    """The signature width, from sim_hi's column metadata unless given."""
+    if bits is not None:
+        return bits
+    meta = dict(sig.schema["sim_hi"].metadata or {})
+    if "simhash_bits" not in meta:
+        raise ValueError(
+            "sig has no simhash_bits column metadata (lost through a "
+            "transform that rebuilt sim_hi?); pass the signature width "
+            "explicitly via bits="
+        )
+    return int(meta["simhash_bits"])
+
+
+def _simhash_bucket(bits: int, prefix_bits: int):
+    """Blocking-bucket expression for a (sim_hi, sim_lo) signature."""
+    lo_bits = min(bits, 32)
+    hi_bits = bits - lo_bits
+    if hi_bits >= prefix_bits:
+        return F.expr(f"sim_hi >> ({hi_bits} - {prefix_bits})")
+    if prefix_bits > lo_bits:
+        raise ValueError(f"prefix_bits={prefix_bits} exceeds the {lo_bits}-bit signature")
+    return F.expr(f"sim_lo >> ({lo_bits} - {prefix_bits})")
+
+
 def hamming_pairs(
     sig: DataFrame, max_distance: int = 8, prefix_bits: int = 16, bits: int | None = None
 ) -> DataFrame:
@@ -677,26 +702,8 @@ def hamming_pairs(
     the O(n^2) failure the metadata exists to prevent."""
     if not 0 < prefix_bits <= 32:
         raise ValueError(f"prefix_bits must be in (0, 32], got {prefix_bits}")
-    if bits is None:
-        meta = dict(sig.schema["sim_hi"].metadata or {})
-        if "simhash_bits" not in meta:
-            raise ValueError(
-                "hamming_pairs: sig has no simhash_bits column metadata "
-                "(lost through a transform that rebuilt sim_hi?); pass the "
-                "signature width explicitly via bits="
-            )
-        bits = int(meta["simhash_bits"])
-    lo_bits = min(bits, 32)
-    hi_bits = bits - lo_bits
-    if hi_bits >= prefix_bits:
-        bucket = F.expr(f"sim_hi >> ({hi_bits} - {prefix_bits})")
-    else:
-        if prefix_bits > lo_bits:
-            raise ValueError(
-                f"prefix_bits={prefix_bits} exceeds the {lo_bits}-bit signature"
-            )
-        bucket = F.expr(f"sim_lo >> ({lo_bits} - {prefix_bits})")
-    withb = sig.withColumn("bucket", bucket)
+    bits = _simhash_bits(sig, bits)
+    withb = sig.withColumn("bucket", _simhash_bucket(bits, prefix_bits))
     a = withb.alias("a")
     b = withb.alias("b")
     ham = F.bit_count(F.expr("a.sim_hi ^ b.sim_hi")) + F.bit_count(
@@ -711,3 +718,87 @@ def hamming_pairs(
         )
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SimHash index — the Hamming-distance sibling of the MinHash
+# store: a persisted UnitStore of (id, sim_hi, sim_lo) signatures. Each new
+# batch finds near-dups against the stored signatures (prefix-bucket
+# equi-join, never all-pairs) plus within itself, then commits as one unit.
+# Cost per step: O(batch + bucket collisions); the stored corpus text is
+# never touched — signatures are 16 bytes/doc.
+# ---------------------------------------------------------------------------
+
+
+def simhash_index_store(spark, path: str):
+    """The UnitStore backing a persisted SimHash index at `path`."""
+    from carrot_transform_spark.operators.unitstore import UnitStore
+
+    return UnitStore(spark, path, ("sigs",))
+
+
+def incremental_hamming_pairs(
+    batch_sig: DataFrame,
+    base_sig: DataFrame,
+    max_distance: int = 8,
+    prefix_bits: int = 16,
+    bits: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs touching the batch: batch-vs-store
+    prefix-bucket collisions plus batch-vs-batch, canonical id_a < id_b.
+    Equals the full corpus's hamming_pairs restricted to pairs with >= 1
+    batch member (Hamming distance is symmetric, bucketing is per-row)."""
+    bits = _simhash_bits(batch_sig, bits)
+    bucket = _simhash_bucket(bits, prefix_bits)
+    a = batch_sig.withColumn("bucket", bucket).alias("a")
+    b = base_sig.withColumn("bucket", bucket).alias("b")
+    ham = F.bit_count(F.expr("a.sim_hi ^ b.sim_hi")) + F.bit_count(
+        F.expr("a.sim_lo ^ b.sim_lo")
+    )
+    cross = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+    within = hamming_pairs(
+        batch_sig, max_distance=max_distance, prefix_bits=prefix_bits, bits=bits
+    )
+    return cross.unionByName(within).distinct()
+
+
+def update_simhash_index(
+    path: str,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 8,
+    prefix_bits: int = 16,
+    sim_bits: int = 64,
+    unit: str | None = None,
+) -> DataFrame:
+    """One maintenance step of a persisted SimHash index: returns the
+    (id_a, id_b, hamming) pairs of the batch against store+batch, then
+    commits the batch's signatures as a new unit. Same replay contract as
+    update_minhash_index: a re-run with the same unit name sees the
+    pre-unit store and overwrites its own unit idempotently."""
+    spark = batch_df.sparkSession
+    store = simhash_index_store(spark, path)
+    units = store.units()
+    if unit is None:
+        unit = store.fresh_unit()
+    units = [u for u in units if u != unit]
+    b_sig = simhash_signatures(batch_df, id_col, text_col, bits=sim_bits).localCheckpoint(
+        eager=True
+    )
+    base_sig = (
+        store.load("sigs", units) if units else spark.createDataFrame([], b_sig.schema)
+    )
+    pairs = incremental_hamming_pairs(
+        b_sig, base_sig, max_distance=max_distance, prefix_bits=prefix_bits, bits=sim_bits
+    ).localCheckpoint(eager=True)
+    store.commit(unit, {"sigs": b_sig})
+    return pairs
