@@ -101,3 +101,67 @@ def maintain_neardup_index(
         step,
         compact_every=compact_every,
     )
+
+
+def simhash_step(
+    spark,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 8,
+    prefix_bits: int = 16,
+    sim_bits: int = 64,
+):
+    """Per-batch step_fn for the SimHash signature store: signatures for
+    the batch, Hamming pairs vs the pre-unit store view + within-batch,
+    pairs written before the unit commit."""
+    from carrot_transform_spark.operators.dedup import (
+        incremental_hamming_pairs,
+        simhash_signatures,
+    )
+
+    def step(batch_df: DataFrame, store, units: list[str], unit: str) -> None:
+        b_sig = simhash_signatures(
+            batch_df.select(id_col, text_col), id_col, text_col, bits=sim_bits
+        ).localCheckpoint(eager=True)
+        base_sig = (
+            store.load("sigs", units) if units else spark.createDataFrame([], b_sig.schema)
+        )
+        pairs = incremental_hamming_pairs(
+            b_sig, base_sig, max_distance=max_distance,
+            prefix_bits=prefix_bits, bits=sim_bits,
+        ).localCheckpoint(eager=True)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/{unit}")
+        store.commit(unit, {"sigs": b_sig})
+
+    return step
+
+
+def maintain_simhash_index(
+    docs: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 8,
+    prefix_bits: int = 16,
+    sim_bits: int = 64,
+    compact_every: int | None = None,
+):
+    """Streaming maintainer for the SimHash signature store — the Hamming
+    sibling of maintain_neardup_index, same exactly-once protocol
+    (streaming/maintenance.py)."""
+    from carrot_transform_spark.operators.dedup import simhash_index_store
+
+    spark = docs.sparkSession
+    return maintain_units(
+        docs,
+        checkpoint_dir,
+        lambda: simhash_index_store(spark, store_dir),
+        simhash_step(
+            spark, pairs_dir, id_col=id_col, text_col=text_col,
+            max_distance=max_distance, prefix_bits=prefix_bits, sim_bits=sim_bits,
+        ),
+        compact_every=compact_every,
+    )

@@ -84,3 +84,48 @@ def test_metadata_survives_store_round_trip(docs, tmp_path):
     stored = simhash_index_store(docs.sparkSession, path).load("sigs")
     # no bits= passed: must resolve from metadata without raising
     hamming_pairs(stored, max_distance=4).count()
+
+
+def test_streaming_maintainer_matches_batch(docs, tmp_path):
+    """Union of per-micro-batch pair outputs == full-corpus hamming pairs;
+    final store == one-shot signatures."""
+    import shutil
+
+    from carrot_transform_spark.streaming.dedup_index import maintain_simhash_index
+
+    spark = docs.sparkSession
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(3):
+        part = tmp_path / f"p{i}"
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        shutil.copy(next(part.glob("part-*.parquet")), flat / f"{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(flat))
+    )
+    q = maintain_simhash_index(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_distance=_DIST,
+        prefix_bits=_PREFIX,
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "pairs" / "s*")).select(
+        "id_a", "id_b", "hamming"
+    )
+    sig = simhash_signatures(docs, "doc_id", "text")
+    expected = hamming_pairs(sig, max_distance=_DIST, prefix_bits=_PREFIX)
+    assert _rows(got) == _rows(expected)
+    assert len(_rows(got)) > 0
+    stored = simhash_index_store(spark, str(tmp_path / "store")).load("sigs")
+    assert _rows(stored) == _rows(sig)
