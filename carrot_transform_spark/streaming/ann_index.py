@@ -146,3 +146,106 @@ def maintain_vector_index(
         step,
         compact_every=compact_every,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ store: the memory-bound variant. Instead of full vectors the
+# store holds (id, cell, code) — m byte-codes per vector (operators/pq.py)
+# — with the per-subspace codebooks trained on the FIRST batch and frozen
+# as store metadata (the standard recipe: train on a sample, encode
+# everything after with the same books so codes stay comparable).
+# Search: probe the query's nearest cells, ADC-score only those cells'
+# codes from plan-literal lookup tables, top-k. At 100 TB this is the
+# FAISS IVFPQ layout as plain Spark: 8-16 bytes per vector instead of
+# 4*dim, cell-pruned scans, no decompression.
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+_PQ_DATASET = "codes"
+_CODEBOOKS = "_CODEBOOKS"
+
+
+def pq_store(spark: SparkSession, path: str) -> UnitStore:
+    return UnitStore(spark, path, (_PQ_DATASET,))
+
+
+def _load_codebooks(store: UnitStore):
+    fs, jvm = store._fs()
+    p = store._jp(jvm, _CODEBOOKS)
+    if not fs.exists(p):
+        return None
+    return _json.loads(store._read_file(fs, jvm, (_CODEBOOKS,)))
+
+
+def maintain_pq_index(
+    vectors: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """Streaming maintainer for the IVF-PQ store. The first batch trains
+    the codebooks (written to store metadata BEFORE its unit commits, so a
+    replay retrains identically and overwrites the same file); every batch
+    is cell-assigned and PQ-encoded, committing (id, cell, code) units."""
+    from carrot_transform_spark.operators.pq import encode, train_codebooks
+
+    spark = vectors.sparkSession
+
+    def step(batch_df: DataFrame, store, units: list[str], unit: str) -> None:
+        books = _load_codebooks(store)
+        if books is None or not units:
+            # first (or replayed-first) batch: train + freeze. Deterministic
+            # Lloyd on the same rows -> identical books on replay.
+            books = train_codebooks(batch_df, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col)
+            store._write_file((_CODEBOOKS,), _json.dumps(books))
+        cells = assign_cells(batch_df, centroids, id_col, vec_col).withColumnRenamed(
+            "id", "__cid"
+        )
+        codes = (
+            encode(batch_df, books, id_col=id_col, vec_col=vec_col)
+            .join(cells, F.col("id") == F.col("__cid"))
+            .drop("__cid")
+        )
+        store.commit(unit, {_PQ_DATASET: codes})
+
+    return maintain_units(
+        vectors,
+        checkpoint_dir,
+        lambda: pq_store(spark, store_dir),
+        step,
+        compact_every=compact_every,
+    )
+
+
+def search_pq_store(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """(neighbor_id, approx_dist, rnk): ADC top-k over the probed cells'
+    codes — the corpus is never decompressed; scoring is m table lookups
+    per candidate row. One query per call (the lookup tables are plan
+    literals); batch query sets loop on the driver or use the full-vector
+    store's set-oriented probes instead."""
+    from carrot_transform_spark.operators.pq import adc_topk
+    from carrot_transform_spark.operators.similarity import probe_cells
+
+    store = pq_store(spark, path)
+    books = _load_codebooks(store)
+    if books is None:
+        raise FileNotFoundError(f"no codebooks under {path}")
+    qdf = spark.createDataFrame([(0, query_vec)], ["vec_id", "embedding"])
+    probes = [
+        r["cell"] for r in probe_cells(qdf, centroids, n_probe).collect()
+    ]
+    codes = store.load(_PQ_DATASET).filter(F.col("cell").isin(probes))
+    return adc_topk(codes, query_vec, books, k=k)
