@@ -238,17 +238,25 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
 
 
 def davg(expr, scale: int = 4):
-    """Order-independent average: exact decimal sum -> double -> / count."""
+    """Order-independent average: exact decimal sum -> double -> / count,
+    rounded with the IEEE-only fround rule. Native ROUND on the quotient
+    was the last engine-divergence hole: identical doubles whose shortest
+    decimal repr ends in '5' at the rounding digit round differently in
+    Spark vs DuckDB (first seen as an ev_tumbling_15min hash-mismatch at
+    sf0.1 — the quotient landed on such a boundary only at the larger
+    window populations)."""
     import pyspark.sql.functions as F
 
     col = expr if not isinstance(expr, str) else F.col(expr)
-    return F.round(
-        F.sum(col.cast("decimal(27,6)")).cast("double") / F.count(F.lit(1)), scale
-    )
+    m = 10 ** scale
+    q = F.sum(col.cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))
+    return (F.floor(q * m + F.lit(0.5)) / m).cast("double")
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), {scale})"
+    m = 10 ** scale
+    q = f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
+    return f"CAST(FLOOR(({q}) * {m} + 0.5) / {m} AS DOUBLE)"
 
 
 def fround(expr, scale: int = 4):

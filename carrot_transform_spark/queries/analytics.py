@@ -590,7 +590,7 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+    SELECT CAST(FLOOR((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0) * 100 + 0.5) / 100 AS DOUBLE) AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
@@ -610,7 +610,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, F.col("ak") == l.l_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(
+            fround(
                 F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double") / 7.0, 2
             ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),

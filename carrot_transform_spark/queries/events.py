@@ -106,10 +106,10 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ev_tumbling_15min",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL 15 MINUTE, ts, TIMESTAMP '1970-01-01 00:00:00') AS win_start,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+           {davg_sql('value')} AS avg_value
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY win_start

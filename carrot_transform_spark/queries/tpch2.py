@@ -7,7 +7,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from carrot_transform_spark.queries import dsum, dsum_sql, fround, fround_sql, load, register
+from carrot_transform_spark.queries import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    fround,
+    fround_sql,
+    load,
+    register,
+)
 
 
 @register(
@@ -106,8 +115,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
     )
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0 END) AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+           CAST(FLOOR((CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE)) * 10000 + 0.5) / 10000 AS DOUBLE) AS mkt_share
     FROM volumes GROUP BY o_year ORDER BY o_year
     """,
     tags=("tpch", "join", "share"),
@@ -138,7 +147,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         volumes.groupBy("o_year")
         .agg(
-            F.round(
+            fround(
                 F.sum(F.when(F.col("supp_nation") == "NATION_9", F.col("volume")).otherwise(F.lit(0)))
                 .cast("double")
                 / F.sum("volume").cast("double"),
@@ -228,11 +237,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stat_percentiles",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
            ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS mean_bal
+           {davg_sql('c_acctbal')} AS mean_bal
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     tags=("stats", "percentile"),
@@ -248,10 +257,7 @@ def stat_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
             F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1)),
-                4,
-            ).alias("mean_bal"),
+            davg(F.col("c_acctbal")).alias("mean_bal"),
         )
         .orderBy("c_mktsegment")
     )
