@@ -770,6 +770,33 @@ def incremental_hamming_pairs(
     return cross.unionByName(within).distinct()
 
 
+def simhash_decide(
+    batch_df: DataFrame,
+    store,
+    units: list[str],
+    id_col: str,
+    text_col: str,
+    max_distance: int = 8,
+    prefix_bits: int = 16,
+    sim_bits: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """(batch signatures, verified pairs) against the given pre-unit store
+    view — the shared core of the offline update and the streaming step,
+    both eagerly checkpointed so caller-chosen write/commit ordering is
+    safe."""
+    spark = batch_df.sparkSession
+    b_sig = simhash_signatures(batch_df, id_col, text_col, bits=sim_bits).localCheckpoint(
+        eager=True
+    )
+    base_sig = (
+        store.load("sigs", units) if units else spark.createDataFrame([], b_sig.schema)
+    )
+    pairs = incremental_hamming_pairs(
+        b_sig, base_sig, max_distance=max_distance, prefix_bits=prefix_bits, bits=sim_bits
+    ).localCheckpoint(eager=True)
+    return b_sig, pairs
+
+
 def update_simhash_index(
     path: str,
     batch_df: DataFrame,
@@ -785,20 +812,13 @@ def update_simhash_index(
     commits the batch's signatures as a new unit. Same replay contract as
     update_minhash_index: a re-run with the same unit name sees the
     pre-unit store and overwrites its own unit idempotently."""
-    spark = batch_df.sparkSession
-    store = simhash_index_store(spark, path)
+    store = simhash_index_store(batch_df.sparkSession, path)
     units = store.units()
     if unit is None:
         unit = store.fresh_unit()
-    units = [u for u in units if u != unit]
-    b_sig = simhash_signatures(batch_df, id_col, text_col, bits=sim_bits).localCheckpoint(
-        eager=True
+    b_sig, pairs = simhash_decide(
+        batch_df, store, [u for u in units if u != unit], id_col, text_col,
+        max_distance=max_distance, prefix_bits=prefix_bits, sim_bits=sim_bits,
     )
-    base_sig = (
-        store.load("sigs", units) if units else spark.createDataFrame([], b_sig.schema)
-    )
-    pairs = incremental_hamming_pairs(
-        b_sig, base_sig, max_distance=max_distance, prefix_bits=prefix_bits, bits=sim_bits
-    ).localCheckpoint(eager=True)
     store.commit(unit, {"sigs": b_sig})
     return pairs

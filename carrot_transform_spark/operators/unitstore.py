@@ -185,10 +185,23 @@ class UnitStore:
             raise FileNotFoundError(f"nothing to compact under {self.path}")
         if unit in src:
             raise ValueError(f"compacted unit name {unit!r} collides with an input")
+        # retirement must be TRANSITIVE: if an input is itself a compactor,
+        # carry the names it retired into the new unit's _COMPACTS. Without
+        # this, vacuuming the input deletes its _COMPACTS and applied()
+        # forgets its grandchildren — a replayed grandchild batch would then
+        # pass the guard and recommit over a store containing its own data.
+        # Inductively complete: every live compactor carries its full set.
+        fs, jvm = self._fs()
+        closure = set(src)
+        for u in src:
+            cpath = self._jp(jvm, self.datasets[0], f"u-{u}", _COMPACTS)
+            if fs.exists(cpath):
+                body = self._read_file(fs, jvm, (self.datasets[0], f"u-{u}", _COMPACTS))
+                closure.update(n for n in body.split("\n") if n)
         self.commit(
             unit,
             {name: self.load(name, src) for name in self.datasets},
-            compacts=src,
+            compacts=sorted(closure),
             partition_by=partition_by,
         )
         return src

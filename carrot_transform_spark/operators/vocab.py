@@ -59,7 +59,10 @@ def encode_docs(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(text_col), r"\s+")).alias("pos", "word"),
     ).filter(F.col("word") != "")
-    mapped = toks.join(F.broadcast(vocab.select("word", "word_id")), "word", "left")
+    # no broadcast hint: a corpus-scale vocabulary (tens of millions of
+    # words at 100 TB) must be allowed to shuffle-join; Spark broadcasts
+    # automatically below autoBroadcastJoinThreshold anyway
+    mapped = toks.join(vocab.select("word", "word_id"), "word", "left")
     wid = F.coalesce(F.col("word_id"), F.lit(UNK_ID))
     encoded = (
         mapped.groupBy("id")

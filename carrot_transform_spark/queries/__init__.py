@@ -248,15 +248,15 @@ def davg(expr, scale: int = 4):
     import pyspark.sql.functions as F
 
     col = expr if not isinstance(expr, str) else F.col(expr)
-    m = 10 ** scale
-    q = F.sum(col.cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))
-    return (F.floor(q * m + F.lit(0.5)) / m).cast("double")
+    return fround(
+        F.sum(col.cast("decimal(27,6)")).cast("double") / F.count(F.lit(1)), scale
+    )
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
-    m = 10 ** scale
-    q = f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
-    return f"CAST(FLOOR(({q}) * {m} + 0.5) / {m} AS DOUBLE)"
+    return fround_sql(
+        f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", scale
+    )
 
 
 def fround(expr, scale: int = 4):

@@ -585,12 +585,12 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_quantity_revenue",
-    oracle="""
+    oracle=f"""
     WITH avg_qty AS (
         SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(FLOOR((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0) * 100 + 0.5) / 100 AS DOUBLE) AS avg_yearly,
+    SELECT {fround_sql("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0", 2)} AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'

@@ -101,7 +101,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     WITH volumes AS (
         SELECT YEAR(o.o_orderdate) AS o_year,
                CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6)) AS volume,
@@ -115,8 +115,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
     )
     SELECT o_year,
-           CAST(FLOOR((CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0 END) AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE)) * 10000 + 0.5) / 10000 AS DOUBLE) AS mkt_share
+           {fround_sql("CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0 END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE)", 4)} AS mkt_share
     FROM volumes GROUP BY o_year ORDER BY o_year
     """,
     tags=("tpch", "join", "share"),

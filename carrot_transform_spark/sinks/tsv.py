@@ -246,9 +246,22 @@ class JsonlDirSink:
             "ignoreNullFields", False
         ).json(f"{self.directory}/{name}.jsonl")
 
-    def write_rows(self, spark, name: str, header: list[str], rows) -> None:
+    def write_rows(
+        self, name: str, header: list[str], rows: list[list[str]], spark=None
+    ) -> None:
+        """Same (name, header, rows, spark=None) order as the other sinks —
+        pipeline.py calls write_rows(name, header, rows, spark=...) for the
+        summary table, so a divergent order crashes every jsonl: run at the
+        summary write. The TSV sinks' trailing-empty-header 'shorten' quirk
+        applies here too (the summary header carries it)."""
         from pyspark.sql.types import StringType, StructField, StructType
 
+        if spark is None:
+            raise ValueError("write_rows to a JSONL sink needs the spark session")
+        shorten = bool(header) and header[-1] == ""
+        if shorten:
+            header = header[:-1]
+            rows = [r[:-1] for r in rows]
         schema = StructType([StructField(c, StringType()) for c in header])
         df = spark.createDataFrame([tuple(r) for r in rows], schema)
         self.write(name, df, header)

@@ -112,25 +112,15 @@ def simhash_step(
     prefix_bits: int = 16,
     sim_bits: int = 64,
 ):
-    """Per-batch step_fn for the SimHash signature store: signatures for
-    the batch, Hamming pairs vs the pre-unit store view + within-batch,
-    pairs written before the unit commit."""
-    from carrot_transform_spark.operators.dedup import (
-        incremental_hamming_pairs,
-        simhash_signatures,
-    )
+    """Per-batch step_fn for the SimHash signature store: the shared
+    simhash_decide core, pairs written before the unit commit."""
+    from carrot_transform_spark.operators.dedup import simhash_decide
 
     def step(batch_df: DataFrame, store, units: list[str], unit: str) -> None:
-        b_sig = simhash_signatures(
-            batch_df.select(id_col, text_col), id_col, text_col, bits=sim_bits
-        ).localCheckpoint(eager=True)
-        base_sig = (
-            store.load("sigs", units) if units else spark.createDataFrame([], b_sig.schema)
+        b_sig, pairs = simhash_decide(
+            batch_df.select(id_col, text_col), store, units, id_col, text_col,
+            max_distance=max_distance, prefix_bits=prefix_bits, sim_bits=sim_bits,
         )
-        pairs = incremental_hamming_pairs(
-            b_sig, base_sig, max_distance=max_distance,
-            prefix_bits=prefix_bits, bits=sim_bits,
-        ).localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/{unit}")
         store.commit(unit, {"sigs": b_sig})
 

@@ -69,3 +69,16 @@ def test_explicit_schema_skips_inference(spark, jdir):
     df = src.read("people")
     assert set(df.columns) == {"id", "name", LINE_COL}
     assert df.count() == 3
+
+
+def test_jsonl_sink_write_rows_interface(spark, tmp_path):
+    """write_rows must take (name, header, rows, spark=None) like every
+    other sink — pipeline.py passes spark by keyword for the summary
+    write — and honor the trailing-empty-header shorten quirk."""
+    from carrot_transform_spark.sinks.tsv import make_sink
+
+    sink = make_sink(spark, f"jsonl:{tmp_path}")
+    sink.write_rows("summary", ["a", "b", ""], [["1", "2", ""]], spark=spark)
+    back = spark.read.json(str(tmp_path / "summary.jsonl"))
+    assert set(back.columns) == {"a", "b"}
+    assert back.count() == 1

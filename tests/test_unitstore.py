@@ -75,6 +75,23 @@ def test_applied_survives_compaction(spark, tmp_path):
     assert not st.applied("s3")
 
 
+def test_retirement_is_transitive_across_vacuumed_compactors(spark, tmp_path):
+    """Chained compactions with vacuum in between must keep ALL ancestor
+    unit names retired: vacuuming c0 deletes c0's _COMPACTS, so c1 must
+    have carried s0 forward — otherwise applied('s0') forgets, a replay
+    passes the guard, and the retired-name commit refusal stops firing."""
+    st = UnitStore(spark, str(tmp_path / "s"), ("a",))
+    st.commit("s0", {"a": _df(spark, [1])})
+    st.vacuum(st.compact("c0"))  # c0 retires s0; s0's dirs reclaimed
+    st.commit("s1", {"a": _df(spark, [2])})
+    st.vacuum(st.compact("c1"))  # c1 retires c0+s1 AND must carry s0
+    assert st.applied("s0"), "grandchild retirement lost after vacuum"
+    assert st.applied("c0") and st.applied("s1")
+    with pytest.raises(ValueError):
+        st.commit("s0", {"a": _df(spark, [9])})  # retired forever
+    assert sorted(r.x for r in st.load("a").collect()) == [1, 2]
+
+
 def test_compact_crash_leaves_inputs_live(spark, tmp_path):
     """If the compacting unit never commits, the inputs stay visible —
     readers never see a half-compacted store."""
