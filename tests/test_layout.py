@@ -175,3 +175,22 @@ def test_weighted_sample_partition_invariant(spark):
     }
     assert one == many
     assert DENOM == 10_000  # threshold contract baked into the oracle SQL
+
+
+def test_write_sized_controls_file_count(spark, tmp_path):
+    """write_sized collapses an over-partitioned frame to few healthy
+    files, and splits when the target is tiny."""
+    from carrot_transform_spark.operators.layout import write_sized
+
+    df = spark.range(200_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    ).repartition(64)
+
+    n1 = write_sized(df, str(tmp_path / "big"), target_mb=512)
+    files1 = list((tmp_path / "big").glob("part-*.parquet"))
+    assert n1 == 1 and len(files1) == 1  # ~MBs of data, one healthy file
+
+    n2 = write_sized(df, str(tmp_path / "small"), target_mb=1)
+    files2 = list((tmp_path / "small").glob("part-*.parquet"))
+    assert n2 > 1 and len(files2) == n2
+    assert spark.read.parquet(str(tmp_path / "small")).count() == 200_000
