@@ -82,3 +82,25 @@ def test_jsonl_sink_write_rows_interface(spark, tmp_path):
     back = spark.read.json(str(tmp_path / "summary.jsonl"))
     assert set(back.columns) == {"a", "b"}
     assert back.count() == 1
+
+
+def test_carrot_etl_through_jsonl_sink(spark, tmp_path):
+    """The reference demo pipeline runs end-to-end with a jsonl: output —
+    every target table plus the summary lands as newline-delimited JSON
+    with the same row counts the TSV golden run produces."""
+    from pathlib import Path
+
+    from carrot_transform_spark.pipeline import run_transform
+
+    demo = Path("/root/reference/carrottransform/examples/test")
+    run_transform(
+        spark,
+        rules_file=demo / "rules" / "rules_14June2021.json",
+        inputs=demo / "inputs",
+        output_dir=f"jsonl:{tmp_path}",
+        person_table="Demographics",
+    )
+    person = spark.read.json(str(tmp_path / "person.jsonl"))
+    assert person.count() == 1000
+    summary = spark.read.json(str(tmp_path / "summary_mapstream.jsonl"))
+    assert summary.count() > 0
