@@ -21,6 +21,8 @@ from contextlib import contextmanager
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from carrot_transform_spark.functions.rounding import fround
+
 
 @contextmanager
 def _constraint_propagation_off(spark):
@@ -195,7 +197,7 @@ def jaccard_verify(
     )
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
     return verified.filter(jac >= threshold).select(
-        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+        "id_a", "id_b", fround(jac).alias("jaccard")
     )
 
 

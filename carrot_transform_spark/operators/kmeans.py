@@ -30,11 +30,15 @@ from pyspark.sql import DataFrame
 _DDEC = "decimal(38,12)"
 
 
-def _sqdist(vec_col, centroid: list[float]):
+def _sqdist(vec_col, centroid):
     """Exact-decimal squared L2 distance between an array<double> column
-    and a literal centroid: sequential fold, each term singly-rounded."""
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
-    terms = F.zip_with(vec_col, lit, lambda x, c: ((x - c) * (x - c)).cast(_DDEC))
+    and a centroid (python list → literal array, or an array<double>
+    Column from a broadcast codebook): sequential fold, each term
+    singly-rounded — identical element order either way, so results are
+    bit-identical between the literal and data-driven forms."""
+    if isinstance(centroid, list):
+        centroid = F.array(*[F.lit(float(c)) for c in centroid])
+    terms = F.zip_with(vec_col, centroid, lambda x, c: ((x - c) * (x - c)).cast(_DDEC))
     # decimal + decimal widens to (39,12); re-cast each merge so the fold
     # keeps the accumulator's exact type (values are ≪ the 38,12 range)
     return F.aggregate(terms, F.lit(0).cast(_DDEC), lambda acc, v: (acc + v).cast(_DDEC))
@@ -48,14 +52,24 @@ def assign(
 ) -> DataFrame:
     """(id, cell): nearest centroid by squared L2, ties to the lower cell.
 
-    argmin via array_position(arr, array_min(arr)): the distance array is
-    built once, so the expression tree is linear in k — a when-chain that
-    threads `best_d` through nested whens duplicates every earlier fold
-    twice per step (2^k blow-up; measured 20+ s of analysis at k=8)."""
+    The centroid list rides in a one-row broadcast frame
+    (array<array<double>>), NOT as plan literals, so plan size and
+    analysis time are O(1) in k — a k=10^4 coarse-quantizer training run
+    compiles exactly like k=8. argmin via array_position(arr,
+    array_min(arr)): the distance array is built once, so the per-row
+    work is linear in k — a when-chain that threads `best_d` through
+    nested whens duplicates every earlier fold twice per step (2^k
+    blow-up; measured 20+ s of analysis at k=8)."""
     v = F.col(vec_col).cast("array<double>")
-    darr = F.array(*[_sqdist(v, c) for c in centroids])
+    cb = df.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "__kmeans_cents array<array<double>>",
+    )
+    darr = F.transform(F.col("__kmeans_cents"), lambda c: _sqdist(v, c))
     best = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-    return df.select(F.col(id_col).alias("id"), best.alias("cell"))
+    return df.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).alias("id"), best.alias("cell")
+    )
 
 
 def init_centroids(

@@ -61,18 +61,33 @@ def encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, code): code[j] = nearest codeword of subspace j (exact-decimal
-    argmin, ties to the lower index — same contract as kmeans.assign)."""
+    argmin, ties to the lower index — same contract as kmeans.assign).
+
+    The m codebooks ride in a one-row broadcast frame
+    (array<array<array<double>>>, outer index = subspace), not as plan
+    literals: plan size is O(1) in m·k_sub, so byte-code PQ (k_sub=256)
+    compiles exactly like the 16-codeword test shape. Per-subspace argmin
+    uses the same exact-decimal zip_with fold as the old literal form —
+    bit-identical codes."""
     from carrot_transform_spark.operators.kmeans import _sqdist
 
     m = len(codebooks)
-    dim = m * (len(codebooks[0][0]))
+    d = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
-    parts = []
-    for j, book in enumerate(codebooks):
-        sv = _subvec(v, m, dim, j)
-        darr = F.array(*[_sqdist(sv, c) for c in book])
-        parts.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
-    return df.select(F.col(id_col).alias("id"), F.array(*parts).alias("code"))
+    cb = df.sparkSession.createDataFrame(
+        [([[[float(x) for x in cw] for cw in book] for book in codebooks],)],
+        "__pq_books array<array<array<double>>>",
+    )
+
+    def best_cw(book, j):
+        sv = F.slice(v, j * d + F.lit(1), d)
+        darr = F.transform(book, lambda cw: _sqdist(sv, cw))
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    code = F.transform(F.col("__pq_books"), best_cw)
+    return df.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).alias("id"), code.alias("code")
+    )
 
 
 def adc_topk(

@@ -31,6 +31,8 @@ this quality family is part of the beyond-parity LLM-pipeline brief.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from carrot_transform_spark.functions.rounding import fround
 from pyspark.sql import DataFrame
 
 from carrot_transform_spark.operators.repetition import (
@@ -66,7 +68,7 @@ def quality_filter_chain(
         F.lit(","),
         F.lit(""),
     )
-    alnum = F.round(F.length(stripped) * F.lit(1.0) / F.length(txt), 4)
+    alnum = fround(F.length(stripped) * F.lit(1.0) / F.length(txt))
 
     signals = docs.select(
         F.col(id_col).alias("doc"),
@@ -128,9 +130,10 @@ def quality_filter_chain_sql(
         SELECT {id_expr} AS doc,
                len(regexp_split_to_array(trim({text_expr}), '\\s+')) AS n_tokens,
                {stop} AS stopword_hits,
-               ROUND(LENGTH(REPLACE(REPLACE(REPLACE(trim({text_expr}), ' ', ''),
+               CAST(FLOOR((LENGTH(REPLACE(REPLACE(REPLACE(trim({text_expr}), ' ', ''),
                                             '.', ''), ',', '')) * 1.0
-                     / LENGTH(trim({text_expr})), 4) AS alnum_ratio
+                     / LENGTH(trim({text_expr}))) * 10000 + 0.5) / 10000
+                    AS DOUBLE) AS alnum_ratio
         FROM {table}
     ),
     rep AS ({rep}),

@@ -46,6 +46,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     threshold: float = 0.9,
     star: bool = False,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """(id, component_id, keep) for every row of ``df``.
 
@@ -58,6 +59,10 @@ def semantic_dedup(
     Blocking comes from ``cell_col`` if given, else from nearest-centroid
     assignment over ``centroids``. ``star=True`` swaps the component step to
     the large-star/small-star variant (O(log n) rounds on any diameter).
+    ``max_cell_size`` bounds the within-cell pair join at cap^2 per cell
+    (similarity._cap_cell): a degenerate cell pairs only its cap
+    deterministic representatives, the remainder survive as singletons;
+    cells at or under the bound behave exactly as uncapped.
     """
     if cell_col is None:
         if centroids is None:
@@ -70,7 +75,14 @@ def semantic_dedup(
     else:
         blocked = df
 
-    pairs = neardup_pairs(blocked, cell_col, id_col=id_col, vec_col=vec_col, threshold=threshold)
+    pairs = neardup_pairs(
+        blocked,
+        cell_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_cell_size=max_cell_size,
+    )
     cc = connected_components_star if star else connected_components
     comps = cc(pairs, id_a="id_a", id_b="id_b")
 

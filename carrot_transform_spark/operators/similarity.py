@@ -6,17 +6,25 @@
   (nearest-centroid id column) — the scale path; at 100 TB the corpus is
   partitioned/bucketed by cell so a probe touches n_probe partitions.
 - ``assign_cells``: a k-means-free coarse quantizer: nearest of a given
-  centroid list by cosine (driver-supplied centroids, broadcast as
-  literals) — enough to build an IVF layout without MLlib.
+  centroid list by cosine. The codebook travels as DATA (a one-row
+  broadcast frame holding array<struct<cell,cvec,cnorm>>), not as plan
+  literals — plan size and codegen stay O(1) in the cell count, so a
+  10^4–10^5-cell IVF coarse codebook (the 100 TB shape) compiles exactly
+  like an 8-cell one. Scoring is the same per-centroid zip_with/aggregate
+  fold as before, so results are bit-identical to the literal form.
 - ``neardup_pairs``: threshold variant for embedding dedup.
 
-All dot products are JVM-side zip_with/aggregate folds in double precision.
+All dot products are JVM-side zip_with/aggregate folds in double precision;
+similarity outputs are rounded with the engine-stable ``fround`` (never
+native ROUND, which diverges from DuckDB on '5'-terminated reprs).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from carrot_transform_spark.functions.rounding import fround
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -57,7 +65,7 @@ def cosine_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+        .select("query_id", "neighbor_id", fround("cs").alias("cosine_sim"), "rnk")
     )
 
 
@@ -89,7 +97,43 @@ def ivf_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+        .select("query_id", "neighbor_id", fround("cs").alias("cosine_sim"), "rnk")
+    )
+
+
+def codebook_frame(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    """One-row frame carrying the whole codebook as
+    array<struct<cell:int, cvec:array<double>, cnorm:double>>.
+
+    Centroids are DATA, not plan literals: a broadcast-nested-loop join
+    against this single row attaches the codebook to every vector row by
+    reference, so plan text, analysis time, and codegen are O(1) in the
+    cell count (10^5 cells x 64 dims ~ 50 MB — comfortably broadcastable;
+    the old literal form blew up plan size linearly and capped out around
+    hundreds of cells)."""
+    entries = [
+        (ci, [float(x) for x in c], float(sum(x * x for x in c) ** 0.5) or 1.0)
+        for ci, c in enumerate(centroids)
+    ]
+    return spark.createDataFrame(
+        [(entries,)],
+        "__codebook array<struct<cell:int,cvec:array<double>,cnorm:double>>",
+    )
+
+
+def _neg_sim_entries(v: Column, nrm: Column, codebook: Column) -> Column:
+    """array<struct<neg:double, cell:int>>: per-centroid (-cosine, cell).
+
+    The per-centroid fold is the same dot()/norm sequence the plan-literal
+    form used (left-to-right aggregate over zip_with), so scores — and
+    therefore argmin cells — are bit-identical to the old implementation
+    and to the sequential `+`-chain the DuckDB oracles compute."""
+    return F.transform(
+        codebook,
+        lambda e: F.struct(
+            (-(dot(v, e["cvec"]) / (nrm * e["cnorm"]))).alias("neg"),
+            e["cell"].alias("cell"),
+        ),
     )
 
 
@@ -98,24 +142,96 @@ def assign_cells(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "fold",
 ) -> DataFrame:
-    """(id, cell): nearest centroid by cosine; centroids are literals in the
-    plan (fine for hundreds of cells — the usual IVF coarse codebook).
+    """(id, cell): nearest centroid by cosine, codebook broadcast as data
+    (see codebook_frame — O(1) plan size at any cell count).
 
-    Implemented as array_min over (-sim, cell) structs — a WIDE expression,
-    not a nested when-chain: chained whens grow the tree depth linearly in
-    the cell count and overflow Spark's column-conversion stack around ~64
-    cells, while the flat array converts and codegens at any realistic
-    codebook size. Struct ordering breaks exact ties toward the lower cell
-    id, matching the keep-first semantics of the old chain."""
+    impl="fold" (default): JVM higher-order-function scoring, argmin via
+    array_min over (-sim, cell) structs; struct ordering breaks exact ties
+    toward the lower cell id (keep-first). Bit-identical to the sequential
+    `+`-chain the DuckDB oracles compute — the correctness reference.
+
+    impl="arrow": mapInArrow over a numpy codebook broadcast in the task
+    closure — one BLAS matmul per Arrow batch, ~2 orders of magnitude
+    faster at 10^3+ cells (the 100 TB quantization path). argmax of
+    V @ normalized-codebookᵀ; np.argmax keeps the first maximum, matching
+    the fold's lower-cell tie-break. Scores differ from the fold only in
+    summation order (pairwise vs sequential), so assignments can differ
+    solely on near-exact ties between distinct centroids — irrelevant to
+    IVF routing quality, which is why the oracle-compared queries pin
+    impl="fold"."""
+    if impl == "arrow":
+        return _assign_cells_arrow(df, centroids, id_col, vec_col)
     n = _normed(df, id_col, vec_col)
-    entries = []
-    for ci, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        cn = float(sum(x * x for x in c) ** 0.5) or 1.0
-        sim = dot(F.col("v"), carr) / (F.col("nrm") * F.lit(cn))
-        entries.append(F.struct((-sim).alias("neg"), F.lit(ci).alias("cell")))
-    return n.select(F.col("id"), F.array_min(F.array(*entries))["cell"].alias("cell"))
+    cb = codebook_frame(df.sparkSession, centroids)
+    return n.crossJoin(F.broadcast(cb)).select(
+        F.col("id"),
+        F.array_min(
+            _neg_sim_entries(F.col("v"), F.col("nrm"), F.col("__codebook"))
+        )["cell"].alias("cell"),
+    )
+
+
+def _assign_cells_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Vectorized coarse quantization: argmax(V @ Ĉᵀ) per Arrow batch."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0.0] = 1.0
+    Cu = np.ascontiguousarray((C / norms[:, None]).T)  # dim x k
+    dim = C.shape[1]
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    id_type = src.schema["id"].dataType.simpleString()
+
+    def quantize(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            lst = batch.column(1)
+            if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
+                lst = lst.combine_chunks()
+            flat = lst.flatten()
+            V = flat.to_numpy(zero_copy_only=False).reshape(-1, dim)
+            cells = np.argmax(V @ Cu, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cells, pa.int32())], ["id", "cell"]
+            )
+
+    return src.mapInArrow(quantize, f"id {id_type}, cell int")
+
+
+def _cap_cell(n: DataFrame, cell_col: str, cap: int | None) -> DataFrame:
+    """At most ``cap`` deterministic representatives per cell (None = all).
+
+    The hot-cell bound for the same-cell self-joins below: without it one
+    degenerate cell (a duplicate blob, a zero-vector sink) does |cell|^2
+    work in a single straggler task. Selection is cap_per_group's pure
+    hash-of-(id, salt) ranking — stable under retries, partitioning, and
+    corpus growth, and exactly the identity when no cell exceeds the cap,
+    so capped == uncapped on non-skewed data. Use
+    diagnostics.skew_profile(df, cell_col) to choose the cap from the
+    observed cell-size distribution."""
+    if cap is None:
+        return n
+    from carrot_transform_spark.operators.sampling import cap_per_group
+
+    return (
+        cap_per_group(n, cell_col, "id", cap, salt="cellcap")
+        .filter(F.col("kept") == 1)
+        .drop("kept")
+    )
 
 
 def neardup_pairs(
@@ -124,9 +240,17 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, cosine_sim >= threshold), blocked by a coarse column."""
+    """(id_a, id_b, cosine_sim >= threshold), blocked by a coarse column.
+
+    ``max_cell_size`` bounds the per-cell pair work at cap^2: cells above
+    the bound pair only their ``cap`` deterministic representatives (see
+    _cap_cell); rows beyond the cap in a degenerate cell sit out pairing
+    and survive any downstream dedup as singletons. Cells at or under the
+    bound are untouched — identical output to the uncapped form."""
     n = _normed(df, id_col, vec_col, extra=[block_col])
+    n = _cap_cell(n, block_col, max_cell_size)
     a = n.select(
         F.col("id").alias("id_a"), F.col(block_col).alias("ba"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -139,7 +263,7 @@ def neardup_pairs(
         "id_a", "id_b", (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cs")
     )
     return pairs.filter(F.col("cs") >= threshold).select(
-        "id_a", "id_b", F.round("cs", 4).alias("cosine_sim")
+        "id_a", "id_b", fround("cs").alias("cosine_sim")
     )
 
 
@@ -149,6 +273,8 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_cell_size: int | None = None,
+    shards: int = 1,
 ) -> DataFrame:
     """(id, neighbor_id, cosine_sim, rnk): every vector's top-k neighbors
     within its coarse cell — the k-NN graph that SemDeDup, graph clustering,
@@ -161,19 +287,37 @@ def knn_graph(
     rows per node. Recall is governed by the coarse quantizer exactly as in
     IVF search: neighbors outside the cell are unseen; raise recall by
     assigning the corpus to multiple probe cells (probe_cells) before the
-    join, which multiplies candidate volume by n_probe, not by |corpus|."""
+    join, which multiplies candidate volume by n_probe, not by |corpus|.
+
+    Hot-cell bounds: ``max_cell_size`` caps the CANDIDATE side per cell
+    (every node still gets edges, scored against <= cap deterministic
+    representatives — per-cell work |cell| x cap instead of |cell|^2);
+    ``shards`` > 1 salts the node side by id and replicates the capped
+    candidate side per shard, so a degenerate cell's scoring spreads over
+    ``shards`` tasks instead of one straggler (result set identical —
+    salting only repartitions the work)."""
     n = _normed(df, id_col, vec_col, extra=[cell_col])
     a = n.select(
         F.col("id"), F.col(cell_col).alias("ca"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
-    b = n.select(
+    b = _cap_cell(n, cell_col, max_cell_size).select(
         F.col("id").alias("neighbor_id"), F.col(cell_col).alias("cb"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    scored = a.join(
-        b, (F.col("ca") == F.col("cb")) & (F.col("id") != F.col("neighbor_id"))
-    ).select(
+    if shards > 1:
+        a = a.withColumn("__shard_a", F.pmod(F.xxhash64(F.col("id")), F.lit(shards)))
+        b = b.withColumn(
+            "__shard_b", F.explode(F.sequence(F.lit(0), F.lit(shards - 1)).cast("array<long>"))
+        )
+        cond = (
+            (F.col("ca") == F.col("cb"))
+            & (F.col("__shard_a") == F.col("__shard_b"))
+            & (F.col("id") != F.col("neighbor_id"))
+        )
+    else:
+        cond = (F.col("ca") == F.col("cb")) & (F.col("id") != F.col("neighbor_id"))
+    scored = a.join(b, cond).select(
         "id", "neighbor_id",
         (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cs"),
     )
@@ -181,7 +325,7 @@ def knn_graph(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+        .select("id", "neighbor_id", fround("cs").alias("cosine_sim"), "rnk")
     )
 
 
@@ -195,17 +339,18 @@ def probe_cells(
     """(id, cell, probe_rank): each vector's n_probe nearest centroids by
     cosine, rank 0 = primary cell. The multi-probe side of an IVF query:
     the corpus stays in its primary cell, queries fan out to n_probe cells.
-    All plan literals — sort_array over (−sim, cell) structs, no UDF."""
+    Codebook broadcast as data (codebook_frame); sort_array over
+    (−sim, cell) structs, no UDF, O(1) plan size in the cell count."""
     n = _normed(df, id_col, vec_col)
-    entries = []
-    for ci, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        cn = float(sum(x * x for x in c) ** 0.5) or 1.0
-        sim = dot(F.col("v"), carr) / (F.col("nrm") * F.lit(cn))
-        entries.append(F.struct((-sim).alias("neg"), F.lit(ci).alias("cell")))
-    ranked = F.slice(F.sort_array(F.array(*entries)), 1, n_probe)
+    cb = codebook_frame(df.sparkSession, centroids)
+    ranked = F.slice(
+        F.sort_array(_neg_sim_entries(F.col("v"), F.col("nrm"), F.col("__codebook"))),
+        1,
+        n_probe,
+    )
     return (
-        n.select("id", F.posexplode(ranked).alias("probe_rank", "e"))
+        n.crossJoin(F.broadcast(cb))
+        .select("id", F.posexplode(ranked).alias("probe_rank", "e"))
         .select("id", F.col("e.cell").alias("cell"), "probe_rank")
     )
 
@@ -266,5 +411,5 @@ def ivf_topk_multiprobe(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+        .select("query_id", "neighbor_id", fround("cs").alias("cosine_sim"), "rnk")
     )

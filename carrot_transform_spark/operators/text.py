@@ -6,6 +6,8 @@ the oracle-verified instantiations over the synthetic corpus.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from carrot_transform_spark.functions.rounding import fround
 from pyspark.sql import Column, DataFrame
 
 DEFAULT_LANG_MARKERS = {
@@ -81,7 +83,7 @@ def quality_flags(
         "n_tokens": n_tok,
         "len_ok": len_ok,
         "stopword_hits": stop_hits,
-        "alnum_ratio": F.round(F.length(stripped) * F.lit(1.0) / F.length(txt), 4),
+        "alnum_ratio": fround(F.length(stripped) * F.lit(1.0) / F.length(txt)),
         "keep_flag": F.when(
             n_tok.between(min_tokens, max_tokens) & (stop_hits >= 1), 1
         ).otherwise(0),

@@ -259,22 +259,10 @@ def davg_sql(expr: str, scale: int = 4) -> str:
     )
 
 
-def fround(expr, scale: int = 4):
-    """Engine-stable rounding of a DOUBLE: floor(x*10^s + 0.5)/10^s uses only
-    IEEE ops, so identical input doubles give identical results everywhere.
-    (Native ROUND differs between engines when the double's shortest decimal
-    repr terminates in '5' at the rounding digit: Spark rounds the repr
-    half-up, DuckDB multiplies first.)"""
-    import pyspark.sql.functions as F
-
-    col = expr if not isinstance(expr, str) else F.col(expr)
-    m = 10 ** scale
-    return (F.floor(col * m + F.lit(0.5)) / m).cast("double")
-
-
-def fround_sql(expr: str, scale: int = 4) -> str:
-    m = 10 ** scale
-    return f"CAST(FLOOR(({expr}) * {m} + 0.5) / {m} AS DOUBLE)"
+# Engine-stable rounding — canonical home is functions/rounding.py so the
+# data-plane operators can use it without importing the query registry;
+# re-exported here because every oracle module reaches for it.
+from carrot_transform_spark.functions.rounding import fround, fround_sql  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from carrot_transform_spark.functions.rounding import fround, fround_sql
 from carrot_transform_spark.queries import load, register_suite
 
 _DIM = 64
@@ -82,7 +83,7 @@ _CAND_SQL = f"""
                    / (a.nrm * b.nrm) AS cs
         FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, ROUND(cs, 4) AS cosine_sim
+    SELECT vec_a, vec_b, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim
     FROM pairs WHERE cs >= 0.3
     ORDER BY vec_a, vec_b
     """
@@ -123,7 +124,7 @@ def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cs.alias("cs"))
         .filter(F.col("cs") >= 0.3)
-        .select("vec_a", "vec_b", F.round("cs", 4).alias("cosine_sim"))
+        .select("vec_a", "vec_b", fround("cs").alias("cosine_sim"))
         .orderBy("vec_a", "vec_b")
     )
 

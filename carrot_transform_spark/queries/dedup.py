@@ -24,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from carrot_transform_spark.functions.rounding import fround, fround_sql
 from carrot_transform_spark.queries import load, qpersist, register, register_suite
 
 # shared deterministic 32-bit hash: identical in Spark and DuckDB
@@ -153,7 +154,7 @@ _NGRAM_SQL = f"""
         GROUP BY doc_a, doc_b
     )
     SELECT doc_a, doc_b,
-           ROUND(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+           CAST(FLOOR((inter * 1.0 / (na + nb - inter)) * 10000 + 0.5) / 10000 AS DOUBLE) AS jaccard
     FROM cand
     WHERE inter * 1.0 / (na + nb - inter) >= 0.8
     ORDER BY doc_a, doc_b
@@ -179,7 +180,7 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         cand.filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", fround(jac).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -251,7 +252,7 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN e b ON b.doc_id = c.doc_b AND b.s = a.s
         GROUP BY c.doc_a, c.doc_b
     )
-    SELECT doc_a, doc_b, ROUND(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    SELECT doc_a, doc_b, CAST(FLOOR((inter * 1.0 / (na + nb - inter)) * 10000 + 0.5) / 10000 AS DOUBLE) AS jaccard
     FROM verified
     WHERE inter * 1.0 / (na + nb - inter) >= 0.7
     ORDER BY doc_a, doc_b
@@ -315,7 +316,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         verified.filter(jac >= 0.7)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", fround(jac).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from carrot_transform_spark.functions.rounding import fround, fround_sql
 from carrot_transform_spark.queries import load, register
 
 _DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
@@ -56,7 +57,7 @@ _NORMED_SQL = """
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
         FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rnk
+    SELECT query_id, neighbor_id, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim, rnk
     FROM ranked WHERE rnk <= 5
     ORDER BY query_id, rnk
     """,
@@ -86,7 +87,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+        .select("query_id", "neighbor_id", fround("cs").alias("cosine_sim"), "rnk")
         .orderBy("query_id", "rnk")
     )
 
@@ -106,7 +107,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
         FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(cs, 4) AS cosine_sim, rnk
+    SELECT query_id, neighbor_id, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim, rnk
     FROM ranked WHERE rnk <= 5
     ORDER BY query_id, rnk
     """,
@@ -142,7 +143,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("query_id", "neighbor_id", F.round("cs", 4).alias("cosine_sim"), "rnk")
+        .select("query_id", "neighbor_id", fround("cs").alias("cosine_sim"), "rnk")
         .orderBy("query_id", "rnk")
     )
 
@@ -154,7 +155,7 @@ NEARDUP_SQL = f"""
                {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cs
         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, ROUND(cs, 4) AS cosine_sim
+    SELECT vec_a, vec_b, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim
     FROM pairs WHERE cs >= 0.4
     ORDER BY vec_a, vec_b
     """
@@ -181,7 +182,7 @@ def sim_neardup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.filter(F.col("cs") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cs", 4).alias("cosine_sim"))
+        .select("vec_a", "vec_b", fround("cs").alias("cosine_sim"))
         .orderBy("vec_a", "vec_b")
     )
 
@@ -196,7 +197,7 @@ KNN_SQL = f"""
         FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
     ),
     r AS (
-        SELECT vec_id, neighbor_id, ROUND(cs, 4) AS cosine_sim,
+        SELECT vec_id, neighbor_id, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rnk
         FROM scored
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from carrot_transform_spark.functions.rounding import fround, fround_sql
 from carrot_transform_spark.queries import load, register
 
 # stopword markers per language for the langid heuristic (space-padded so we
@@ -73,11 +74,11 @@ def _profile_sql() -> str:
            n_tokens,
            len(regexp_extract_all(txt, '{_BPE_PAT}')) AS n_tokens_bpe,
            LENGTH(text) AS n_chars_actual,
-           ROUND(LENGTH(txt) * 1.0 / n_tokens, 4) AS chars_per_token,
+           CAST(FLOOR((LENGTH(txt) * 1.0 / n_tokens) * 10000 + 0.5) / 10000 AS DOUBLE) AS chars_per_token,
            CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END AS len_ok,
            {stop} AS stopword_hits,
-           ROUND(LENGTH(REPLACE(REPLACE(REPLACE(txt, ' ', ''), '.', ''), ',', '')) * 1.0
-                 / LENGTH(txt), 4) AS alnum_ratio,
+           CAST(FLOOR((LENGTH(REPLACE(REPLACE(REPLACE(txt, ' ', ''), '.', ''), ',', '')) * 1.0
+                 / LENGTH(txt)) * 10000 + 0.5) / 10000 AS DOUBLE) AS alnum_ratio,
            CASE WHEN n_tokens BETWEEN 20 AND 400 AND {stop} >= 1
                 THEN 1 ELSE 0 END AS keep_flag,
            CASE {cases} ELSE 'und' END AS predicted_lang,
@@ -134,10 +135,10 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.size(F.regexp_extract_all(txt, F.lit(_BPE_PAT), F.lit(0))).alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_actual"),
-        F.round(F.length(txt) * F.lit(1.0) / n_tokens, 4).alias("chars_per_token"),
+        fround(F.length(txt) * F.lit(1.0) / n_tokens).alias("chars_per_token"),
         F.when(n_tokens.between(20, 400), 1).otherwise(0).alias("len_ok"),
         stop_hits.alias("stopword_hits"),
-        F.round(F.length(stripped) * F.lit(1.0) / F.length(txt), 4).alias("alnum_ratio"),
+        fround(F.length(stripped) * F.lit(1.0) / F.length(txt)).alias("alnum_ratio"),
         F.when(n_tokens.between(20, 400) & (stop_hits >= 1), 1).otherwise(0).alias("keep_flag"),
         lang_expr.alias("predicted_lang"),
         F.md5(F.lower(txt)).alias("fingerprint"),

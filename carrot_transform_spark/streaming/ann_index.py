@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from carrot_transform_spark.operators.similarity import _normed, assign_cells, dot
+from carrot_transform_spark.functions.rounding import fround
 from carrot_transform_spark.operators.unitstore import UnitStore
 from carrot_transform_spark.streaming.maintenance import maintain_units
 
@@ -97,7 +98,7 @@ def _cell_pairs(new: DataFrame, old: DataFrame, threshold: float) -> DataFrame:
         (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cs"),
     )
     return pairs.filter(F.col("cs") >= threshold).select(
-        "id_a", "id_b", F.round("cs", 4).alias("cosine_sim")
+        "id_a", "id_b", fround("cs").alias("cosine_sim")
     )
 
 

@@ -2,7 +2,12 @@
 """ANN-family scale stress: coarse quantization, corpus-wide k-NN graph,
 and multi-probe IVF search over a hash-synthesized vector corpus.
 
-Usage: python scripts/ann_stress.py [n_vectors] [n_cells] [k]
+Usage: python scripts/ann_stress.py [n_vectors] [n_cells] [k] [impl]
+
+impl = "arrow" (default — numpy/BLAS quantization via mapInArrow, the
+large-codebook scale path) or "fold" (JVM higher-order-function scoring,
+bit-identical to the DuckDB oracles). Both must recover every planted
+cell; run both when touching the quantizer.
 
 Vectors are planted near their cell's centroid (pattern + small hash
 jitter), so the run validates itself: assign_cells must recover the
@@ -30,24 +35,30 @@ from carrot_transform_spark.operators.similarity import (  # noqa: E402
 from carrot_transform_spark.session import get_spark  # noqa: E402
 
 DIM = 64
+_PRIMES = (521, 1031, 2053, 4099, 8209, 16411, 32771, 65537)
 
 
-def centroid(c: int) -> list[float]:
-    # (c*37 + d*11 + c*d) mod 521: patterns distinct for every c < 521 —
-    # the modulus must EXCEED the cell count (patterns depend only on
-    # c mod p, so 256 cells under mod 101 collapsed to 101 patterns and
-    # broke both the planted check and the cell balance)
-    return [float((c * 37 + d * 11 + c * d) % 521) / 50.0 - 5.0 for d in range(DIM)]
+def pattern_mod(n_cells: int) -> int:
+    # patterns depend only on c mod p, so the modulus must EXCEED the cell
+    # count (256 cells under mod 101 collapsed to 101 patterns and broke
+    # both the planted check and the cell balance)
+    return next(p for p in _PRIMES if p > n_cells)
+
+
+def centroid(c: int, p: int) -> list[float]:
+    return [float((c * 37 + d * 11 + c * d) % p) / 50.0 - 5.0 for d in range(DIM)]
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_cells = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    impl = sys.argv[4] if len(sys.argv) > 4 else "arrow"
 
     spark = get_spark(app_name="ann-stress")
     spark.sparkContext.setLogLevel("ERROR")
-    cents = [centroid(c) for c in range(n_cells)]
+    P = pattern_mod(n_cells)
+    cents = [centroid(c, P) for c in range(n_cells)]
 
     # planted corpus: centroid pattern of cell (id % n_cells) + hash jitter
     # in [-0.1, 0.1] — far inside the inter-centroid separation
@@ -61,7 +72,7 @@ def main() -> None:
             "d",
             (
                 (((F.col("id") % n_cells) * 37 + F.col("d") * 11
-                  + (F.col("id") % n_cells) * F.col("d")) % 521) / 50.0 - 5.0
+                  + (F.col("id") % n_cells) * F.col("d")) % P) / 50.0 - 5.0
                 + (F.conv(F.substring(jitter_base, 1, 6), 16, 10).cast("long") % 201 - 100)
                 / 1000.0
             ).cast("float").alias("x"),
@@ -77,7 +88,7 @@ def main() -> None:
     vecs.count()
 
     t0 = time.perf_counter()
-    assigned = assign_cells(vecs, cents).persist()
+    assigned = assign_cells(vecs, cents, impl=impl).persist()
     n_assigned = assigned.count()
     t_assign = time.perf_counter() - t0
     wrong = assigned.filter(F.col("cell") != (F.col("id") % n_cells)).count()
@@ -102,7 +113,7 @@ def main() -> None:
 
     queries = vecs.filter(F.col("vec_id") < 256)
     t2 = time.perf_counter()
-    topk = ivf_topk_multiprobe(corpus, queries, cents, n_probe=2, k=k)
+    topk = ivf_topk_multiprobe(corpus, queries, cents, n_probe=2, k=k, corpus_cell_col="cell")
     n_topk = topk.count()
     t_ivf = time.perf_counter() - t2
 
@@ -110,6 +121,7 @@ def main() -> None:
         json.dumps(
             {
                 "n_vectors": n_assigned,
+                "impl": impl,
                 "n_cells": n_cells,
                 "k": k,
                 "assign_sec": round(t_assign, 1),
