@@ -152,6 +152,17 @@ class UnitStore:
                 f"unit name {unit!r} was compacted away and is retired; "
                 "use fresh_unit() for auto-naming"
             )
+        # Offline RE-commit of an already-committed unit (idempotent replay
+        # after a bad batch, a manual repair, ...): retract the commit point
+        # BEFORE touching any dataset dir. The marker dataset is rewritten
+        # last, so without this a crash mid-rewrite leaves the old _COMMIT
+        # in place over half-overwritten secondary datasets — a unit that
+        # LISTS as committed but isn't whole. With the marker gone first,
+        # any crash leaves the unit invisible and the next replay self-heals.
+        fs, jvm = self._fs()
+        marker = self._jp(jvm, self.datasets[0], f"u-{unit}", _COMMIT)
+        if fs.exists(marker):
+            fs.delete(marker, False)
 
         def write(name: str) -> None:
             w = frames[name].write.mode("overwrite")

@@ -119,3 +119,43 @@ def test_validation(spark, tmp_path):
         st.load("nope")
     with pytest.raises(FileNotFoundError):
         st.load("a")
+
+
+def test_recommit_crash_mid_rewrite_leaves_unit_invisible(spark, tmp_path):
+    """Offline RE-commit of an already-committed unit must retract _COMMIT
+    before touching any dataset dir: a crash mid-rewrite (here: after the
+    secondary dataset is half-overwritten, before the marker dataset) must
+    leave the unit invisible, and the next replay must converge."""
+    st = UnitStore(spark, str(tmp_path / "s"), ("a", "b"))
+    st.commit("u1", {"a": _df(spark, [1]), "b": _df(spark, [2])})
+    assert st.units() == ["u1"]
+
+    # fault injection: kill the rewrite after dataset "b" (written first)
+    # but before dataset "a" (the marker dataset, written last)
+    real_parquet = type(_df(spark, [0]).write).parquet
+    calls = []
+
+    def dying_parquet(self, path, **kw):
+        calls.append(path)
+        if path.endswith("/a/u-u1"):
+            raise RuntimeError("injected crash before marker dataset")
+        return real_parquet(self, path, **kw)
+
+    type(_df(spark, [0]).write).parquet = dying_parquet
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            st.commit("u1", {"a": _df(spark, [10]), "b": _df(spark, [20])})
+    finally:
+        type(_df(spark, [0]).write).parquet = real_parquet
+
+    # the old _COMMIT must be gone: the half-rewritten unit is invisible
+    assert st.units() == []
+    assert not st.applied("u1")
+    with pytest.raises(FileNotFoundError):
+        st.load("b")
+
+    # replay converges: full re-commit lands the new content atomically
+    st.commit("u1", {"a": _df(spark, [10]), "b": _df(spark, [20])})
+    assert st.units() == ["u1"]
+    assert [r.x for r in st.load("a").collect()] == [10]
+    assert [r.x for r in st.load("b").collect()] == [20]
