@@ -73,16 +73,32 @@ def assign(
 
 
 def init_centroids(
-    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "first",
 ) -> list[list[float]]:
-    """Deterministic init: the k vectors with the smallest ids, components
-    rounded to 6 decimals (same contract as the update step)."""
-    rows = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy("id")
-        .limit(k)
-        .collect()
+    """Deterministic init, components rounded to 6 decimals (same contract
+    as the update step).
+
+    init="first": the k vectors with the smallest ids — the oracle-twinned
+    default (trivially unrollable in SQL).
+    init="hash": the k vectors with the smallest md5(id) — a deterministic
+    uniform spread over the corpus regardless of how ids correlate with
+    position in space. The retrain-on-drift seeding: first-k ids all come
+    from the pre-drift region and leave a drifted cluster with one
+    codeword; hash order samples every region proportionally."""
+    sel = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if init == "hash":
+        sel = sel.orderBy(F.md5(F.col("id").cast("string")), "id")
+    elif init == "first":
+        sel = sel.orderBy("id")
+    else:
+        raise ValueError(f"unknown init strategy {init!r}")
+    rows = sel.limit(k).collect()
     return [[_round6(x) for x in r["v"]] for r in rows]
 
 
@@ -136,9 +152,10 @@ def lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "first",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Run `iters` Lloyd iterations; returns (final assignments, centroids)."""
-    cents = init_centroids(df, k, id_col, vec_col)
+    cents = init_centroids(df, k, id_col, vec_col, init=init)
     for _ in range(iters):
         a = assign(df, cents, id_col, vec_col)
         cents = update(df, a, k, id_col, vec_col)

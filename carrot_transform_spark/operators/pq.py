@@ -37,9 +37,13 @@ def train_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "first",
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks via deterministic Lloyd iterations:
-    codebooks[j][c] = centroid c of subspace j."""
+    codebooks[j][c] = centroid c of subspace j. init="hash" seeds each
+    subspace's Lloyd from a deterministic uniform spread over the corpus
+    (kmeans.init_centroids) — use it when retraining on a drifted corpus,
+    where first-k-id seeds all come from the pre-drift region."""
     from carrot_transform_spark.operators.kmeans import lloyd
 
     dim = len(df.select(vec_col).first()[0])
@@ -49,7 +53,7 @@ def train_codebooks(
     books: list[list[list[float]]] = []
     for j in range(m):
         sub = df.select(F.col(id_col).alias("sid"), _subvec(v, m, dim, j).alias("sv"))
-        _, cents = lloyd(sub, k=k_sub, iters=iters, id_col="sid", vec_col="sv")
+        _, cents = lloyd(sub, k=k_sub, iters=iters, id_col="sid", vec_col="sv", init=init)
         books.append(cents)
     return books
 

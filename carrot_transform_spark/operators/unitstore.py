@@ -12,6 +12,11 @@ unit), plus two tiny store-owned files per unit under the FIRST dataset
   so the instant a compacted unit commits, its inputs vanish from every
   listing — readers can never double-count. Old dirs become garbage,
   reclaimed by vacuum() at leisure.
+- ``_meta-*`` — optional caller-owned sidecar files (e.g. the PQ
+  codebooks a retrain encoded its unit under), written before _COMMIT so
+  they switch atomically WITH the unit's data, and carried forward by
+  compact() so folding units never orphans the metadata from the codes
+  it describes.
 
 Consequences:
 
@@ -135,6 +140,7 @@ class UnitStore:
         frames: dict[str, DataFrame],
         compacts: list[str] | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        sidecar_files: dict[str, str] | None = None,
     ) -> None:
         """Write one unit across all datasets and commit it atomically.
         `compacts` names older units this unit replaces — they disappear
@@ -143,7 +149,13 @@ class UnitStore:
         the column back through partition discovery, and filters/joins on
         it prune to matching subdirs (static PartitionFilters or dynamic
         partition pruning) — the file-level locality lever for probe-heavy
-        datasets like an IVF corpus partitioned by cell."""
+        datasets like an IVF corpus partitioned by cell. `sidecar_files`
+        maps ``_meta-*`` names to bodies written into the marker-dataset
+        unit dir before _COMMIT, so unit-scoped metadata (PQ codebooks, …)
+        becomes visible atomically with the data it describes."""
+        for name in sidecar_files or ():
+            if not name.startswith("_meta-"):
+                raise ValueError(f"sidecar files must be named _meta-*, got {name!r}")
         if set(frames) != set(self.datasets):
             raise ValueError(f"commit needs exactly {self.datasets}, got {sorted(frames)}")
         _, replaced, _ = self._scan()
@@ -178,24 +190,55 @@ class UnitStore:
             self._write_file(
                 (self.datasets[0], f"u-{unit}", _COMPACTS), "\n".join(compacts)
             )
+        for name, body in (sidecar_files or {}).items():
+            self._write_file((self.datasets[0], f"u-{unit}", name), body)
         self._write_file((self.datasets[0], f"u-{unit}", _COMMIT), "")
+
+    def sidecars(self, unit: str) -> dict[str, str]:
+        """The unit's ``_meta-*`` sidecar files as {name: body}."""
+        fs, jvm = self._fs()
+        udir = self._jp(jvm, self.datasets[0], f"u-{unit}")
+        out: dict[str, str] = {}
+        if not fs.exists(udir):
+            return out
+        for st in fs.listStatus(udir):
+            name = st.getPath().getName()
+            if st.isFile() and name.startswith("_meta-"):
+                out[name] = self._read_file(
+                    fs, jvm, (self.datasets[0], f"u-{unit}", name)
+                )
+        return out
 
     def compact(
         self,
         unit: str,
         units: list[str] | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        frames: dict[str, DataFrame] | None = None,
+        sidecar_files: dict[str, str] | None = None,
     ) -> list[str]:
         """Rewrite the given (default: all live) units as ONE unit named
         `unit` and commit it atomically over them. Returns the replaced
         unit names (pass to vacuum() to reclaim their dirs). partition_by
         re-clusters datasets during the rewrite — compaction is exactly
-        when restoring physical locality is cheap."""
+        when restoring physical locality is cheap.
+
+        `frames` substitutes a dataset's content during the fold (the
+        retrain hook: re-encode the corpus under new codebooks in the
+        same atomic replace-everything transition); datasets not named
+        keep the plain union of the inputs. `sidecar_files` attaches
+        ``_meta-*`` metadata to the new unit; input units' sidecars are
+        carried forward automatically (explicit names win) so a routine
+        compaction never orphans metadata from the data it describes."""
         src = self.units() if units is None else units
         if not src:
             raise FileNotFoundError(f"nothing to compact under {self.path}")
         if unit in src:
             raise ValueError(f"compacted unit name {unit!r} collides with an input")
+        carried: dict[str, str] = {}
+        for u in sorted(src):  # later units win on (unexpected) collisions
+            carried.update(self.sidecars(u))
+        carried.update(sidecar_files or {})
         # retirement must be TRANSITIVE: if an input is itself a compactor,
         # carry the names it retired into the new unit's _COMPACTS. Without
         # this, vacuuming the input deletes its _COMPACTS and applied()
@@ -211,9 +254,15 @@ class UnitStore:
                 closure.update(n for n in body.split("\n") if n)
         self.commit(
             unit,
-            {name: self.load(name, src) for name in self.datasets},
+            {
+                name: frames[name]
+                if frames is not None and name in frames
+                else self.load(name, src)
+                for name in self.datasets
+            },
             compacts=sorted(closure),
             partition_by=partition_by,
+            sidecar_files=carried or None,
         )
         return src
 

@@ -165,6 +165,7 @@ import json as _json
 
 _PQ_DATASET = "codes"
 _CODEBOOKS = "_CODEBOOKS"
+_META_BOOKS = "_meta-codebooks"
 
 
 def pq_store(spark: SparkSession, path: str) -> UnitStore:
@@ -172,6 +173,16 @@ def pq_store(spark: SparkSession, path: str) -> UnitStore:
 
 
 def _load_codebooks(store: UnitStore):
+    """Current codebooks: the newest live unit carrying a retrained-books
+    sidecar wins (a retrain compacts every live unit, so at most one live
+    unit has one — and compact() carries it forward through later routine
+    compactions); otherwise the store-level file frozen by the first
+    batch. Sidecars are written before _COMMIT, so the books and the codes
+    they encoded switch atomically together."""
+    for u in sorted(store.units(), reverse=True):
+        body = store.sidecars(u).get(_META_BOOKS)
+        if body is not None:
+            return _json.loads(body)
     fs, jvm = store._fs()
     p = store._jp(jvm, _CODEBOOKS)
     if not fs.exists(p):
@@ -193,10 +204,30 @@ def maintain_pq_index(
     """Streaming maintainer for the IVF-PQ store. The first batch trains
     the codebooks (written to store metadata BEFORE its unit commits, so a
     replay retrains identically and overwrites the same file); every batch
-    is cell-assigned and PQ-encoded, committing (id, cell, code) units."""
-    from carrot_transform_spark.operators.pq import encode, train_codebooks
-
+    is cell-assigned and PQ-encoded, committing (id, cell, code) units.
+    After a retrain_pq_store() refresh, later batches pick up the
+    retrained books automatically (_load_codebooks resolves the newest
+    live sidecar first)."""
     spark = vectors.sparkSession
+    return maintain_units(
+        vectors,
+        checkpoint_dir,
+        lambda: pq_store(spark, store_dir),
+        pq_step_fn(centroids, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col),
+        compact_every=compact_every,
+    )
+
+
+def pq_step_fn(
+    centroids: list[list[float]],
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The per-batch step of maintain_pq_index, exposed so tests can drive
+    batches and replays deterministically without the streaming engine."""
+    from carrot_transform_spark.operators.pq import encode, train_codebooks
 
     def step(batch_df: DataFrame, store, units: list[str], unit: str) -> None:
         books = _load_codebooks(store)
@@ -215,13 +246,71 @@ def maintain_pq_index(
         )
         store.commit(unit, {_PQ_DATASET: codes})
 
-    return maintain_units(
-        vectors,
-        checkpoint_dir,
-        lambda: pq_store(spark, store_dir),
-        step,
-        compact_every=compact_every,
+    return step
+
+
+def retrain_pq_store(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vacuum: bool = True,
+) -> str:
+    """Compaction-time codebook refresh for a drifted corpus. The frozen
+    first-batch codebooks underquantize vectors from a shifted
+    distribution (recall decays as the corpus drifts); this retrains
+    per-subspace books on `vectors` (the store's raw corpus — PQ codes are
+    lossy, so the full vectors come from wherever they live: the
+    full-vector store, the source table, cold storage), re-encodes every
+    stored id under the new books, and commits codes + books as ONE
+    compacted unit — the books ride as a ``_meta-*`` sidecar inside the
+    unit's atomic commit, so readers never see new codes with old books or
+    vice versa. Returns the new unit name.
+
+    Replay-safe: training is deterministic Lloyd, so re-running after a
+    crash converges to identical books and codes; the commit point is the
+    same crash-atomic UnitStore transition every maintainer uses. Batches
+    streamed after the retrain pick up the new books through
+    _load_codebooks' sidecar-first resolution."""
+    from carrot_transform_spark.operators.pq import encode, train_codebooks
+
+    store = pq_store(spark, path)
+    src = store.units()
+    if not src:
+        raise FileNotFoundError(f"no committed units under {path}")
+    # only re-encode ids the store actually holds (the caller's vector
+    # frame may be a superset — e.g. the full source table)
+    stored_ids = store.load(_PQ_DATASET, src).select("id").distinct()
+    corpus = vectors.join(
+        stored_ids, vectors[id_col] == stored_ids["id"], "left_semi"
     )
+    # hash-spread seeding: first-k-id seeds all come from the pre-drift
+    # region and leave the drifted cluster a single codeword per subspace
+    books = train_codebooks(
+        corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col, init="hash"
+    )
+    cells = assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        "id", "__cid"
+    )
+    codes = (
+        encode(corpus, books, id_col=id_col, vec_col=vec_col)
+        .join(cells, F.col("id") == F.col("__cid"))
+        .drop("__cid")
+    )
+    unit = store.fresh_unit("r")
+    replaced = store.compact(
+        unit,
+        units=src,
+        frames={_PQ_DATASET: codes},
+        sidecar_files={_META_BOOKS: _json.dumps(books)},
+    )
+    if vacuum:
+        store.vacuum(replaced)
+    return unit
 
 
 def search_pq_store(
