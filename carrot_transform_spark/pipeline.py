@@ -99,6 +99,9 @@ def run_transform(
         tables[target] = df
         metrics.add_output_records(target, df, omop.table(target).columns)
 
+    # one combined metric job per source file + one for all reject counts
+    # (the per-(file,target) aggregations were deferred during planning)
+    planner.flush_metrics()
     metrics.add_reject_stats(stats)
 
     result = RunResult(

@@ -85,6 +85,12 @@ class CarrotPlanner:
         self._norm_cache: dict[tuple[str, str | None], DataFrame] = {}
         # every DataFrame this planner persisted, released via release()
         self._persisted: list[DataFrame] = []
+        # deferred metric aggregations, flushed as ONE combined job per
+        # source file by flush_metrics() (was: one agg job per
+        # (file, target) pair + one reject-count job per target)
+        self._pending_aggs: dict[tuple[str, str | None], list[tuple[list[Column], object]]] = {}
+        self._pending_rejects: list[tuple[DataFrame, RejectStats]] = []
+        self._metrics_seq = 0
 
     def release(self) -> None:
         """Unpersist every DataFrame cached by this planner (call after the
@@ -221,16 +227,52 @@ class CarrotPlanner:
             person_col, F.col("target_subject").cast("string")
         ).drop("source_subject", "target_subject")
         if stats is not None:
-            rejects = (
+            # deferred: flush_metrics() unions every target's reject counts
+            # into ONE collect instead of one job per (file, target)
+            rej = (
                 joined.filter(F.col("target_subject").isNull())
                 .groupBy(SRC_COL)
                 .count()
-                .collect()
+                .withColumn("__ct_tgt", F.lit(target))
             )
-            for r in rejects:
-                key = (r[SRC_COL], target)
-                stats.invalid_person[key] = stats.invalid_person.get(key, 0) + r["count"]
+            self._pending_rejects.append((rej, stats))
         return kept
+
+    def flush_metrics(self) -> None:
+        """Run every deferred metric aggregation: ONE combined job per
+        source file (all (file, target) counter sets over the file's
+        cached normalized scan, cross-joined one-row agg frames when
+        targets use different date fields) plus ONE job for all
+        person-reject counts across every (file, target) pair. Call after
+        the last target_records() and before reading the RejectStats."""
+        by_file: dict[str, list[tuple[str, str | None]]] = {}
+        for cache_key in self._pending_aggs:
+            by_file.setdefault(cache_key[0], []).append(cache_key)
+        for keys in by_file.values():
+            combined = None
+            entries = []
+            for cache_key in keys:
+                pend = self._pending_aggs[cache_key]
+                entries.extend(pend)
+                frame = self._norm_cache[cache_key].agg(
+                    *[a for cols, _ in pend for a in cols]
+                )
+                combined = frame if combined is None else combined.crossJoin(frame)
+            row = combined.collect()[0]
+            for _, resolve in entries:
+                resolve(row)
+        self._pending_aggs.clear()
+        by_stats: dict[int, tuple[RejectStats, list[DataFrame]]] = {}
+        for frame, stats in self._pending_rejects:
+            by_stats.setdefault(id(stats), (stats, []))[1].append(frame)
+        for stats, frames in by_stats.values():
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionByName(f)
+            for r in u.collect():
+                key = (r[SRC_COL], r["__ct_tgt"])
+                stats.invalid_person[key] = stats.invalid_person.get(key, 0) + r["count"]
+        self._pending_rejects.clear()
 
     # ------------------------------------------------------------------
     # record generation for one (source file, target) pair
@@ -282,6 +324,8 @@ class CarrotPlanner:
             d for d in (tm.date_mapping.dest_fields if tm.date_mapping else []) if d in comp
         ]
         if stats is not None:
+            seq = self._metrics_seq
+            self._metrics_seq += 1
             count_fields: list[str] = []
             if not is_person:
                 count_fields = list(tm.concept_mappings)
@@ -289,8 +333,8 @@ class CarrotPlanner:
                 # v1 counts the person target's FIRST data column only
                 # (run.py:301-302); v2's person builder never counts blanks
                 count_fields = [next(iter(tm.concept_mappings))]
-            aggs: list[Column] = [F.count(F.lit(1)).alias("__m_rows")]
-            aggs.append(F.sum(F.when(~norm_ok, 1).otherwise(0)).alias("__m_datebad"))
+            aggs: list[Column] = [F.count(F.lit(1)).alias(f"__m{seq}_rows")]
+            aggs.append(F.sum(F.when(~norm_ok, 1).otherwise(0)).alias(f"__m{seq}_datebad"))
             blank_keys: list[str] = []
             for i, fname in enumerate(count_fields):
                 cell = _try_resolve(raw, fname)
@@ -302,7 +346,7 @@ class CarrotPlanner:
                 aggs.append(
                     F.sum(
                         F.when(norm_ok & ~F.coalesce(valid_value(cell), F.lit(False)), 1).otherwise(0)
-                    ).alias(f"__m_blank_{len(blank_keys) - 1}")
+                    ).alias(f"__m{seq}_blank_{len(blank_keys) - 1}")
                 )
             datebad_keys: list[str] = []
             if comp_dests:
@@ -326,25 +370,41 @@ class CarrotPlanner:
                                 & _concept_match(cell, cm),
                                 1,
                             ).otherwise(0)
-                        ).alias(f"__m_datebad_{len(datebad_keys) - 1}")
+                        ).alias(f"__m{seq}_datebad_{len(datebad_keys) - 1}")
                     )
-            m = raw.agg(*aggs).collect()[0]
-            if count_file:
-                stats.input_rows[src_file] = stats.input_rows.get(src_file, 0) + m["__m_rows"]
-                if m["__m_datebad"]:
-                    stats.date_reject_rows[src_file] = (
-                        stats.date_reject_rows.get(src_file, 0) + m["__m_datebad"]
+
+            def resolve(
+                m,
+                seq=seq,
+                src_file=src_file,
+                target=target,
+                stats=stats,
+                count_file=count_file,
+                blank_keys=tuple(blank_keys),
+                datebad_keys=tuple(datebad_keys),
+            ) -> None:
+                if count_file:
+                    stats.input_rows[src_file] = (
+                        stats.input_rows.get(src_file, 0) + m[f"__m{seq}_rows"]
                     )
-            for i, fname in enumerate(blank_keys):
-                n_blank = m[f"__m_blank_{i}"]
-                if n_blank:
-                    key = (src_file, target, fname)
-                    stats.invalid_source[key] = stats.invalid_source.get(key, 0) + n_blank
-            for i, fname in enumerate(datebad_keys):
-                n_bad = m[f"__m_datebad_{i}"]
-                if n_bad:
-                    key = (src_file, target, fname)
-                    stats.invalid_date[key] = stats.invalid_date.get(key, 0) + n_bad
+                    if m[f"__m{seq}_datebad"]:
+                        stats.date_reject_rows[src_file] = (
+                            stats.date_reject_rows.get(src_file, 0) + m[f"__m{seq}_datebad"]
+                        )
+                for i, fname in enumerate(blank_keys):
+                    n_blank = m[f"__m{seq}_blank_{i}"]
+                    if n_blank:
+                        key = (src_file, target, fname)
+                        stats.invalid_source[key] = stats.invalid_source.get(key, 0) + n_blank
+                for i, fname in enumerate(datebad_keys):
+                    n_bad = m[f"__m{seq}_datebad_{i}"]
+                    if n_bad:
+                        key = (src_file, target, fname)
+                        stats.invalid_date[key] = stats.invalid_date.get(key, 0) + n_bad
+
+            # deferred: flush_metrics() runs every target's counters over
+            # this file's cached scan in ONE combined aggregation job
+            self._pending_aggs.setdefault(cache_key, []).append((aggs, resolve))
 
         df = raw.filter(norm_ok) if date_field is not None else raw
 
