@@ -252,10 +252,16 @@ def minhash_index_frames(
     persist_registry: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(bands, shingle_index) — the two frames a persisted near-dup index
-    consists of. bands: (id, band, bkey); shingle_index: (id, n, s)."""
-    index = exploded_shingle_index(df, id_col, text_col, n=shingle_n, persist=True)
-    index.count()  # bands + future verify both traverse it
-    if persist_registry is not None:
+    consists of. bands: (id, band, bkey); shingle_index: (id, n, s).
+
+    The shingle index is persisted (bands + the later verify both traverse
+    it) ONLY when the caller hands over a persist_registry to own the
+    unpersist — persisting with nobody responsible for release leaks
+    executor memory for the session's lifetime."""
+    persist = persist_registry is not None
+    index = exploded_shingle_index(df, id_col, text_col, n=shingle_n, persist=persist)
+    if persist:
+        index.count()  # bands + future verify both traverse it
         persist_registry.append(index)
     bands = lsh_bands(minhash_signatures(index, k=k), k=k, rows_per_band=rows_per_band)
     return bands, index

@@ -106,16 +106,27 @@ def write_sized(
     shuffle otherwise leaves thousands of KB-scale files whose per-file
     open/footer costs dominate later scans.
 
-    Sizing: sample `sample_rows` rows once, measure their tungsten-row
-    footprint via the sampled frame's serialized size, scale to the full
-    count, divide by target. Both the count and the sample are one job
-    each; an estimate off by 2x still yields healthy file sizes (64-256 MB
-    for the 128 MB default). Returns the partition count used."""
+    Sizing: draw ~`sample_rows` rows ONCE with a seeded Bernoulli sample —
+    spread over every partition, so a frame whose leading rows are
+    unrepresentative (header-ish short rows, a sorted-by-size layout)
+    still estimates honestly; first-N would read only the first split.
+    Measure the sample's in-memory footprint, scale to the full count,
+    divide by target. Both the count and the sample are one job each; an
+    estimate off by 2x still yields healthy file sizes (64-256 MB for the
+    128 MB default). Returns the partition count used."""
     n = df.count()
     if n == 0:
         df.write.mode(mode).parquet(path)
         return 1
-    sample = df.limit(min(sample_rows, n)).toPandas()
+    if n <= sample_rows:
+        sample = df.toPandas()
+    else:
+        # slight over-draw so the estimate rarely lands on a near-empty
+        # sample; deterministic under the fixed seed
+        frac = min(1.0, 1.2 * sample_rows / n)
+        sample = df.sample(fraction=frac, seed=42).limit(sample_rows).toPandas()
+    if len(sample) == 0:
+        sample = df.limit(min(sample_rows, n)).toPandas()
     per_row = max(1, int(sample.memory_usage(deep=True).sum() / max(len(sample), 1)))
     # parquet compresses the in-memory estimate substantially; 3x is the
     # conservative middle of the 2-5x range text/numeric mixes show

@@ -89,6 +89,15 @@ class Source:
         return self._finalize(df)
 
 
+def _path_bytes(p: Path) -> int:
+    """Total bytes at `p`: a file's own size, or the recursive sum over a
+    DIRECTORY of part files — a directory's stat size is a few KB and
+    would collapse a multi-GB dataset to one scan split."""
+    if p.is_dir():
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    return p.stat().st_size
+
+
 class CsvDirSource(Source):
     """<dir>/<table>.csv, read as strings with header (reference S1)."""
 
@@ -108,7 +117,7 @@ class CsvDirSource(Source):
 
     def scan_splits(self, table: str) -> int | None:
         try:
-            size = self._path(table).stat().st_size
+            size = _path_bytes(self._path(table))
         except OSError:
             return None
         return max(1, -(-size // _max_partition_bytes(self.spark)))
@@ -181,7 +190,7 @@ class JsonlDirSource(Source):
 
     def scan_splits(self, table: str) -> int | None:
         try:
-            size = self._path(table).stat().st_size
+            size = _path_bytes(self._path(table))
         except OSError:
             return None
         return max(1, -(-size // _max_partition_bytes(self.spark)))

@@ -194,3 +194,25 @@ def test_write_sized_controls_file_count(spark, tmp_path):
     files2 = list((tmp_path / "small").glob("part-*.parquet"))
     assert n2 > 1 and len(files2) == n2
     assert spark.read.parquet(str(tmp_path / "small")).count() == 200_000
+
+
+def test_write_sized_samples_beyond_leading_rows(spark, tmp_path):
+    """The row-size estimate must come from a spread sample: a frame whose
+    first rows are tiny but whose tail rows are wide would be undersized by
+    a first-N probe (fewer, oversized files)."""
+    from carrot_transform_spark.operators.layout import write_sized
+
+    wide = F.repeat(F.lit("x"), 2000)
+    df = (
+        spark.range(50_000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") < 2_000, F.lit("s")).otherwise(wide).alias("payload"),
+        )
+        .sort("id")  # leading split = the skinny rows
+    )
+    n = write_sized(df, str(tmp_path / "skew"), target_mb=1, sample_rows=500)
+    # honest estimate: ~96 MB in-memory/3 ≈ dozens of 1 MB files; a
+    # first-2000-rows probe estimates ~60 bytes/row and writes ~1 file
+    assert n >= 10, f"sample saw only the skinny leading rows: {n} file(s)"
+    assert spark.read.parquet(str(tmp_path / "skew")).count() == 50_000

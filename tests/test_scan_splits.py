@@ -55,3 +55,39 @@ def test_parquet_source_split_hint(spark):
     src = ParquetDirSource(spark, "/root/testdata/sf0.001")
     assert src.scan_splits("orders") == 1  # tiny file, one split
     assert src.scan_splits("nope") is None
+
+
+def test_jsonl_source_sums_directory_part_files(spark, tmp_path):
+    """A .jsonl DIRECTORY of part files must size by the sum of its files,
+    not the directory inode's own few-KB stat."""
+    from carrot_transform_spark.sources.registry import JsonlDirSource
+
+    d = tmp_path / "t.jsonl"
+    d.mkdir()
+    for i in range(4):
+        (d / f"part-{i}.jsonl").write_text('{"a": "1"}\n' * 100)
+    src = JsonlDirSource(spark, tmp_path)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024b")
+        n = src.scan_splits("t")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert n is not None and n >= 4  # 4 x 1.1 KB of parts / 1 KiB splits
+
+
+def test_csv_source_sums_extensionless_directory(spark, tmp_path):
+    d = tmp_path / "t"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part-{i}.csv").write_text("a,b\n" + "1,2\n" * 300)
+    src = CsvDirSource(spark, tmp_path)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024b")
+        n = src.scan_splits("t")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert n is not None and n >= 3
