@@ -243,6 +243,141 @@ def scrub_cross_doc_spans(
     )
 
 
+def exact_substring_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """(doc, n_tokens, n_removed, clean_text): EXACT cross-document
+    substring dedup (ExactSubstr, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better") — every token inside a maximal
+    whitespace-token run of >= min_len tokens that also appears verbatim
+    in another document is removed; nothing shorter is touched.
+
+    Where the strided ``scrub_cross_doc_spans`` approximates: a stride-s
+    window grid UNDER-scrubs duplicates that straddle window boundaries
+    at unaligned offsets, and its short trailing windows OVER-scrub
+    duplicates shorter than the span. Here windows of exactly ``min_len``
+    tokens are taken at EVERY position (stride 1, sub-min_len trailers
+    excluded): a duplicated run of L >= min_len tokens contributes its
+    L - min_len + 1 flagged windows, and the positional union of those
+    overlapping windows is precisely the maximal run — so the merge
+    removes exactly the duplicated substring.
+
+    Scale shape is identical to the strided form — one global group on
+    the 128-bit window hash (uniform, skew-free), positions exploded only
+    for FLAGGED windows (proportional to duplicated material), one
+    per-doc rebuild aggregate. Per-doc hashing work is
+    O(n_tokens x min_len); at 100 TB run it after exact/minhash doc-level
+    dedup so it only pays for the surviving corpus."""
+    ch = chunk_token_windows(docs, id_col, text_col, size=min_len, overlap=min_len - 1)
+    spans = ch.filter(F.col("n_tokens") == min_len).select(
+        F.col("id").alias("doc"), "chunk_idx", F.md5("chunk_text").alias("h")
+    )
+    cross = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    covered = (
+        spans.join(cross, "h", "left_semi")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("chunk_idx") + 1, F.col("chunk_idx") + min_len)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("p0", "w"),
+        )
+        .select("doc", (F.col("p0") + 1).alias("pos"), "w")
+    )
+    kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+        ).alias("clean_text"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc"),
+        F.when(
+            F.length(F.trim(F.col(text_col))) > 0,
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+        )
+        .otherwise(0)
+        .alias("n_tokens"),
+    )
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def exact_substring_scrub_sql(
+    table: str, id_expr: str, text_expr: str, min_len: int = 8
+) -> str:
+    """DuckDB twin of exact_substring_scrub."""
+    chunks = chunk_token_windows_sql(
+        table, id_expr, text_expr, size=min_len, overlap=min_len - 1
+    )
+    return f"""
+    WITH spans AS (
+        SELECT id AS doc, chunk_idx, md5(chunk_text) AS h FROM ({chunks}) c
+        WHERE n_tokens = {min_len}
+    ),
+    cross_spans AS (
+        SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc) > 1
+    ),
+    covered AS (
+        SELECT DISTINCT doc,
+               unnest(generate_series(chunk_idx + 1, chunk_idx + {min_len})) AS pos
+        FROM spans WHERE h IN (SELECT h FROM cross_spans)
+    ),
+    toks AS (
+        SELECT doc, pos, w FROM (
+            SELECT {id_expr} AS doc,
+                   unnest(regexp_split_to_array(trim({text_expr}), '\\s+')) AS w,
+                   unnest(generate_series(1, len(regexp_split_to_array(trim({text_expr}), '\\s+')))) AS pos
+            FROM {table} WHERE LENGTH(trim({text_expr})) > 0
+        ) z
+    ),
+    kept AS (
+        SELECT t.doc, t.pos, t.w FROM toks t
+        LEFT JOIN covered c ON c.doc = t.doc AND c.pos = t.pos
+        WHERE c.doc IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc, COUNT(*) AS n_kept,
+               STRING_AGG(w, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc
+    ),
+    totals AS (
+        SELECT {id_expr} AS doc,
+               CASE WHEN LENGTH(trim({text_expr})) > 0
+                    THEN len(regexp_split_to_array(trim({text_expr}), '\\s+'))
+                    ELSE 0 END AS n_tokens
+        FROM {table}
+    )
+    SELECT t.doc, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r ON r.doc = t.doc
+    """
+
+
 def scrub_cross_doc_spans_sql(
     table: str, id_expr: str, text_expr: str, span: int = 8, stride: int = 4
 ) -> str:

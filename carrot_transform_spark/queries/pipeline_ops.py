@@ -685,6 +685,28 @@ def txt_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc")
 
 
+def txt_exact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-document substring dedup
+    (operators/repetition.exact_substring_scrub): maximal duplicate token
+    runs >= L removed precisely via the stride-1 overlapping-window merge —
+    where txt_span_scrub's strided grid under-scrubs unaligned duplicates
+    and over-scrubs short trailing windows. The oracle pins the exact
+    cleaned text per document."""
+    from carrot_transform_spark.operators.repetition import exact_substring_scrub
+
+    d = load(spark, sf_dir, "documents")
+    return exact_substring_scrub(d, "doc_id", "text", min_len=_SCRUB_SPAN).orderBy("doc")
+
+
+def _exact_scrub_sql() -> str:
+    from carrot_transform_spark.operators.repetition import exact_substring_scrub_sql
+
+    return (
+        exact_substring_scrub_sql("documents", "doc_id", "text", min_len=_SCRUB_SPAN)
+        + " ORDER BY 1"  # "doc" would be ambiguous between t.doc and r.doc
+    )
+
+
 def _span_scrub_sql() -> str:
     from carrot_transform_spark.operators.repetition import scrub_cross_doc_spans_sql
 
@@ -901,6 +923,12 @@ register_suite(
             "txt_span_scrub",
             txt_span_scrub,
             _span_scrub_sql(),
+            [("doc", "i"), ("n_tokens", "i"), ("n_removed", "i"), ("clean_text", "s")],
+        ),
+        (
+            "txt_exact_scrub",
+            txt_exact_scrub,
+            _exact_scrub_sql(),
             [("doc", "i"), ("n_tokens", "i"), ("n_removed", "i"), ("clean_text", "s")],
         ),
         (
