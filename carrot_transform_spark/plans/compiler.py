@@ -91,6 +91,29 @@ class CarrotPlanner:
         self._pending_aggs: dict[tuple[str, str | None], list[tuple[list[Column], object]]] = {}
         self._pending_rejects: list[tuple[DataFrame, RejectStats]] = []
         self._metrics_seq = 0
+        # plan-construction memos: every Column operation is a synchronous
+        # py4j round trip (~130 us), and a wide rules set builds tens of
+        # thousands of identical default/override columns — reusing the
+        # Column handles cuts record-struct construction ~4x (Column
+        # expression trees are immutable; sharing subtrees is safe).
+        # _const_field_cache: table -> all-constant base record struct;
+        # _override_cache: (id(column), dest) -> (column ref, aliased
+        # override) — the ref pins the keyed object so a GC'd id can never
+        # alias a different column.
+        self._const_field_cache: dict[str, Column] = {}
+        self._override_cache: dict[tuple[int, str], tuple[Column, Column]] = {}
+        self._lit_cache: dict[tuple[str, object], Column] = {}
+        self._tail_cache: dict[tuple[int, int, int], tuple] = {}
+
+    def _lit(self, v) -> Column:
+        """Memoized F.lit for the scalar literals a rules set repeats
+        thousands of times (field names, combo indexes, mapped values)."""
+        key = (type(v).__name__, v)
+        c = self._lit_cache.get(key)
+        if c is None:
+            c = F.lit(v)
+            self._lit_cache[key] = c
+        return c
 
     def release(self) -> None:
         """Unpersist every DataFrame cached by this planner (call after the
@@ -504,19 +527,60 @@ class CarrotPlanner:
         combo_idx: Column,
         field_idx: Column | None = None,
     ) -> Column:
-        fields = []
+        # the all-constant base struct (defaults + tail placeholders) is
+        # built ONCE per table; each record then replaces only its
+        # overridden fields with withField — ~|overrides|+3 py4j calls per
+        # struct instead of |schema.columns|+3 (F.struct's seq conversion
+        # is one round trip per element). withField replaces in place, so
+        # field order is identical to the full F.struct form.
+        base = self._const_field_cache.get(schema.name)
+        if base is None:
+            fields = [
+                (
+                    F.lit("0")  # P3 (omopcdm.py:113-118, record_builder.py:28-37)
+                    if c in schema.notnull_numeric_fields
+                    else F.lit("")
+                ).alias(c)
+                for c in schema.columns
+            ]
+            fields.append(F.lit("").alias(FIELD_COL))
+            fields.append(F.lit(0).alias(FIELDIDX_COL))
+            fields.append(F.lit(0).alias(COMBO_COL))
+            base = F.struct(*fields)
+            self._const_field_cache[schema.name] = base
+        s = base
         for c in schema.columns:
-            if c in overrides:
-                v = overrides[c].cast("string")
-            elif c in schema.notnull_numeric_fields:
-                v = F.lit("0")  # P3 (omopcdm.py:113-118, record_builder.py:28-37)
+            if c not in overrides:
+                continue
+            ov = overrides[c]
+            hit = self._override_cache.get((id(ov), c))
+            if hit is not None and hit[0] is ov:
+                built = hit[1]
             else:
-                v = F.lit("")
-            fields.append(F.coalesce(v, F.lit("")).alias(c))
-        fields.append(field_name.cast("string").alias(FIELD_COL))
-        fields.append((field_idx if field_idx is not None else F.lit(0)).cast("int").alias(FIELDIDX_COL))
-        fields.append(combo_idx.cast("int").alias(COMBO_COL))
-        return F.struct(*fields)
+                built = F.coalesce(ov.cast("string"), F.lit(""))
+                self._override_cache[(id(ov), c)] = (ov, built)
+            s = s.withField(c, built)
+        tkey = (id(field_name), id(combo_idx), id(field_idx))
+        hit = self._tail_cache.get(tkey)
+        if (
+            hit is not None
+            and hit[0] is field_name
+            and hit[1] is combo_idx
+            and hit[2] is field_idx
+        ):
+            tail = hit[3]
+        else:
+            tail = [
+                field_name.cast("string"),
+                (field_idx if field_idx is not None else F.lit(0)).cast("int"),
+                combo_idx.cast("int"),
+            ]
+            self._tail_cache[tkey] = (field_name, combo_idx, field_idx, tail)
+        return (
+            s.withField(FIELD_COL, tail[0])
+            .withField(FIELDIDX_COL, tail[1])
+            .withField(COMBO_COL, tail[2])
+        )
 
     # fields with at least this many exact-valued mappings use a broadcast
     # rules-table join instead of an inlined when-chain
@@ -606,7 +670,7 @@ class CarrotPlanner:
                 )
                 for d, v in merged.items()
             }
-            recs.append(self._record_struct(schema, merged, F.lit(fname), F.lit(k), F.lit(fidx)))
+            recs.append(self._record_struct(schema, merged, self._lit(fname), self._lit(k), self._lit(fidx)))
         full = F.array(*recs)
         empty = _empty_like(recs[0])
         sel = F.when(n_rec > 0, F.slice(full, 1, n_rec)).otherwise(empty)
@@ -647,7 +711,7 @@ class CarrotPlanner:
                     # precedence (low->high): concept, original value,
                     # person id, dates — common holds the last two
                     concept_over = {
-                        d: F.lit(str(ids[min(k, len(ids) - 1)]))
+                        d: self._lit(str(ids[min(k, len(ids) - 1)]))
                         for d, ids in dest_map.items()
                         if ids and d in schema.columns
                     }
@@ -656,7 +720,7 @@ class CarrotPlanner:
                     }
                     merged = {**concept_over, **orig_over, **common}
                     recs.append(
-                        self._record_struct(schema, merged, F.lit(fname), F.lit(k), F.lit(fidx))
+                        self._record_struct(schema, merged, self._lit(fname), self._lit(k), self._lit(fidx))
                     )
                 return F.array(*recs) if recs else None
 
@@ -665,13 +729,13 @@ class CarrotPlanner:
                 arr = combos_for(dest_map)
                 if arr is None:
                     continue
-                cond = cell == F.lit(value)
+                cond = cell == self._lit(value)
                 branch = F.when(cond, arr) if branch is None else branch.when(cond, arr)
             wild_arr = combos_for(wild) if wild else None
             if branch is None and wild_arr is None:
                 continue
             empty = _empty_like(
-                self._record_struct(schema, common, F.lit(fname), F.lit(0), F.lit(fidx))
+                self._record_struct(schema, common, self._lit(fname), self._lit(0), self._lit(fidx))
             )
             if branch is None:
                 sel = F.when(F.lit(True), wild_arr)
@@ -717,7 +781,7 @@ class CarrotPlanner:
                     arr = (
                         F.array(*[F.lit(i) for i in ids]) if ids else F.lit(None).cast("array<int>")
                     )
-                    cond = cell == F.lit(value)
+                    cond = cell == self._lit(value)
                     branch = F.when(cond, arr) if branch is None else branch.when(cond, arr)
                     if ids:
                         max_n = max(max_n, len(ids))
@@ -792,7 +856,7 @@ class CarrotPlanner:
                 )
                 for d, v in merged.items()
             }
-            recs.append(self._record_struct(schema, merged, F.lit(first_field), F.lit(k)))
+            recs.append(self._record_struct(schema, merged, self._lit(first_field), self._lit(k)))
         full = F.array(*recs)
         return F.when(n_records > 0, F.slice(full, 1, n_records)).otherwise(
             _empty_like(recs[0])
@@ -835,8 +899,8 @@ class CarrotPlanner:
                 branch = None
                 for value, dmap in exact.items():
                     ids = dmap.get(d)
-                    val = F.lit(str(ids[-1])) if ids else F.lit(None).cast("string")
-                    cond = cell == F.lit(value)
+                    val = self._lit(str(ids[-1])) if ids else F.lit(None).cast("string")
+                    cond = cell == self._lit(value)
                     branch = F.when(cond, val) if branch is None else branch.when(cond, val)
                 if wild and wild.get(d):
                     wild_val = F.lit(str(wild[d][-1]))
@@ -849,7 +913,7 @@ class CarrotPlanner:
             if cm.original_value_fields:
                 matched = None
                 for value in exact:
-                    c = cell == F.lit(value)
+                    c = cell == self._lit(value)
                     matched = c if matched is None else (matched | c)
                 if wild:
                     matched = F.lit(True) if matched is None else F.lit(True)

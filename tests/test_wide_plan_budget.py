@@ -1,0 +1,100 @@
+"""Wide-plan compile-time budget: ~50 (source, target) mapping blocks x
+20 concept fields each — the when-chain-heaviest plan shape (every field
+below the broadcast-join threshold, so every value map inlines as WHEN
+chains). The plan must build and analyze in bounded time: expression-tree
+blow-ups in the record compiler historically show up superlinearly here
+long before they hurt the demo corpus (cf. tests/test_large_termmap.py's
+<5 s pin for the 1000-value join path).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+
+from carrot_transform_spark.atpath import DEFAULT_CONFIG, DEFAULT_DDL
+from carrot_transform_spark.omop.ddl import load_schemas
+from carrot_transform_spark.plans.compiler import CarrotPlanner
+from carrot_transform_spark.rules.loader import parse_rules
+from carrot_transform_spark.sources.registry import LINE_COL, Source
+
+N_BLOCKS = 50
+N_FIELDS = 20
+N_VALUES = 4   # per-field map size, far below the join threshold -> WHEN chains
+N_ROWS = 40
+
+
+class _MemSource(Source):
+    def __init__(self, spark):
+        self.spark = spark
+        self._df = None
+
+    def size_hint(self, table: str) -> int:
+        # like the file sources: a driver-side row bound, so the dense-id
+        # stage plans its small path without an extra sizing pass
+        return N_ROWS
+
+    def read(self, table: str):
+        if self._df is None:
+            fields = ", ".join(f"f{j} string" for j in range(N_FIELDS))
+            rows = [
+                tuple(
+                    [str(i), "2020-01-02"]
+                    + [f"v{(i + j) % (N_VALUES + 2)}" for j in range(N_FIELDS)]
+                    + [i]
+                )
+                for i in range(N_ROWS)
+            ]
+            self._df = self.spark.createDataFrame(
+                rows, f"user string, when string, {fields}, {LINE_COL} long"
+            ).persist()
+            self._df.count()
+        return self._df
+
+
+def _rules():
+    cdm_obs = {}
+    for b in range(N_BLOCKS):
+        concept_mappings = {}
+        for j in range(N_FIELDS):
+            vmap = {
+                f"v{v}": {"observation_concept_id": [100000 + b * 100 + j * 10 + v]}
+                for v in range(N_VALUES)
+            }
+            vmap["original_value"] = ["observation_source_value"]
+            concept_mappings[f"f{j}"] = vmap
+        cdm_obs[f"src_{b:02d}.csv"] = {
+            "person_id_mapping": {"source_field": "user", "dest_field": "person_id"},
+            "date_mapping": {"source_field": "when", "dest_field": ["observation_datetime"]},
+            "concept_mappings": concept_mappings,
+        }
+    return {"metadata": {"dataset": "wideplan"}, "cdm": {"observation": cdm_obs}}
+
+
+def test_wide_plan_builds_within_budget(spark):
+    omop = load_schemas(DEFAULT_DDL, DEFAULT_CONFIG)
+    rules = parse_rules(_rules(), omop)
+    src = _MemSource(spark)
+    src.read("warm")  # warm the JVM so the timing isolates plan construction
+    planner = CarrotPlanner(spark, rules, omop, person_table="src_00.csv")
+
+    t0 = time.perf_counter()
+    cand = planner.target_candidates(src, "observation", None)
+    build_s = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    cand.schema  # forces full analysis of the 50-block union
+    analyze_s = time.perf_counter() - t1
+
+    # generous CI budget — the guarded failure mode is the multi-minute
+    # per-struct py4j fan-out this test originally caught (~250 s before
+    # the record-struct memoization; ~60 s after, on 8 local cores)
+    assert build_s + analyze_s < 120.0, (
+        f"wide plan took {build_s:.1f}s build + {analyze_s:.1f}s analyze "
+        f"for {N_BLOCKS} blocks x {N_FIELDS} fields"
+    )
+
+    # and it must actually execute: every block contributes records
+    n = cand.select(F.count(F.lit(1))).collect()[0][0]
+    assert n > 0
+    planner.release()
