@@ -126,3 +126,87 @@ def adc_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def adc_topk_batch(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_cells: DataFrame | None = None,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_dist, rnk): set-oriented ADC top-k —
+    the batch form of adc_topk, which is one-query-per-call because its
+    lookup tables are plan literals.
+
+    Per query, the m x k_sub table of d(query_sub, codeword)^2 is computed
+    DISTRIBUTEDLY from the broadcast codebook frame (one array<double>
+    fold per subspace x codeword — the table is m.k_sub scalars per query,
+    metadata-sized), then the query frame (id, tables[, cells]) broadcasts
+    onto the codes: approximate distance is m element_at lookups + adds
+    per (code row x query) candidate. With `query_cells`
+    (query_id, cell[, probe_rank] — e.g. similarity.probe_cells output)
+    the join keys on the code's cell column, so candidates are the probed
+    cells only — the IVF-PQ batch search; without it every code row is a
+    candidate (exhaustive ADC rerank).
+
+    At 100 TB the codes dataset is cell-partitioned parquet: the
+    broadcast-hash join on `cell` after partition pruning touches only
+    probed cells' files, and the per-query top-k window holds k rows per
+    query."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cb = codes.sparkSession.createDataFrame(
+        [([[[float(x) for x in cw] for cw in book] for book in codebooks],)],
+        "__pq_books array<array<array<double>>>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+
+    def table_for(book, j):
+        sub = F.slice(v, j * d + F.lit(1), d)
+        return F.transform(
+            book,
+            lambda cw: F.aggregate(
+                F.zip_with(sub, cw, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
+
+    q = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col("__pq_books"), table_for).alias("__qtables"),
+        )
+    )
+    if query_cells is not None:
+        qc = query_cells.select(
+            F.col("query_id").alias("__qc_id") if "query_id" in query_cells.columns
+            else F.col("id").alias("__qc_id"),
+            F.col(cell_col).alias("__qc_cell"),
+        ).distinct()
+        q = q.join(qc, F.col("query_id") == F.col("__qc_id")).drop("__qc_id")
+        cond = F.col(cell_col) == F.col("__qc_cell")
+        joined = codes.join(F.broadcast(q), cond).drop("__qc_cell")
+    else:
+        joined = codes.crossJoin(F.broadcast(q))
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("__qtables", j + 1), F.element_at("code", j + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        joined.select(
+            "query_id", F.col("id").alias("neighbor_id"), dist.alias("approx_dist")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -249,6 +249,44 @@ def pq_step_fn(
     return step
 
 
+def search_pq_store_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_dist, rnk): set-oriented IVF-PQ
+    search — a whole query FRAME against the committed store in one plan
+    (adc_topk_batch), instead of search_pq_store's one-query-per-call
+    driver loop. Each query probes its n_probe nearest cells
+    (similarity.probe_cells); per-query ADC lookup tables are computed
+    distributedly from the broadcast codebook frame and broadcast onto
+    the cell-pruned codes."""
+    from carrot_transform_spark.operators.pq import adc_topk_batch
+    from carrot_transform_spark.operators.similarity import probe_cells
+
+    store = pq_store(spark, path)
+    books = _load_codebooks(store)
+    if books is None:
+        raise FileNotFoundError(f"no codebooks under {path}")
+    qcells = probe_cells(queries, centroids, n_probe, id_col, vec_col).withColumnRenamed(
+        "id", "query_id"
+    )
+    return adc_topk_batch(
+        store.load(_PQ_DATASET),
+        queries,
+        books,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_cells=qcells,
+    )
+
+
 def retrain_pq_store(
     spark: SparkSession,
     path: str,

@@ -157,3 +157,37 @@ def test_retrained_books_survive_routine_compaction(spark, tmp_path, corpus):
     store.vacuum(store.compact(folded))
     assert store.units() == [folded]
     assert _load_codebooks(store) == retrained
+
+
+def test_batch_adc_search_matches_per_query_loop(spark, tmp_path, corpus):
+    """search_pq_store_batch (one plan for the whole query frame) must
+    return exactly what the per-query search_pq_store loop returns, for
+    every query, at full probe width."""
+    from carrot_transform_spark.streaming.ann_index import (
+        search_pq_store,
+        search_pq_store_batch,
+    )
+
+    a, b, full = corpus
+    path = str(tmp_path / "store")
+    centroids = [[0.0] * DIM, [40.0] * DIM]
+    step = make_step(lambda: pq_store(spark, path), pq_step_fn(centroids, m=M, k_sub=K_SUB))
+    step(a, 0)
+    step(b, 1)
+
+    queries = full.filter(F.col("vec_id") % 37 == 0)  # a handful from both regions
+    batch = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], round(r["approx_dist"], 9))
+        for r in search_pq_store_batch(
+            spark, path, queries, centroids, n_probe=len(centroids), k=5
+        ).collect()
+    }
+    loop = {}
+    for q in queries.collect():
+        got = search_pq_store(
+            spark, path, [float(x) for x in q["embedding"]], centroids,
+            n_probe=len(centroids), k=5,
+        )
+        for r in got.collect():
+            loop[(q["vec_id"], r["rnk"])] = (r["neighbor_id"], round(r["approx_dist"], 9))
+    assert batch == loop and batch
