@@ -335,12 +335,19 @@ def probe_cells(
     n_probe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "fold",
 ) -> DataFrame:
     """(id, cell, probe_rank): each vector's n_probe nearest centroids by
     cosine, rank 0 = primary cell. The multi-probe side of an IVF query:
     the corpus stays in its primary cell, queries fan out to n_probe cells.
     Codebook broadcast as data (codebook_frame); sort_array over
-    (−sim, cell) structs, no UDF, O(1) plan size in the cell count."""
+    (−sim, cell) structs, no UDF, O(1) plan size in the cell count.
+    impl="arrow" ranks with one numpy matmul + argsort per Arrow batch —
+    same fold-vs-BLAS trade as assign_cells (ties can differ only on
+    near-exact score ties); use it when quantizing large query batches
+    against 10^3+ cells."""
+    if impl == "arrow":
+        return _probe_cells_arrow(df, centroids, n_probe, id_col, vec_col)
     n = _normed(df, id_col, vec_col)
     cb = codebook_frame(df.sparkSession, centroids)
     ranked = F.slice(
@@ -353,6 +360,50 @@ def probe_cells(
         .select("id", F.posexplode(ranked).alias("probe_rank", "e"))
         .select("id", F.col("e.cell").alias("cell"), "probe_rank")
     )
+
+
+def _probe_cells_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Vectorized multi-probe ranking: top-n_probe of V @ Ĉᵀ per batch.
+    np.argsort over the negated scores is stable, so exact ties break
+    toward the lower cell id — the fold path's keep-first contract."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0.0] = 1.0
+    Cu = np.ascontiguousarray((C / norms[:, None]).T)  # dim x k
+    dim, n_cells = C.shape[1], C.shape[0]
+    take = min(n_probe, n_cells)
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    id_type = src.schema["id"].dataType.simpleString()
+
+    def rank(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            flat = batch.column(1).flatten()
+            V = flat.to_numpy(zero_copy_only=False).reshape(-1, dim)
+            order = np.argsort(-(V @ Cu), axis=1, kind="stable")[:, :take]
+            n = order.shape[0]
+            out_ids = ids.take(pa.array(np.repeat(np.arange(n), take)))
+            cells = pa.array(order.reshape(-1).astype(np.int32), pa.int32())
+            ranks = pa.array(np.tile(np.arange(take), n).astype(np.int32), pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [out_ids, cells, ranks], ["id", "cell", "probe_rank"]
+            )
+
+    return src.mapInArrow(rank, f"id {id_type}, cell int, probe_rank int")
 
 
 def ivf_topk_multiprobe(

@@ -121,3 +121,13 @@ def test_assign_cells_arrow_matches_fold_on_separated_cells(spark):
 def test_assign_cells_arrow_preserves_id_type(spark):
     out = sim.assign_cells(_vecs(spark), _cents(8), impl="arrow")
     assert dict(out.dtypes) == {"id": "bigint", "cell": "int"}
+
+
+def test_probe_cells_arrow_matches_fold(spark):
+    cents = _cents(24)
+    v = _vecs(spark, 80)
+    fold = {(r["id"], r["probe_rank"]): r["cell"]
+            for r in sim.probe_cells(v, cents, n_probe=3).collect()}
+    arrow = {(r["id"], r["probe_rank"]): r["cell"]
+             for r in sim.probe_cells(v, cents, n_probe=3, impl="arrow").collect()}
+    assert arrow == fold and fold
