@@ -3,7 +3,7 @@
 The embedding twin of streaming/dedup_index.py, on the same UnitStore
 commit substrate (protocol in streaming/maintenance.py): each micro-batch
 of vectors is coarse-quantized to its nearest centroid cell
-(operators/similarity.assign_cells — plan-literal centroids, no UDF),
+(operators/similarity.assign_cells — broadcast-data codebook, no UDF),
 near-dup pairs against the index-so-far plus the batch are emitted, and
 the batch commits as one versioned unit of (id, v, nrm, cell) rows.
 
@@ -85,11 +85,27 @@ def _side(df: DataFrame, suffix: str) -> DataFrame:
     )
 
 
-def _cell_pairs(new: DataFrame, old: DataFrame, threshold: float) -> DataFrame:
+def _cell_pairs(
+    new: DataFrame,
+    old: DataFrame,
+    threshold: float,
+    max_cell_size: int | None = None,
+) -> DataFrame:
     """Same-cell cosine pairs (id_a < id_b) touching `new`: each such pair
     exactly once — either its smaller id is new (p1: new vs old+new) or its
     smaller id is old and the larger is new (p2). Frames carry
-    (id, v, nrm, cell)."""
+    (id, v, nrm, cell).
+
+    ``max_cell_size`` bounds the STORE side per cell (the batch side is
+    already bounded by the micro-batch): a degenerate store cell — a
+    duplicate blob grown over many batches — contributes only its cap
+    deterministic representatives, so per-batch work stays
+    O(|batch ∩ cell| x cap) instead of growing with the blob. New items in
+    a capped cell still pair with the representatives, so they join the
+    blob's dedup component; cells at or under the bound are untouched."""
+    from carrot_transform_spark.operators.similarity import _cap_cell
+
+    old = _cap_cell(old, "cell", max_cell_size)
     lt = (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))
     p1 = _side(new, "a").join(_side(old.unionByName(new), "b"), lt)
     p2 = _side(old, "a").join(_side(new, "b"), lt)
@@ -112,6 +128,7 @@ def maintain_vector_index(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     compact_every: int | None = None,
+    max_cell_size: int | None = None,
 ):
     """Start (and return) the streaming query maintaining the IVF store.
 
@@ -136,7 +153,7 @@ def maintain_vector_index(
             if units
             else spark.createDataFrame([], new.schema)
         )
-        pairs = _cell_pairs(new, old, threshold).localCheckpoint(eager=True)
+        pairs = _cell_pairs(new, old, threshold, max_cell_size).localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/{unit}")
         store.commit(unit, {_DATASET: new})
 
@@ -156,7 +173,8 @@ def maintain_vector_index(
 # as store metadata (the standard recipe: train on a sample, encode
 # everything after with the same books so codes stay comparable).
 # Search: probe the query's nearest cells, ADC-score only those cells'
-# codes from plan-literal lookup tables, top-k. At 100 TB this is the
+# codes from per-query lookup tables, top-k (set-oriented batch form:
+# search_pq_store_batch). At 100 TB this is the
 # FAISS IVFPQ layout as plain Spark: 8-16 bytes per vector instead of
 # 4*dim, cell-pruned scans, no decompression.
 # ---------------------------------------------------------------------------

@@ -95,3 +95,31 @@ def test_semdedup_capped_hot_cell_keeps_one_row_per_input(spark):
     assert out.count() == 200
     # beyond-cap rows sit out pairing and survive as singleton keeps
     assert out.filter("keep = 1").count() >= out.count() - 200 + 1
+
+
+def test_streaming_cell_pairs_cap_equals_uncapped_when_not_skewed(spark):
+    """The incremental maintainer's batch-vs-store pair stage honors the
+    same cap contract: identical pairs when no store cell exceeds it."""
+    from carrot_transform_spark.operators.similarity import _normed, assign_cells
+    from carrot_transform_spark.streaming.ann_index import _cell_pairs
+
+    import pyspark.sql.functions as F
+
+    def framed(df):
+        cells = assign_cells(df, [[1.0] * DIM, [-1.0] * DIM]).withColumnRenamed("id", "__cid")
+        return (
+            _normed(df, "vec_id", "embedding")
+            .join(cells, F.col("id") == F.col("__cid"))
+            .drop("__cid")
+        )
+
+    old = framed(_corpus(spark, n=60))
+    new = framed(
+        _corpus(spark, n=30).withColumn("vec_id", F.col("vec_id") + 1000)
+    )
+    base = {(r["id_a"], r["id_b"]) for r in _cell_pairs(new, old, 0.5).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in _cell_pairs(new, old, 0.5, max_cell_size=100).collect()
+    }
+    assert capped == base and base
