@@ -131,3 +131,42 @@ def test_probe_cells_arrow_matches_fold(spark):
     arrow = {(r["id"], r["probe_rank"]): r["cell"]
              for r in sim.probe_cells(v, cents, n_probe=3, impl="arrow").collect()}
     assert arrow == fold and fold
+
+
+def test_knn_multiprobe_full_width_equals_bruteforce(spark):
+    """At n_probe = n_cells the multi-probe graph is the exact brute-force
+    k-NN graph (every node sees every candidate)."""
+    cents = _cents(6)
+    v = _vecs(spark, 60)
+    full = {
+        (r["id"], r["rnk"]): r["neighbor_id"]
+        for r in sim.knn_graph_multiprobe(v, cents, n_probe=6, k=3).collect()
+    }
+    # brute force: single-cell corpus -> within-"cell" join is all-pairs
+    one_cell = v.withColumn("c0", F.lit(0))
+    brute = {
+        (r["id"], r["rnk"]): r["neighbor_id"]
+        for r in sim.knn_graph(one_cell, "c0", k=3).collect()
+    }
+    assert full == brute and full
+
+
+def test_knn_multiprobe_recall_grows_with_probes(spark):
+    cents = _cents(8)
+    v = _vecs(spark, 120)
+    one_cell = v.withColumn("c0", F.lit(0))
+    exact = {
+        (r["id"], r["rnk"]): r["neighbor_id"]
+        for r in sim.knn_graph(one_cell, "c0", k=3).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["id"], r["rnk"]): r["neighbor_id"]
+            for r in sim.knn_graph_multiprobe(v, cents, n_probe=n_probe, k=3).collect()
+        }
+        return sum(1 for key, nid in exact.items() if got.get(key) == nid) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert recall(8) == 1.0
