@@ -181,11 +181,13 @@ def _semdedup_sql() -> str:
 from carrot_transform_spark.queries.similarity import (  # noqa: E402
     CENTROID_SQL,
     KMEANS_SQL,
+    KNN_MP_SQL,
     KNN_SQL,
     NEARDUP_SQL,
     sim_centroid_assign,
     sim_kmeans_lloyd,
     sim_knn_graph,
+    sim_knn_multiprobe,
     sim_neardup_threshold,
 )
 from carrot_transform_spark.queries.tfidf_q import (  # noqa: E402
@@ -242,6 +244,12 @@ register_suite(
             "sim_knn_graph",
             sim_knn_graph,
             KNN_SQL,
+            [("vec_id", "i"), ("neighbor_id", "i"), ("cosine_sim", "f"), ("rnk", "i")],
+        ),
+        (
+            "sim_knn_multiprobe",
+            sim_knn_multiprobe,
+            KNN_MP_SQL,
             [("vec_id", "i"), ("neighbor_id", "i"), ("cosine_sim", "f"), ("rnk", "i")],
         ),
     ],

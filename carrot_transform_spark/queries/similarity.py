@@ -222,11 +222,81 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP_PROBES = 2
+
+
+def sim_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe k-NN graph (operators/similarity.knn_graph_multiprobe):
+    candidates live in their nearest-centroid primary cell, each node
+    probes its _MP_PROBES nearest cells. Exercises the whole broadcast-
+    codebook quantization chain (assign_cells + probe_cells) plus the
+    probe-fanout join against the DuckDB twin, which recomputes every
+    centroid cosine with the identical sequential `+`-chain so primary
+    cells, probe sets, and the final rank window agree bit-for-bit."""
+    from carrot_transform_spark.operators.similarity import knn_graph_multiprobe
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        knn_graph_multiprobe(e, _CENTROIDS, n_probe=_MP_PROBES, k=_KNN_K)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "rnk")
+    )
+
+
+def _knn_multiprobe_sql() -> str:
+    sims = []
+    for ci, c in enumerate(_CENTROIDS):
+        dot = " + ".join(f"CAST(embedding[{d + 1}] AS DOUBLE) * ({c[d]!r})" for d in range(64))
+        cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+        sims.append(
+            f"SELECT vec_id, {ci} AS cell, (({dot}) / (nrm * {cn!r})) AS sim FROM n"
+        )
+    sims_sql = " UNION ALL ".join(sims)
+    return f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    sims AS ({sims_sql}),
+    ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS pr
+        FROM sims
+    ),
+    cand AS (
+        SELECT n.vec_id, n.v, n.nrm, r.cell
+        FROM n JOIN ranked r ON r.vec_id = n.vec_id AND r.pr = 1
+    ),
+    q AS (
+        SELECT n.vec_id, n.v, n.nrm, r.cell
+        FROM n JOIN ranked r ON r.vec_id = n.vec_id AND r.pr <= {_MP_PROBES}
+    ),
+    scored AS (
+        SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cs
+        FROM q JOIN cand c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+    ),
+    rr AS (
+        SELECT vec_id, neighbor_id, {fround_sql('cs')} AS cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT vec_id, neighbor_id, cosine_sim, rnk FROM rr WHERE rnk <= {_KNN_K}
+    ORDER BY vec_id, rnk
+    """
+
+
+
 _CENTROIDS = [
     [1.0 if d % 2 == 0 else -1.0 for d in range(64)],
     [1.0 if d % 3 == 0 else -0.5 for d in range(64)],
     [(-1.0) ** d * (1.0 + d / 64.0) for d in range(64)],
 ]
+
+KNN_MP_SQL = _knn_multiprobe_sql()
 
 
 def _centroid_sql() -> str:
