@@ -585,6 +585,11 @@ class CarrotPlanner:
     # fields with at least this many exact-valued mappings use a broadcast
     # rules-table join instead of an inlined when-chain
     LARGE_TERM_MAP_THRESHOLD = 100
+    # ...and from this many up to the join threshold, an element_at over a
+    # constant-folded map literal (one hash lookup per row) — measured
+    # faster than the when-chain from the mid-tens of values while tiny
+    # maps stay on the chain (a few comparisons beat the map machinery)
+    MAPLIT_TERM_MAP_THRESHOLD = 16
 
     def _attach_large_rules(
         self, df: DataFrame, tm: TableMapping
@@ -622,13 +627,15 @@ class CarrotPlanner:
         cell: Column,
         fname: str,
         fidx: int,
-        map_colname: str,
+        matched: Column,
     ) -> Column:
-        """Record array for one large term-map field from its joined rules
-        map column — identical semantics to the when-chain path (exact match
-        beats wildcard; clamped-zip combinations; blank cells never match)."""
+        """Record array for one term-map field from its matched dest-map
+        column — either a broadcast-joined rules column (large maps) or an
+        element_at over a CONSTANT map literal (small maps; Catalyst folds
+        the literal, so per row it is one hash lookup). Semantics: exact
+        match beats wildcard; clamped-zip combinations; blank cells never
+        match."""
         wild = cm.value_mappings.get("*")
-        matched = F.col(map_colname)
         if wild:
             pairs: list[Column] = []
             for d, ids in wild.items():
@@ -686,7 +693,19 @@ class CarrotPlanner:
         """array<record> for a standard target: per-field fan-out (U1), each
         field contributing its matched value's clamped-zip combinations (X1).
         StandardRecordBuilder semantics (record_builder.py:306-367):
-        records require a concept match (exact value, else wildcard)."""
+        records require a concept match (exact value, else wildcard).
+
+        Three value-map compilation bands, each the measured winner at its
+        size (crossovers measured on 200k-row x 5-field shapes):
+        - < MAPLIT_TERM_MAP_THRESHOLD values: inlined when-chain — a
+          handful of string comparisons per row beats the map machinery;
+        - up to LARGE_TERM_MAP_THRESHOLD: element_at over a CONSTANT map
+          literal (folded by Catalyst — one hash lookup per row) feeding
+          the shared _joined_field_records builder — ~30% faster than a
+          40-branch chain and one record set per FIELD, not per
+          (field, value), so plans stay |values|x smaller;
+        - beyond that: broadcast rules-table join (_attach_large_rules),
+          same builder."""
         common = self._common_column_values(df, tm, schema)
         per_field: list[Column] = []
         for fidx, (fname, cm) in enumerate(tm.concept_mappings.items()):
@@ -696,18 +715,44 @@ class CarrotPlanner:
             if attached and fname in attached:
                 per_field.append(
                     self._joined_field_records(
-                        cm, schema, common, cell, fname, fidx, attached[fname]
+                        cm, schema, common, cell, fname, fidx, F.col(attached[fname])
                     )
                 )
                 continue
-            exact = {v: dm for v, dm in cm.value_mappings.items() if v != "*"}
             wild = cm.value_mappings.get("*")
+            exact = {
+                v: m
+                for v, m in cm.value_mappings.items()
+                if v != "*" and any(ids for ids in m.values())
+            }
+            has_wild = bool(wild) and any(ids for ids in wild.values())
+            if not exact and not has_wild:
+                continue
+            if len(exact) >= self.MAPLIT_TERM_MAP_THRESHOLD:
+                pairs: list[Column] = []
+                for v, m in exact.items():
+                    dest_pairs: list[Column] = []
+                    for d, ids in m.items():
+                        if not ids:
+                            continue
+                        dest_pairs.append(self._lit(d))
+                        dest_pairs.append(F.array(*[self._lit(str(x)) for x in ids]))
+                    pairs.append(self._lit(v))
+                    pairs.append(F.create_map(*dest_pairs))
+                matched = (
+                    F.element_at(F.create_map(*pairs), cell)
+                    if pairs
+                    else F.lit(None).cast("map<string,array<string>>")
+                )
+                per_field.append(
+                    self._joined_field_records(cm, schema, common, cell, fname, fidx, matched)
+                )
+                continue
 
             def combos_for(dest_map: dict[str, list[int]]) -> Column:
                 n = max((len(ids) for ids in dest_map.values() if ids), default=0)
                 recs = []
                 for k in range(n):
-                    overrides = dict(common)
                     # precedence (low->high): concept, original value,
                     # person id, dates — common holds the last two
                     concept_over = {

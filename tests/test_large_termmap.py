@@ -123,3 +123,57 @@ def test_small_map_still_inlined(spark):
     cand = planner.target_candidates(_MemSource(spark), "observation", None)
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
+
+
+def test_maplit_band_matches_when_chain(spark):
+    """The constant-map-literal band (MAPLIT..LARGE thresholds) must be
+    semantically identical to the when-chain: same exact-beats-wildcard,
+    blank-never-matches, clamped-zip, original-value precedence."""
+    omop = load_schemas(DEFAULT_DDL, DEFAULT_CONFIG)
+
+    n_vals = 30  # >= MAPLIT threshold (16), < LARGE threshold (100)
+    value_map = {
+        f"code_{i}": {"observation_concept_id": [90000 + i]} for i in range(n_vals)
+    }
+    value_map["code_7"] = {"observation_concept_id": [90007, 80007]}  # combos
+    value_map["code_9"] = {}  # no ids: falls through to wildcard
+    value_map["*"] = {"observation_concept_id": [99999]}
+    value_map["original_value"] = ["observation_source_value"]
+    rules = parse_rules(
+        {
+            "metadata": {"dataset": "midmap"},
+            "cdm": {
+                "observation": {
+                    "bigsrc": {
+                        "person_id_mapping": {"source_field": "user", "dest_field": "person_id"},
+                        "date_mapping": {"source_field": "when", "dest_field": ["observation_datetime"]},
+                        "concept_mappings": {"code": value_map},
+                    }
+                }
+            },
+        },
+        omop,
+    )
+    src = _MemSource(spark)
+
+    def records(maplit_threshold):
+        planner = CarrotPlanner(spark, rules, omop, person_table="bigsrc")
+        old = CarrotPlanner.MAPLIT_TERM_MAP_THRESHOLD
+        CarrotPlanner.MAPLIT_TERM_MAP_THRESHOLD = maplit_threshold
+        try:
+            cand = planner.target_candidates(src, "observation", None)
+            rows = sorted(
+                tuple(r)
+                for r in cand.select(
+                    "person_id", "observation_concept_id",
+                    "observation_source_value", "observation_datetime", LINE_COL,
+                ).collect()
+            )
+        finally:
+            CarrotPlanner.MAPLIT_TERM_MAP_THRESHOLD = old
+            planner.release()
+        return rows
+
+    via_maplit = records(16)       # n_vals=30 -> map-literal path
+    via_chain = records(10_000)    # forced onto the when-chain
+    assert via_maplit == via_chain and via_maplit
