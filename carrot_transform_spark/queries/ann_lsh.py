@@ -83,7 +83,7 @@ _CAND_SQL = f"""
                    / (a.nrm * b.nrm) AS cs
         FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim
+    SELECT vec_a, vec_b, {fround_sql("cs")} AS cosine_sim
     FROM pairs WHERE cs >= 0.3
     ORDER BY vec_a, vec_b
     """

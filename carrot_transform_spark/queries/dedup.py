@@ -154,7 +154,7 @@ _NGRAM_SQL = f"""
         GROUP BY doc_a, doc_b
     )
     SELECT doc_a, doc_b,
-           CAST(FLOOR((inter * 1.0 / (na + nb - inter)) * 10000 + 0.5) / 10000 AS DOUBLE) AS jaccard
+           {fround_sql("inter * 1.0 / (na + nb - inter)")} AS jaccard
     FROM cand
     WHERE inter * 1.0 / (na + nb - inter) >= 0.8
     ORDER BY doc_a, doc_b
@@ -252,7 +252,7 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN e b ON b.doc_id = c.doc_b AND b.s = a.s
         GROUP BY c.doc_a, c.doc_b
     )
-    SELECT doc_a, doc_b, CAST(FLOOR((inter * 1.0 / (na + nb - inter)) * 10000 + 0.5) / 10000 AS DOUBLE) AS jaccard
+    SELECT doc_a, doc_b, {fround_sql("inter * 1.0 / (na + nb - inter)")} AS jaccard
     FROM verified
     WHERE inter * 1.0 / (na + nb - inter) >= 0.7
     ORDER BY doc_a, doc_b

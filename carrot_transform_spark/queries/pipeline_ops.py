@@ -38,7 +38,7 @@ from carrot_transform_spark.operators.repetition import (
     repetition_profile_sql,
     span_dup_profile_sql,
 )
-from carrot_transform_spark.functions.rounding import fround, fround_sql
+from carrot_transform_spark.functions.rounding import fround_sql
 from carrot_transform_spark.queries import load, register_suite
 from carrot_transform_spark.queries.dedup import (
     _NGRAM_SQL,
@@ -534,7 +534,7 @@ def _incremental_sql() -> str:
         JOIN e b ON b.doc_id = c.doc_b AND b.s = a.s
         GROUP BY c.doc_a, c.doc_b
     )
-    SELECT doc_a, doc_b, CAST(FLOOR((inter * 1.0 / (na + nb - inter)) * 10000 + 0.5) / 10000 AS DOUBLE) AS jaccard
+    SELECT doc_a, doc_b, {fround_sql("inter * 1.0 / (na + nb - inter)")} AS jaccard
     FROM verified
     WHERE inter * 1.0 / (na + nb - inter) >= 0.7
     ORDER BY doc_a, doc_b

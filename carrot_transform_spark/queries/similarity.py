@@ -57,7 +57,7 @@ _NORMED_SQL = """
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
         FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim, rnk
+    SELECT query_id, neighbor_id, {fround_sql("cs")} AS cosine_sim, rnk
     FROM ranked WHERE rnk <= 5
     ORDER BY query_id, rnk
     """,
@@ -107,7 +107,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
         FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim, rnk
+    SELECT query_id, neighbor_id, {fround_sql("cs")} AS cosine_sim, rnk
     FROM ranked WHERE rnk <= 5
     ORDER BY query_id, rnk
     """,
@@ -155,7 +155,7 @@ NEARDUP_SQL = f"""
                {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cs
         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim
+    SELECT vec_a, vec_b, {fround_sql("cs")} AS cosine_sim
     FROM pairs WHERE cs >= 0.4
     ORDER BY vec_a, vec_b
     """
@@ -197,7 +197,7 @@ KNN_SQL = f"""
         FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
     ),
     r AS (
-        SELECT vec_id, neighbor_id, CAST(FLOOR((cs) * 10000 + 0.5) / 10000 AS DOUBLE) AS cosine_sim,
+        SELECT vec_id, neighbor_id, {fround_sql("cs")} AS cosine_sim,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rnk
         FROM scored
     )

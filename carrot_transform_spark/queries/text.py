@@ -74,11 +74,10 @@ def _profile_sql() -> str:
            n_tokens,
            len(regexp_extract_all(txt, '{_BPE_PAT}')) AS n_tokens_bpe,
            LENGTH(text) AS n_chars_actual,
-           CAST(FLOOR((LENGTH(txt) * 1.0 / n_tokens) * 10000 + 0.5) / 10000 AS DOUBLE) AS chars_per_token,
+           {fround_sql("LENGTH(txt) * 1.0 / n_tokens")} AS chars_per_token,
            CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END AS len_ok,
            {stop} AS stopword_hits,
-           CAST(FLOOR((LENGTH(REPLACE(REPLACE(REPLACE(txt, ' ', ''), '.', ''), ',', '')) * 1.0
-                 / LENGTH(txt)) * 10000 + 0.5) / 10000 AS DOUBLE) AS alnum_ratio,
+           {fround_sql("LENGTH(REPLACE(REPLACE(REPLACE(txt, ' ', ''), '.', ''), ',', '')) * 1.0 / LENGTH(txt)")} AS alnum_ratio,
            CASE WHEN n_tokens BETWEEN 20 AND 400 AND {stop} >= 1
                 THEN 1 ELSE 0 END AS keep_flag,
            CASE {cases} ELSE 'und' END AS predicted_lang,

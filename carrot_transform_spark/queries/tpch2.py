@@ -21,7 +21,7 @@ from carrot_transform_spark.queries import (
 
 @register(
     "q2_min_cost_supplier",
-    oracle="""
+    oracle=f"""
     WITH costs AS (
         SELECT l.l_partkey, l.l_suppkey, MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
         FROM lineitem l WHERE l.l_quantity > 0
@@ -33,7 +33,7 @@ from carrot_transform_spark.queries import (
         FROM costs
     )
     SELECT p.p_partkey, p.p_name, s.s_name,
-           CAST(FLOOR((b.unit_cost) * 10000 + 0.5) / 10000 AS DOUBLE) AS unit_cost
+           {fround_sql("b.unit_cost")} AS unit_cost
     FROM best b
     JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size >= 40
     JOIN supplier s ON s.s_suppkey = b.l_suppkey
