@@ -183,7 +183,9 @@ import json as _json
 
 _PQ_DATASET = "codes"
 _CODEBOOKS = "_CODEBOOKS"
+_CODEBOOKS_DIST = "_CODEBOOKS_DIST"
 _META_BOOKS = "_meta-codebooks"
+_META_BOOKS_DIST = "_meta-codebooks-dist"
 
 
 def pq_store(spark: SparkSession, path: str) -> UnitStore:
@@ -208,6 +210,22 @@ def _load_codebooks(store: UnitStore):
     return _json.loads(store._read_file(fs, jvm, (_CODEBOOKS,)))
 
 
+def _load_baseline_distortion(store: UnitStore):
+    """Training-time quantization distortion of the CURRENT books (same
+    sidecar-first resolution as _load_codebooks, so books and their
+    baseline always come from the same commit); None for stores written
+    before drift tracking existed."""
+    for u in sorted(store.units(), reverse=True):
+        if store.sidecars(u).get(_META_BOOKS) is not None:
+            body = store.sidecars(u).get(_META_BOOKS_DIST)
+            return _json.loads(body) if body is not None else None
+    fs, jvm = store._fs()
+    p = store._jp(jvm, _CODEBOOKS_DIST)
+    if not fs.exists(p):
+        return None
+    return _json.loads(store._read_file(fs, jvm, (_CODEBOOKS_DIST,)))
+
+
 def maintain_pq_index(
     vectors: DataFrame,
     store_dir: str,
@@ -218,6 +236,8 @@ def maintain_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int | None = None,
+    corpus_source=None,
+    drift_factor: float = 4.0,
 ):
     """Streaming maintainer for the IVF-PQ store. The first batch trains
     the codebooks (written to store metadata BEFORE its unit commits, so a
@@ -225,13 +245,19 @@ def maintain_pq_index(
     is cell-assigned and PQ-encoded, committing (id, cell, code) units.
     After a retrain_pq_store() refresh, later batches pick up the
     retrained books automatically (_load_codebooks resolves the newest
-    live sidecar first)."""
+    live sidecar first). With ``corpus_source`` set, drift is tracked per
+    batch and the retrain happens automatically inside the step when the
+    batch's quantization distortion exceeds ``drift_factor`` x the
+    training baseline (see pq_step_fn)."""
     spark = vectors.sparkSession
     return maintain_units(
         vectors,
         checkpoint_dir,
         lambda: pq_store(spark, store_dir),
-        pq_step_fn(centroids, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col),
+        pq_step_fn(
+            centroids, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col,
+            corpus_source=corpus_source, drift_factor=drift_factor,
+        ),
         compact_every=compact_every,
     )
 
@@ -242,10 +268,36 @@ def pq_step_fn(
     k_sub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_source=None,
+    drift_factor: float = 4.0,
 ):
     """The per-batch step of maintain_pq_index, exposed so tests can drive
-    batches and replays deterministically without the streaming engine."""
-    from carrot_transform_spark.operators.pq import encode, train_codebooks
+    batches and replays deterministically without the streaming engine.
+
+    Drift-triggered retrain: with ``corpus_source`` set (a zero-arg
+    callable returning the raw full-vector corpus — PQ codes are lossy, so
+    the vectors come from wherever they live: the full-vector store, the
+    source table, cold storage), every batch's mean quantization
+    distortion under the current books (operators/pq.
+    quantization_distortion — one narrow agg per batch) is compared to the
+    training-time baseline riding with the books; when it exceeds
+    ``drift_factor`` x baseline, the step retrains INSIDE its own
+    sequencing — books are fit on stored-corpus + this batch (hash-spread
+    seeding), every stored id is re-encoded, and the result compacts into
+    one atomic unit before the batch commits under the new books. Because
+    the retrain runs between two commits of the single maintainer, the
+    concurrent-writer hazard retrain_pq_store documents cannot occur.
+    Crash between the retrain compact and the batch commit is safe: the
+    replayed step re-measures distortion under the RETRAINED books (now
+    below the refreshed baseline) and just commits the batch.
+
+    Without ``corpus_source`` the step never retrains (the knob for
+    deployments that refresh books on a schedule via retrain_pq_store)."""
+    from carrot_transform_spark.operators.pq import (
+        encode,
+        quantization_distortion,
+        train_codebooks,
+    )
 
     def step(batch_df: DataFrame, store, units: list[str], unit: str) -> None:
         books = _load_codebooks(store)
@@ -254,6 +306,17 @@ def pq_step_fn(
             # Lloyd on the same rows -> identical books on replay.
             books = train_codebooks(batch_df, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col)
             store._write_file((_CODEBOOKS,), _json.dumps(books))
+            dist0 = quantization_distortion(batch_df, books, id_col, vec_col)
+            store._write_file((_CODEBOOKS_DIST,), _json.dumps(dist0))
+        elif corpus_source is not None:
+            dist0 = _load_baseline_distortion(store)
+            cur = quantization_distortion(batch_df, books, id_col, vec_col)
+            if dist0 is not None and dist0 > 0 and cur > drift_factor * dist0:
+                _retrain(
+                    store, corpus_source(), centroids, m, k_sub, id_col, vec_col,
+                    vacuum=True, train_extra=batch_df,
+                )
+                books = _load_codebooks(store)
         cells = assign_cells(batch_df, centroids, id_col, vec_col).withColumnRenamed(
             "id", "__cid"
         )
@@ -305,6 +368,69 @@ def search_pq_store_batch(
     )
 
 
+def _retrain(
+    store: UnitStore,
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    m: int,
+    k_sub: int,
+    id_col: str,
+    vec_col: str,
+    vacuum: bool,
+    train_extra: DataFrame | None = None,
+) -> str:
+    """Shared retrain body (see retrain_pq_store / pq_step_fn): fit new
+    books, re-encode every stored id, compact into one atomic unit whose
+    sidecars carry the books AND their fresh distortion baseline.
+    ``train_extra`` widens the TRAINING corpus only (the in-flight batch
+    during an auto-retrain — its codes commit separately right after)."""
+    from carrot_transform_spark.operators.pq import (
+        encode,
+        quantization_distortion,
+        train_codebooks,
+    )
+
+    src = store.units()
+    if not src:
+        raise FileNotFoundError(f"no committed units under {store.path}")
+    # only re-encode ids the store actually holds (the caller's vector
+    # frame may be a superset — e.g. the full source table)
+    stored_ids = store.load(_PQ_DATASET, src).select("id").distinct()
+    corpus = vectors.join(
+        stored_ids, vectors[id_col] == stored_ids["id"], "left_semi"
+    )
+    train_df = corpus.select(id_col, vec_col)
+    if train_extra is not None:
+        train_df = train_df.unionByName(train_extra.select(id_col, vec_col))
+    # hash-spread seeding: first-k-id seeds all come from the pre-drift
+    # region and leave the drifted cluster a single codeword per subspace
+    books = train_codebooks(
+        train_df, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col, init="hash"
+    )
+    dist0 = quantization_distortion(train_df, books, id_col, vec_col)
+    cells = assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        "id", "__cid"
+    )
+    codes = (
+        encode(corpus, books, id_col=id_col, vec_col=vec_col)
+        .join(cells, F.col("id") == F.col("__cid"))
+        .drop("__cid")
+    )
+    unit = store.fresh_unit("r")
+    replaced = store.compact(
+        unit,
+        units=src,
+        frames={_PQ_DATASET: codes},
+        sidecar_files={
+            _META_BOOKS: _json.dumps(books),
+            _META_BOOKS_DIST: _json.dumps(dist0),
+        },
+    )
+    if vacuum:
+        store.vacuum(replaced)
+    return unit
+
+
 def retrain_pq_store(
     spark: SparkSession,
     path: str,
@@ -327,46 +453,24 @@ def retrain_pq_store(
     unit's atomic commit, so readers never see new codes with old books or
     vice versa. Returns the new unit name.
 
+    QUIESCENCE REQUIRED: stop (or pause) any live maintain_pq_index
+    stream before calling this. The retrain snapshots the unit list at
+    entry; a unit committed by a concurrent maintainer between that
+    snapshot and the compact survives the compaction with codes encoded
+    under the OLD books, while the sidecar switches every reader to the
+    NEW books — silently wrong ADC distances for that unit. For a store
+    that must keep ingesting, use the drift-triggered retrain built into
+    pq_step_fn(corpus_source=...) instead: it runs the same retrain
+    between two commits of the single writer, so the window cannot exist.
+
     Replay-safe: training is deterministic Lloyd, so re-running after a
     crash converges to identical books and codes; the commit point is the
     same crash-atomic UnitStore transition every maintainer uses. Batches
     streamed after the retrain pick up the new books through
     _load_codebooks' sidecar-first resolution."""
-    from carrot_transform_spark.operators.pq import encode, train_codebooks
-
-    store = pq_store(spark, path)
-    src = store.units()
-    if not src:
-        raise FileNotFoundError(f"no committed units under {path}")
-    # only re-encode ids the store actually holds (the caller's vector
-    # frame may be a superset — e.g. the full source table)
-    stored_ids = store.load(_PQ_DATASET, src).select("id").distinct()
-    corpus = vectors.join(
-        stored_ids, vectors[id_col] == stored_ids["id"], "left_semi"
+    return _retrain(
+        pq_store(spark, path), vectors, centroids, m, k_sub, id_col, vec_col, vacuum
     )
-    # hash-spread seeding: first-k-id seeds all come from the pre-drift
-    # region and leave the drifted cluster a single codeword per subspace
-    books = train_codebooks(
-        corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col, init="hash"
-    )
-    cells = assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
-        "id", "__cid"
-    )
-    codes = (
-        encode(corpus, books, id_col=id_col, vec_col=vec_col)
-        .join(cells, F.col("id") == F.col("__cid"))
-        .drop("__cid")
-    )
-    unit = store.fresh_unit("r")
-    replaced = store.compact(
-        unit,
-        units=src,
-        frames={_PQ_DATASET: codes},
-        sidecar_files={_META_BOOKS: _json.dumps(books)},
-    )
-    if vacuum:
-        store.vacuum(replaced)
-    return unit
 
 
 def search_pq_store(

@@ -20,9 +20,15 @@ from tests.oracle_compare import compare_query, duck_connect  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # bigger scale factors need more than the 1g default driver heap (the
+    # compare collects full result sets for hashing) — tune via env
+    import os
+
+    cpus = os.environ.get("SWEEP_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SWEEP_SHUFFLE", cpus))
+        .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "2g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -107,6 +107,51 @@ def test_retrain_restores_recall_after_drift(spark, tmp_path, corpus):
     assert stored == fresh
 
 
+def test_drift_triggers_auto_retrain(spark, tmp_path, corpus):
+    """With corpus_source set, the drifted batch's distortion blowout must
+    trigger the retrain INSIDE the step — recall recovers past the same
+    pinned floor as the explicit-call test, with NO retrain_pq_store call."""
+    a, b, full = corpus
+    path = str(tmp_path / "store")
+    centroids = [[0.0] * DIM, [40.0] * DIM]
+    step = make_step(
+        lambda: pq_store(spark, path),
+        pq_step_fn(
+            centroids, m=M, k_sub=K_SUB, corpus_source=lambda: full, drift_factor=4.0
+        ),
+    )
+    step(a, 0)   # trains + freezes books + distortion baseline on region A
+    step(b, 1)   # drifted batch: distortion >> 4x baseline -> auto retrain
+
+    store = pq_store(spark, path)
+    units = store.units()
+    # a retrain unit (prefix r) plus the batch unit must both be live
+    assert any(u.startswith("r") for u in units), units
+    assert _load_codebooks(store) is not None
+
+    all_rows = full.collect()
+    drift_q = sorted(r["vec_id"] for r in all_rows if r["vec_id"] >= N_A)[:8]
+    after = _recall(spark, path, centroids, all_rows, drift_q)
+    assert after >= 40, f"auto-retrain did not recover drifted recall: {after}/80"
+
+    # every stored code row is consistent with the current books: batch b's
+    # rows were encoded under the retrained books, never the frozen A-books
+    import json as _j
+
+    from carrot_transform_spark.operators.pq import encode
+
+    books = _load_codebooks(store)
+    stored = {(r["id"], tuple(r["code"])) for r in store.load("codes").collect()}
+    fresh = {(r["id"], tuple(r["code"])) for r in encode(full, books).collect()}
+    assert stored == fresh
+
+    # replaying the drifted step is idempotent: distortion under the NEW
+    # books is below threshold, so no second retrain unit appears
+    step(b, 1)
+    units2 = pq_store(spark, path).units()
+    assert sum(u.startswith("r") for u in units2) == 1, units2
+
+
 def test_retrain_replay_is_idempotent(spark, tmp_path, corpus):
     a, b, full = corpus
     path = str(tmp_path / "store")
