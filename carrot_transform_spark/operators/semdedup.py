@@ -35,7 +35,11 @@ from carrot_transform_spark.operators.dedup import (
     connected_components,
     connected_components_star,
 )
-from carrot_transform_spark.operators.similarity import assign_cells, neardup_pairs
+from carrot_transform_spark.operators.similarity import (
+    assign_cells,
+    neardup_pairs,
+    neardup_pairs_multiprobe,
+)
 
 
 def semantic_dedup(
@@ -47,6 +51,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     star: bool = False,
     max_cell_size: int | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """(id, component_id, keep) for every row of ``df``.
 
@@ -57,22 +62,40 @@ def semantic_dedup(
     their provenance.
 
     Blocking comes from ``cell_col`` if given, else from nearest-centroid
-    assignment over ``centroids``. ``star=True`` swaps the component step to
-    the large-star/small-star variant (O(log n) rounds on any diameter).
-    ``max_cell_size`` bounds the within-cell pair join at cap^2 per cell
-    (similarity._cap_cell): a degenerate cell pairs only its cap
-    deterministic representatives, the remainder survive as singletons;
-    cells at or under the bound behave exactly as uncapped.
+    assignment over ``centroids``. With centroids, ``n_probe`` > 1 switches
+    the pair stage to multi-probe blocking
+    (similarity.neardup_pairs_multiprobe): near-dups that straddle a cell
+    boundary — invisible to single-cell blocking by construction — are
+    found when either member probes the other's primary cell, at
+    ~n_probe x the candidate volume (never all-pairs). ``star=True`` swaps
+    the component step to the large-star/small-star variant (O(log n)
+    rounds on any diameter). ``max_cell_size`` bounds the within-cell pair
+    join at cap^2 per cell (similarity._cap_cell): a degenerate cell pairs
+    only its cap deterministic representatives, the remainder survive as
+    singletons; cells at or under the bound behave exactly as uncapped.
     """
     if cell_col is None:
         if centroids is None:
             raise ValueError("semantic_dedup needs cell_col or centroids")
+        if n_probe > 1:
+            pairs = neardup_pairs_multiprobe(
+                df,
+                centroids,
+                n_probe=n_probe,
+                id_col=id_col,
+                vec_col=vec_col,
+                threshold=threshold,
+                max_cell_size=max_cell_size,
+            )
+            return _keep_list(df, id_col, pairs, star)
         cells = assign_cells(df, centroids, id_col, vec_col).withColumnRenamed(
             "id", "__cid"
         )
         blocked = df.join(cells, F.col(id_col) == F.col("__cid")).drop("__cid")
         cell_col = "cell"
     else:
+        if n_probe > 1:
+            raise ValueError("n_probe > 1 requires centroids (probe ranking)")
         blocked = df
 
     pairs = neardup_pairs(
@@ -83,6 +106,11 @@ def semantic_dedup(
         threshold=threshold,
         max_cell_size=max_cell_size,
     )
+    return _keep_list(df, id_col, pairs, star)
+
+
+def _keep_list(df: DataFrame, id_col: str, pairs: DataFrame, star: bool) -> DataFrame:
+    """pairs -> components -> one (id, component_id, keep) row per input."""
     cc = connected_components_star if star else connected_components
     comps = cc(pairs, id_a="id_a", id_b="id_b")
 

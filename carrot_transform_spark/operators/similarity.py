@@ -267,6 +267,69 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_multiprobe(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_cell_size: int | None = None,
+    impl: str = "fold",
+) -> DataFrame:
+    """(id_a < id_b, cosine_sim >= threshold) with MULTI-PROBE blocking:
+    candidates sit in their primary (nearest-centroid) cell, every vector
+    also probes its n_probe nearest cells — so a near-dup pair straddling
+    a cell boundary is found as soon as EITHER member probes the other's
+    primary cell, the recall gap single-cell blocking (neardup_pairs over
+    an assign_cells column) structurally cannot close. At n_probe =
+    n_cells this is exactly the all-pairs threshold join.
+
+    Shape matches knn_graph_multiprobe: candidate volume per vector is
+    ~n_probe/n_cells of the corpus, never |corpus|; ``max_cell_size`` caps
+    the candidate side per primary cell. A pair reachable from both sides
+    (or through several probes) is computed more than once before the
+    DISTINCT — both directions produce bit-identical rounded similarities
+    (the dot/norm folds are commutative per element and summed in the
+    same array order), so the dedup is exact."""
+    primary = assign_cells(df, centroids, id_col, vec_col, impl=impl).withColumnRenamed(
+        "id", "__pid"
+    )
+    n = (
+        _normed(df, id_col, vec_col)
+        .join(primary, F.col("id") == F.col("__pid"))
+        .drop("__pid")
+    )
+    b = _cap_cell(n, "cell", max_cell_size).select(
+        F.col("id").alias("id_b"), F.col("cell").alias("cb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    probes = probe_cells(df, centroids, n_probe, id_col, vec_col, impl=impl).select(
+        F.col("id").alias("__qid"), F.col("cell").alias("ca")
+    )
+    a = (
+        _normed(df, id_col, vec_col)
+        .join(probes, F.col("id") == F.col("__qid"))
+        .drop("__qid")
+        .select(F.col("id").alias("id_a"), "ca", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    )
+    pairs = a.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("id_a") != F.col("id_b"))
+    ).select(
+        "id_a", "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cs"),
+    )
+    return (
+        pairs.filter(F.col("cs") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            fround("cs").alias("cosine_sim"),
+        )
+        .distinct()
+    )
+
+
 def knn_graph(
     df: DataFrame,
     cell_col: str,

@@ -173,6 +173,119 @@ def _semdedup_sql() -> str:
     """
 
 
+_SD_MP_PROBES = 2
+_SD_MP_THRESHOLD = 0.6
+
+
+def _mp_planted() -> list[tuple[int, list[float]]]:
+    """Two planted near-duplicates straddling the c0/c1 cell boundary of
+    the literal codebook: each sits just off the bisector of the first two
+    centroids, tipped to opposite sides — primary cells differ, cosine
+    ~0.998. Components are multiples of 1/32, so the float32 storage cast
+    and every engine's double math are exact."""
+    import math
+
+    from carrot_transform_spark.queries.similarity import _CENTROIDS
+
+    c0, c1 = _CENTROIDS[0], _CENTROIDS[1]
+    n0 = math.sqrt(sum(x * x for x in c0))
+    n1 = math.sqrt(sum(x * x for x in c1))
+    u0 = [x / n0 for x in c0]
+    u1 = [x / n1 for x in c1]
+
+    def mk(tip):
+        return [round((a + b + 0.05 * e) * 32) / 32 for a, b, e in zip(u0, u1, tip)]
+
+    return [(10_000_000_000, mk(u0)), (10_000_000_001, mk(u1))]
+
+
+def sim_semantic_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with cross-cell recall (semantic_dedup n_probe=2 over the
+    literal centroids): candidates live in their primary cell, every
+    vector probes its 2 nearest cells, so the PLANTED boundary pair —
+    whose members quantize into different primary cells and which
+    single-cell blocking therefore provably cannot pair — lands in one
+    component. The corpus is the vec_id%4 slice of the embeddings table
+    plus the two planted rows; the oracle recomputes quantization, probe
+    ranking, the pair join, and the component closure from scratch."""
+    from carrot_transform_spark.operators.semdedup import semantic_dedup
+    from carrot_transform_spark.queries.similarity import _CENTROIDS
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 4 == 0)
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    )
+    extra = spark.createDataFrame(_mp_planted(), "vec_id long, embedding array<float>")
+    u = e.unionByName(extra)
+    out = semantic_dedup(
+        u, centroids=_CENTROIDS, threshold=_SD_MP_THRESHOLD, n_probe=_SD_MP_PROBES
+    )
+    return out.select(F.col("id").alias("vec_id"), "component_id", "keep").orderBy(
+        "vec_id"
+    )
+
+
+def _semdedup_mp_sql() -> str:
+    from carrot_transform_spark.queries.similarity import _CENTROIDS, _DOT_SQL
+
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in v)}]::DOUBLE[])"
+        for i, v in _mp_planted()
+    )
+    sims = []
+    for ci, c in enumerate(_CENTROIDS):
+        dot = " + ".join(f"n.v[{d + 1}] * ({c[d]!r})" for d in range(64))
+        cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+        sims.append(
+            f"SELECT vec_id, {ci} AS cell, (({dot}) / (nrm * {cn!r})) AS sim FROM n"
+        )
+    sims_sql = " UNION ALL ".join(sims)
+    dot_ab = _DOT_SQL.format(a="q.v", b="c.v")
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % 4 = 0
+        UNION ALL
+        SELECT * FROM (VALUES {vals}) pl(vec_id, v)
+    ),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base),
+    sims AS ({sims_sql}),
+    ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS pr
+        FROM sims
+    ),
+    cand AS (
+        SELECT n.vec_id, n.v, n.nrm, r.cell
+        FROM n JOIN ranked r ON r.vec_id = n.vec_id AND r.pr = 1
+    ),
+    q AS (
+        SELECT n.vec_id, n.v, n.nrm, r.cell
+        FROM n JOIN ranked r ON r.vec_id = n.vec_id AND r.pr <= {_SD_MP_PROBES}
+    ),
+    p AS (
+        SELECT DISTINCT LEAST(q.vec_id, c.vec_id) AS id_a,
+                        GREATEST(q.vec_id, c.vec_id) AS id_b
+        FROM q JOIN cand c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        WHERE {dot_ab} / (q.nrm * c.nrm) >= {_SD_MP_THRESHOLD}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS component_id FROM reach GROUP BY a)
+    SELECT b.vec_id, COALESCE(c2.component_id, b.vec_id) AS component_id,
+           CASE WHEN COALESCE(c2.component_id, b.vec_id) = b.vec_id
+                THEN 1 ELSE 0 END AS keep
+    FROM base b LEFT JOIN comp c2 ON c2.id = b.vec_id
+    ORDER BY vec_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # suite: blocking/quantization checks as one entry (the exact and IVF top-k
 # queries stay standalone in similarity.py)
@@ -251,6 +364,12 @@ register_suite(
             sim_knn_multiprobe,
             KNN_MP_SQL,
             [("vec_id", "i"), ("neighbor_id", "i"), ("cosine_sim", "f"), ("rnk", "i")],
+        ),
+        (
+            "sim_semantic_multiprobe",
+            sim_semantic_multiprobe,
+            _semdedup_mp_sql(),
+            [("vec_id", "i"), ("component_id", "i"), ("keep", "i")],
         ),
     ],
     tags=("similarity", "lsh", "suite"),
