@@ -243,11 +243,109 @@ def scrub_cross_doc_spans(
     )
 
 
+_ROLL_B1 = 1000003  # odd -> invertible mod 2^64
+_ROLL_B2 = 1000033
+
+
+def _rolling_window_hashes(
+    docs: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(doc, chunk_idx, h1, h2): a 128-bit polynomial hash of every
+    stride-1 window of exactly ``min_len`` whitespace tokens — the same
+    (doc, chunk_idx) grid chunk_token_windows(size=min_len,
+    overlap=min_len-1) produces for full windows, WITHOUT materializing
+    the window text: per Arrow batch the whitespace-normalized byte
+    stream is hashed once with prefix sums (A(p) = sum byte[i]·B^-i mod
+    2^64, span hash = (A(e)-A(s))·B^(e-1)), so per-doc work and memory
+    are O(bytes), not O(bytes x min_len). Two independent bases give
+    2^-128-grade collisions — the same practical-injectivity contract the
+    md5(chunk_text) form relied on. Tokenization is re.ASCII \\s+ on the
+    trimmed text, matching Spark's split(trim(text), '\\s+') (Java regex
+    \\s is ASCII-only)."""
+    src = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc"), F.trim(F.col(text_col)).alias("t")
+    )
+    doc_type = src.schema["doc"].dataType.simpleString()
+    binv1 = pow(_ROLL_B1, -1, 1 << 64)
+    binv2 = pow(_ROLL_B2, -1, 1 << 64)
+
+    def hash_windows(batches):
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        ws = re.compile(r"\s+", re.ASCII)
+
+        def spans_of(doc_val, text):
+            toks = ws.split(text)
+            if len(toks) < min_len:
+                return None
+            norm = " ".join(toks)
+            b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            nb = b.shape[0]
+            lens = np.array([len(t.encode("utf-8")) for t in toks], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1] + 1)))
+            ends = starts + lens
+            n_win = len(toks) - min_len + 1
+            s = starts[:n_win]
+            e = ends[min_len - 1 :]
+            def powers(x):
+                p = np.empty(nb, dtype=np.uint64)
+                p[0] = 1
+                if nb > 1:
+                    np.multiply.accumulate(
+                        np.full(nb - 1, x, dtype=np.uint64), out=p[1:]
+                    )
+                return p
+
+            out = []
+            with np.errstate(over="ignore"):
+                for base, binv in ((_ROLL_B1, binv1), (_ROLL_B2, binv2)):
+                    pinv = powers(np.uint64(binv))
+                    ppow = powers(np.uint64(base))
+                    A = np.concatenate(
+                        ([np.uint64(0)], np.cumsum(b * pinv, dtype=np.uint64))
+                    )
+                    out.append(((A[e] - A[s]) * ppow[e - 1]).view(np.int64))
+            return doc_val, np.arange(n_win, dtype=np.int64), out[0], out[1]
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_doc, o_idx, o_h1, o_h2 = [], [], [], []
+            for doc_val, text in zip(ids, texts):
+                got = spans_of(doc_val, text)
+                if got is None:
+                    continue
+                d, idx, h1, h2 = got
+                o_doc.extend([d] * idx.shape[0])
+                o_idx.append(idx)
+                o_h1.append(h1)
+                o_h2.append(h2)
+            if not o_doc:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, type=batch.column(0).type),
+                    pa.array(np.concatenate(o_idx)),
+                    pa.array(np.concatenate(o_h1)),
+                    pa.array(np.concatenate(o_h2)),
+                ],
+                ["doc", "chunk_idx", "h1", "h2"],
+            )
+
+    return src.mapInArrow(
+        hash_windows, f"doc {doc_type}, chunk_idx long, h1 long, h2 long"
+    )
+
+
 def exact_substring_scrub(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 8,
+    impl: str = "rolling",
 ) -> DataFrame:
     """(doc, n_tokens, n_removed, clean_text): EXACT cross-document
     substring dedup (ExactSubstr, Lee et al. 2022 "Deduplicating Training
@@ -268,21 +366,37 @@ def exact_substring_scrub(
     Scale shape is identical to the strided form — one global group on
     the 128-bit window hash (uniform, skew-free), positions exploded only
     for FLAGGED windows (proportional to duplicated material), one
-    per-doc rebuild aggregate. Per-doc hashing work is
-    O(n_tokens x min_len); at 100 TB run it after exact/minhash doc-level
-    dedup so it only pays for the surviving corpus."""
-    ch = chunk_token_windows(docs, id_col, text_col, size=min_len, overlap=min_len - 1)
-    spans = ch.filter(F.col("n_tokens") == min_len).select(
-        F.col("id").alias("doc"), "chunk_idx", F.md5("chunk_text").alias("h")
-    )
+    per-doc rebuild aggregate.
+
+    impl="rolling" (default): window hashes come from the
+    _rolling_window_hashes polynomial prefix-sum kernel — per-doc hashing
+    is O(bytes), never materializing the ×min_len window text the
+    chunk-grid form amplifies (the round-8 VERDICT watch item).
+    impl="chunk" keeps the md5(chunk_text) grid — the form the DuckDB
+    oracle mirrors; both produce identical (doc, covered-position) sets
+    because a window hash collides across documents exactly when the
+    window text is identical (128-bit practical injectivity either way).
+    At 100 TB run after exact/minhash doc-level dedup so it only pays for
+    the surviving corpus."""
+    if impl == "rolling":
+        spans = _rolling_window_hashes(docs, id_col, text_col, min_len)
+        hcols = ["h1", "h2"]
+    else:
+        ch = chunk_token_windows(
+            docs, id_col, text_col, size=min_len, overlap=min_len - 1
+        )
+        spans = ch.filter(F.col("n_tokens") == min_len).select(
+            F.col("id").alias("doc"), "chunk_idx", F.md5("chunk_text").alias("h")
+        )
+        hcols = ["h"]
     cross = (
-        spans.groupBy("h")
+        spans.groupBy(*hcols)
         .agg(F.countDistinct("doc").alias("nd"))
         .filter(F.col("nd") > 1)
-        .select("h")
+        .select(*hcols)
     )
     covered = (
-        spans.join(cross, "h", "left_semi")
+        spans.join(cross, hcols, "left_semi")
         .select(
             "doc",
             F.explode(

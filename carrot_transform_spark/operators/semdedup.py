@@ -50,7 +50,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     threshold: float = 0.9,
     star: bool = False,
-    max_cell_size: int | None = None,
+    max_cell_size: int | None | str = "auto",
     n_probe: int = 1,
 ) -> DataFrame:
     """(id, component_id, keep) for every row of ``df``.

@@ -212,6 +212,64 @@ def _assign_cells_arrow(
     return src.mapInArrow(quantize, f"id {id_type}, cell int")
 
 
+# auto hot-cell bounding: a cell is "hot" only when it exceeds BOTH the
+# skew factor x median cell size AND the absolute floor — so small corpora
+# and uniform layouts (every oracle/test corpus) never trigger and
+# auto == uncapped there by construction
+_AUTO_CAP_FLOOR = 4096
+_AUTO_SKEW_FACTOR = 8
+_AUTO_MAX_SHARDS = 32
+
+
+def _auto_cap(n: DataFrame, cell_col: str) -> tuple[int | None, int]:
+    """(cap, shards) derived from the observed cell-size distribution —
+    the knob-free defaults VERDICT r8 task 3 asks for. One count-per-cell
+    aggregation (|cells| rows, map-side combined, five-scalar collect).
+
+    No cell hot (max <= _AUTO_SKEW_FACTOR x median, or everything under
+    the floor) -> (None, 1): exactly the uncapped/unsalted plan.
+    Hot -> cap near the top of the NORMAL size distribution so healthy
+    cells are untouched: p99 cell size when p99 is itself normal, else
+    (few cells, so the hot one IS the p99) 2 x median; floored at
+    _AUTO_CAP_FLOOR. shards = the over-representation factor
+    (diagnostics.skew_profile's salts_hint), clamped to _AUTO_MAX_SHARDS.
+    percentile_approx makes the trigger data-dependent but
+    margin-insensitive: it only engages at 8x skew, far beyond sketch
+    error."""
+    row = (
+        n.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.max("c"),
+            F.expr("percentile_approx(c, 0.5)"),
+            F.expr("percentile_approx(c, 0.99)"),
+            F.sum("c"),
+            F.count(F.lit(1)),
+        )
+        .first()
+    )
+    mx, med, p99, total, nkeys = row
+    if mx is None:
+        return None, 1
+    med = max(int(med or 1), 1)
+    if mx <= _AUTO_SKEW_FACTOR * med or mx <= _AUTO_CAP_FLOOR:
+        return None, 1
+    p99 = int(p99 or 0)
+    normal_hi = p99 if p99 <= _AUTO_SKEW_FACTOR * med else 2 * med
+    cap = max(normal_hi, _AUTO_CAP_FLOOR)
+    shards = max(1, min(_AUTO_MAX_SHARDS, -(-int(mx) * int(nkeys) // int(total))))
+    return cap, shards
+
+
+def _resolve_cap(
+    n: DataFrame, cell_col: str, cap: int | None | str
+) -> tuple[int | None, int]:
+    """Turn a max_cell_size knob ("auto" | int | None) into (cap, shards)."""
+    if cap == "auto":
+        return _auto_cap(n, cell_col)
+    return cap, 1
+
+
 def _cap_cell(n: DataFrame, cell_col: str, cap: int | None) -> DataFrame:
     """At most ``cap`` deterministic representatives per cell (None = all).
 
@@ -240,7 +298,7 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    max_cell_size: int | None = None,
+    max_cell_size: int | None | str = "auto",
 ) -> DataFrame:
     """(id_a, id_b, cosine_sim >= threshold), blocked by a coarse column.
 
@@ -248,9 +306,14 @@ def neardup_pairs(
     the bound pair only their ``cap`` deterministic representatives (see
     _cap_cell); rows beyond the cap in a degenerate cell sit out pairing
     and survive any downstream dedup as singletons. Cells at or under the
-    bound are untouched — identical output to the uncapped form."""
+    bound are untouched — identical output to the uncapped form. The
+    default "auto" derives the cap from the observed cell sizes
+    (_auto_cap: engages only past 8x-median skew above a 4096-row floor,
+    so it is exactly the uncapped plan on healthy layouts); None means
+    explicitly unbounded."""
     n = _normed(df, id_col, vec_col, extra=[block_col])
-    n = _cap_cell(n, block_col, max_cell_size)
+    cap, _ = _resolve_cap(n, block_col, max_cell_size)
+    n = _cap_cell(n, block_col, cap)
     a = n.select(
         F.col("id").alias("id_a"), F.col(block_col).alias("ba"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -274,7 +337,7 @@ def neardup_pairs_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    max_cell_size: int | None = None,
+    max_cell_size: int | None | str = "auto",
     impl: str = "fold",
 ) -> DataFrame:
     """(id_a < id_b, cosine_sim >= threshold) with MULTI-PROBE blocking:
@@ -300,7 +363,8 @@ def neardup_pairs_multiprobe(
         .join(primary, F.col("id") == F.col("__pid"))
         .drop("__pid")
     )
-    b = _cap_cell(n, "cell", max_cell_size).select(
+    cap, _ = _resolve_cap(n, "cell", max_cell_size)
+    b = _cap_cell(n, "cell", cap).select(
         F.col("id").alias("id_b"), F.col("cell").alias("cb"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
@@ -336,8 +400,8 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    max_cell_size: int | None = None,
-    shards: int = 1,
+    max_cell_size: int | None | str = "auto",
+    shards: int | str = "auto",
 ) -> DataFrame:
     """(id, neighbor_id, cosine_sim, rnk): every vector's top-k neighbors
     within its coarse cell — the k-NN graph that SemDeDup, graph clustering,
@@ -358,8 +422,19 @@ def knn_graph(
     ``shards`` > 1 salts the node side by id and replicates the capped
     candidate side per shard, so a degenerate cell's scoring spreads over
     ``shards`` tasks instead of one straggler (result set identical —
-    salting only repartitions the work)."""
+    salting only repartitions the work). The defaults derive BOTH knobs
+    from the observed cell-size distribution (_auto_cap): on healthy
+    layouts they resolve to uncapped/unsalted; past 8x-median skew above
+    the 4096-row floor, cap = p99 cell size and shards = the
+    over-representation factor (clamped to 32). Pass ints or None to pin
+    either knob."""
     n = _normed(df, id_col, vec_col, extra=[cell_col])
+    if max_cell_size == "auto" or shards == "auto":
+        a_cap, a_shards = _auto_cap(n, cell_col)
+        if max_cell_size == "auto":
+            max_cell_size = a_cap
+        if shards == "auto":
+            shards = a_shards if max_cell_size is not None else 1
     a = n.select(
         F.col("id"), F.col(cell_col).alias("ca"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -399,7 +474,7 @@ def knn_graph_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    max_cell_size: int | None = None,
+    max_cell_size: int | None | str = "auto",
     impl: str = "fold",
 ) -> DataFrame:
     """k-NN graph with node-side multi-probe: each node scores against the
@@ -422,7 +497,8 @@ def knn_graph_multiprobe(
         .join(primary, F.col("id") == F.col("__pid"))
         .drop("__pid")
     )
-    b = _cap_cell(n, "cell", max_cell_size).select(
+    cap, _ = _resolve_cap(n, "cell", max_cell_size)
+    b = _cap_cell(n, "cell", cap).select(
         F.col("id").alias("neighbor_id"), F.col("cell").alias("cb"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )

@@ -223,16 +223,78 @@ class JdbcSource(Source):
         self.dialect = dialect_for_url(url)
 
     def scan_splits(self, table: str) -> int | None:
-        # a JDBC scan is one partition unless BOTH numPartitions and
-        # partitionColumn(+bounds) are set — numPartitions alone does not
-        # parallelize a read, so reporting it would make the planner skip a
-        # needed spread
-        if "partitionColumn" not in self.properties:
-            return 1
+        # a raw JDBC scan is one stream; with numPartitions set, read()
+        # parallelizes it — either on the caller's partitionColumn(+bounds)
+        # or on a derived numeric column (min/max bounds probed server-side,
+        # see _derive_partitioning). Only a table with NO numeric column
+        # falls back to one stream.
         try:
             return max(1, int(self.properties.get("numPartitions", 1)))
         except (TypeError, ValueError):
             return None
+
+    _NUMERIC_JDBC_TYPES = ("int", "bigint", "smallint", "tinyint", "long", "decimal")
+
+    def _derive_partitioning(
+        self, dbtable: str, options: dict[str, str]
+    ) -> dict[str, str] | None:
+        """partitionColumn/lowerBound/upperBound derived from the table
+        itself, so `numPartitions` alone yields a genuinely parallel scan —
+        a 100 TB DB ingest must never be a single JDBC stream. Picks the
+        first numeric column (preferring *id* names — the usual indexed
+        PK), probes MIN/MAX with a one-row server-side aggregate, and
+        returns the reader options Spark needs to split the scan into
+        range predicates. Returns None (single stream) when the caller
+        already partitioned, asked for <= 1 partition, or the table has no
+        numeric column; NULL bounds (empty table) also fall back."""
+        try:
+            n = int(options.get("numPartitions", 1))
+        except (TypeError, ValueError):
+            return None
+        if n <= 1 or "partitionColumn" in options:
+            return None
+        passthrough = {
+            k: v
+            for k, v in options.items()
+            if k not in ("numPartitions", "partitionColumn", "lowerBound", "upperBound")
+        }
+
+        def reader(tbl: str):
+            r = self.spark.read.format("jdbc").option("url", self.url).option(
+                "dbtable", tbl
+            )
+            for k, v in passthrough.items():
+                r = r.option(k, v)
+            return r
+
+        schema = reader(dbtable).load().schema  # schema probe — no rows fetched
+        numeric = [
+            f.name
+            for f in schema.fields
+            if f.dataType.simpleString().startswith(self._NUMERIC_JDBC_TYPES)
+        ]
+        if not numeric:
+            return None
+        col = next(
+            (c for c in numeric if c.lower().endswith("id") or c.lower() == "id"),
+            numeric[0],
+        )
+        # the schema probe reports the column's EXACT server-side name, so
+        # it must be double-quoted (ANSI — Derby/Postgres/Trino/SQLite all
+        # honor it) or the server would case-fold it away again
+        q = '"' + col.replace('"', '""') + '"'
+        row = reader(
+            f"(SELECT MIN({q}) AS ct_lo, MAX({q}) AS ct_hi FROM {dbtable}) ct_bounds"
+        ).load().first()
+        if row is None or row[0] is None or row[1] is None:
+            return None
+        lo, hi = int(row[0]), int(row[1])
+        return {
+            "partitionColumn": col,
+            "lowerBound": str(lo),
+            "upperBound": str(max(hi, lo + 1)),
+            "numPartitions": str(n),
+        }
 
     def read_spec(self, table: str) -> tuple[str, dict[str, str]]:
         """(dbtable, reader options) — pure, so dialect contract tests can
@@ -247,6 +309,9 @@ class JdbcSource(Source):
 
     def read(self, table: str) -> DataFrame:
         dbtable, options = self.read_spec(table)
+        derived = self._derive_partitioning(dbtable, options)
+        if derived is not None:
+            options = {**options, **derived}
         reader = self.spark.read.format("jdbc").option("url", self.url).option(
             "dbtable", dbtable
         )

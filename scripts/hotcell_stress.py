@@ -38,8 +38,10 @@ N_COLD_CELLS = 4096
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     hot_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.2
-    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    shards = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    # no knobs set -> the operator derives cap/shards from the observed
+    # cell-size distribution (similarity._auto_cap)
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else "auto"
+    shards = int(sys.argv[4]) if len(sys.argv) > 4 else "auto"
     k = 10
 
     spark = get_spark(app_name="hotcell-stress")
@@ -71,6 +73,13 @@ def main() -> None:
 
     t0 = time.perf_counter()
     g = knn_graph(vecs, "cell", k=k, max_cell_size=cap, shards=shards).persist()
+    if cap == "auto" or shards == "auto":
+        from carrot_transform_spark.operators.similarity import _auto_cap, _normed
+
+        a_cap, a_shards = _auto_cap(_normed(vecs, "vec_id", "embedding", ["cell"]), "cell")
+        cap = (a_cap if a_cap is not None else n) if cap == "auto" else cap
+        shards = (a_shards if a_cap is not None else 1) if shards == "auto" else shards
+        print(f"auto-derived cap={cap} shards={shards}", flush=True)
     n_edges = g.count()
     wall = time.perf_counter() - t0
 

@@ -118,3 +118,40 @@ def test_exact_scrub_blank_and_fully_duplicated_docs(spark):
     got = _run(spark, docs, exact_substring_scrub, min_len=L)
     assert got[1] == "" and got[2] == ""
     assert got[3] == "" and got[4] == "solo text here"
+
+
+def test_rolling_impl_matches_chunk_impl_on_documents(spark):
+    """The polynomial rolling-hash span stage must reproduce the
+    md5(chunk_text) grid exactly on real corpus text (same covered
+    positions -> byte-identical cleaned docs)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    roll = {
+        (r["doc"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_scrub(docs, min_len=L).collect()
+    }
+    chunk = {
+        (r["doc"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_scrub(docs, min_len=L, impl="chunk").collect()
+    }
+    assert roll == chunk and roll
+
+
+def test_rolling_hash_kernel_window_identity(spark):
+    """h1/h2 depend only on window CONTENT: equal token windows at
+    different positions/documents collide, different windows do not."""
+    from carrot_transform_spark.operators.repetition import _rolling_window_hashes
+
+    rows = [
+        (1, "a b c d e f g h tail one"),
+        (2, "lead a b c d e f g h other"),   # same 8-window at offset 1
+        (3, "a b c d e f g X different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc"], r["chunk_idx"]): (r["h1"], r["h2"])
+        for r in _rolling_window_hashes(df, "doc_id", "text", 8).collect()
+    }
+    assert got[(1, 0)] == got[(2, 1)]
+    assert got[(1, 0)] != got[(3, 0)]
+    # window grid: doc 1 has 10 tokens -> 3 full windows (idx 0..2)
+    assert {i for d, i in got if d == 1} == {0, 1, 2}

@@ -123,3 +123,62 @@ def test_streaming_cell_pairs_cap_equals_uncapped_when_not_skewed(spark):
         for r in _cell_pairs(new, old, 0.5, max_cell_size=100).collect()
     }
     assert capped == base and base
+
+
+def test_auto_resolves_to_uncapped_on_healthy_layout(spark):
+    """The knob-free default must be EXACTLY the uncapped/unsalted plan on
+    an unskewed corpus (every cell far under floor/skew trigger)."""
+    c = _corpus(spark)
+    n = sim._normed(c, "vec_id", "embedding", ["cell"])
+    assert sim._auto_cap(n, "cell") == (None, 1)
+    auto = _edges(sim.knn_graph(c, "cell", k=3))  # defaults: "auto"/"auto"
+    pinned = _edges(sim.knn_graph(c, "cell", k=3, max_cell_size=None, shards=1))
+    assert auto == pinned
+
+
+def test_auto_caps_planted_hot_cell(spark, monkeypatch):
+    """With the floor scaled down to test size, a planted hot cell must
+    trigger: cap lands near the top of the normal size distribution and
+    shards reflect the over-representation factor; the default-call graph
+    then bounds hot-cell candidates at the derived cap."""
+    monkeypatch.setattr(sim, "_AUTO_CAP_FLOOR", 30)
+    c = _corpus(spark, n=300, hot_frac=0.6)  # hot cell ~188, others ~20
+    n = sim._normed(c, "vec_id", "embedding", ["cell"])
+    cap, shards = sim._auto_cap(n, "cell")
+    assert cap is not None and 30 <= cap < 150
+    assert shards > 1
+    g = sim.knn_graph(c, "cell", k=500)  # no knobs set
+    per_node = (
+        g.join(c.select(F.col("vec_id").alias("id"), "cell"), "id")
+        .filter(F.col("cell") == 0)
+        .groupBy("id")
+        .count()
+        .collect()
+    )
+    hot_n = c.filter("cell = 0").count()
+    assert per_node and all(r["count"] <= cap for r in per_node)
+    assert len(per_node) == hot_n  # every hot node still gets edges
+
+
+def test_auto_in_neardup_and_semdedup_matches_pinned(spark):
+    c = _corpus(spark)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in sim.neardup_pairs(c, "cell", threshold=0.5).collect()
+    }
+    pinned = {
+        (r["id_a"], r["id_b"])
+        for r in sim.neardup_pairs(c, "cell", threshold=0.5, max_cell_size=None).collect()
+    }
+    assert auto == pinned
+    sd_auto = {
+        (r["id"], r["component_id"], r["keep"])
+        for r in semantic_dedup(c, cell_col="cell", threshold=0.5).collect()
+    }
+    sd_pinned = {
+        (r["id"], r["component_id"], r["keep"])
+        for r in semantic_dedup(
+            c, cell_col="cell", threshold=0.5, max_cell_size=None
+        ).collect()
+    }
+    assert sd_auto == sd_pinned

@@ -80,14 +80,16 @@ def test_source_read_spec_merges_dialect_options_under_user(spark):
     assert options["fetchsize"] == "5000"
 
 
-def test_source_scan_splits_needs_partition_column(spark):
-    """numPartitions alone does not parallelize a JDBC read — without
-    partitionColumn the scan is one partition and must report 1 so the
-    planner spreads it downstream."""
+def test_source_scan_splits_honors_num_partitions(spark):
+    """numPartitions now parallelizes the read even without an explicit
+    partitionColumn (read() derives one from the table's numeric columns
+    + a MIN/MAX bounds probe), so scan_splits reports it; without the
+    option the scan is one stream."""
     from carrot_transform_spark.sources.registry import JdbcSource
 
+    assert JdbcSource(spark, "jdbc:postgresql://db/omop", {}).scan_splits("person") == 1
     plain = JdbcSource(spark, "jdbc:postgresql://db/omop", {"numPartitions": "8"})
-    assert plain.scan_splits("person") == 1
+    assert plain.scan_splits("person") == 8
     parallel = JdbcSource(
         spark,
         "jdbc:postgresql://db/omop",

@@ -69,3 +69,40 @@ def test_jdbc_pipeline_matches_golden(spark, derby_url, tmp_path):
 def test_make_source_jdbc_dispatch(spark):
     src = make_source(spark, "jdbc:derby:memory:disp;create=true")
     assert isinstance(src, JdbcSource)
+
+
+def test_numpartitions_derives_parallel_scan(spark, tmp_path):
+    """numPartitions without partitionColumn must yield a genuinely
+    parallel read: the source derives the partition column (numeric,
+    *id*-preferred) and MIN/MAX bounds from the table itself, with row
+    parity against the single-stream read."""
+    db = tmp_path / "pderby"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    src_df = spark.range(0, 1000).selectExpr(
+        "id AS row_id", "CAST(id % 7 AS STRING) AS val"
+    )
+    src_df.write.format("jdbc").option("url", url).option("dbtable", "nums").options(
+        **props
+    ).save()
+
+    single = JdbcSource(spark, url, props).read("nums")
+    par_src = JdbcSource(spark, url, {**props, "numPartitions": "4"})
+    par = par_src.read("nums")
+    assert par.rdd.getNumPartitions() == 4
+    assert par_src.scan_splits("nums") == 4
+    a = {tuple(r) for r in single.drop(LINE_COL).collect()}
+    b = {tuple(r) for r in par.drop(LINE_COL).collect()}
+    assert a == b and len(a) == 1000
+
+
+def test_numpartitions_falls_back_without_numeric_column(spark, tmp_path):
+    db = tmp_path / "tderby"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    spark.createDataFrame([("a", "x"), ("b", "y")], "k string, v string").write.format(
+        "jdbc"
+    ).option("url", url).option("dbtable", "strs").options(**props).save()
+    par = JdbcSource(spark, url, {**props, "numPartitions": "4"}).read("strs")
+    assert par.rdd.getNumPartitions() == 1  # honest single stream
+    assert par.count() == 2
