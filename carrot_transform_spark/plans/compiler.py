@@ -203,18 +203,41 @@ class CarrotPlanner:
         # appearance), not the per-target rules order — auto-number ids and
         # row order must match even when the two orders differ
         global_files = self.rules.source_tables()
+        # wide-target compile strategy: past this many (field, value) pairs
+        # across all source blocks, every term-map field uses the per-FIELD
+        # maplit/joined record builder instead of per-(field, value)
+        # when-chain arrays — the plan stays |values|x smaller and builds
+        # in O(fields) py4j round trips (the 50x20 compile-budget shape)
+        total_pairs = sum(
+            sum(
+                1
+                for v, m in cm.value_mappings.items()
+                if v != "*" and any(m.values())
+            )
+            for tm in per_source.values()
+            for cm in tm.concept_mappings.values()
+        )
+        self._wide_target = total_pairs >= self.WIDE_PLAN_PAIRS
         parts: list[DataFrame] = []
         cand_bound: int | None = 0
         for src_file, tm in per_source.items():
             df = self._spread(source.read(tm.source_table), source, tm.source_table)
-            part = self._file_records(df, tm, schema, stats)
-            parts.append(part.withColumn(FILEIDX_COL, F.lit(global_files.index(src_file))))
+            part = self._file_records(
+                df, tm, schema, stats, fileidx=global_files.index(src_file)
+            )
+            parts.append(part)
             if cand_bound is not None:
                 hint = source.size_hint(tm.source_table)
                 cand_bound = None if hint is None else cand_bound + hint * _records_per_row_bound(tm)
+        # balanced-tree union: a left-deep chain re-resolves the growing
+        # left plan on every step (quadratic analysis — ~30 s of the old
+        # 50-block compile); the tree analyzes each part O(log n) times
+        while len(parts) > 1:
+            parts = [
+                parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
         out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
         auto_col = self.omop.auto_number_col(target)
         if auto_col and auto_col in schema.columns:
             # FIELDIDX (declaration-order ordinal), NOT the field name: the
@@ -307,6 +330,7 @@ class CarrotPlanner:
         tm: TableMapping,
         schema: TableSchema,
         stats: RejectStats | None,
+        fileidx: int = 0,
     ) -> DataFrame:
         target = tm.target_table
         src_file = tm.source_table
@@ -330,12 +354,30 @@ class CarrotPlanner:
         if cache_key in self._norm_cache:
             raw = self._norm_cache[cache_key]
         else:
+            # date-derived commons materialized alongside the normalised
+            # scan (cached once per file): the record generator can then
+            # reference them BY NAME, which lets the whole record-array
+            # expression be one parsed SQL string instead of tens of
+            # thousands of py4j Column round trips
+            # (_standard_records_col). ONE select — every extra withColumn
+            # re-analyzes the whole plan
+            norm = (
+                normalise_to8601(_resolve(df, date_field))
+                if date_field is not None
+                else F.lit(None).cast("string")
+            ).alias("__ct_norm")
+            d10 = F.substring(F.col("__ct_norm"), 1, 10)
+            sd = strict_date(d10)
+            raw = df.select("*", norm).select(
+                "*",
+                d10.alias("__ct_d10"),
+                F.year(sd).cast("string").alias("__ct_y"),
+                F.month(sd).cast("string").alias("__ct_mo"),
+                F.dayofmonth(sd).cast("string").alias("__ct_dd"),
+            )
             if date_field is not None:
-                raw = df.withColumn("__ct_norm", normalise_to8601(_resolve(df, date_field)))
                 raw = raw.persist()
                 self._persisted.append(raw)
-            else:
-                raw = df.withColumn("__ct_norm", F.lit(None).cast("string"))
             self._norm_cache[cache_key] = raw
 
         norm_ok = F.col("__ct_norm").isNotNull() if date_field is not None else F.lit(True)
@@ -477,6 +519,9 @@ class CarrotPlanner:
             F.col(f"__ct_rec.{FIELDIDX_COL}").alias(FIELDIDX_COL),
             F.col(f"__ct_rec.{COMBO_COL}").alias(COMBO_COL),
             F.col(LINE_COL),
+            # folded into this select — a trailing withColumn would
+            # re-analyze the whole record projection once more per file
+            F.lit(fileidx).alias(FILEIDX_COL),
         ]
         return exploded.select(*cols, *meta)
 
@@ -582,6 +627,146 @@ class CarrotPlanner:
             .withField(COMBO_COL, tail[2])
         )
 
+    # -- SQL-text record builder ----------------------------------------
+    #
+    # The standard-target record generator is assembled as ONE SQL string
+    # per source block and handed to F.expr: every Column operation is a
+    # synchronous py4j round trip (~150 us, and py4j serializes across
+    # threads), so a wide rules set (50 blocks x 20 fields) used to spend
+    # ~1 minute just CONSTRUCTING expression trees. String assembly is
+    # pure Python (microseconds) and the JVM parses each block's
+    # expression once. Inputs are only literals and resolved COLUMN NAMES
+    # — the date-derived commons are materialized on the cached scan
+    # (__ct_norm/__ct_d10/__ct_y/__ct_mo/__ct_dd) precisely so no
+    # Column->SQL conversion is ever needed. Semantics are the exact SQL
+    # twins of the retired Column forms (same functions, same order), and
+    # every golden/oracle test runs through this path.
+
+    def _common_values_sql(self, df: DataFrame, tm: TableMapping, schema: TableSchema) -> dict[str, str]:
+        """SQL twin of the retired _common_column_values: dest -> fragment."""
+        target = tm.target_table
+        out: dict[str, str] = {}
+        if tm.person_id_mapping and tm.person_id_mapping.dest_field in schema.columns:
+            src = _try_resolve_name(df, tm.person_id_mapping.source_field)
+            if src is not None:
+                out[tm.person_id_mapping.dest_field] = _sql_ident(src)
+        linked = self.omop.linked_date_fields(target)
+        comp = self.omop.date_components(target)
+        if tm.date_mapping:
+            companions = set(tm.date_mapping.companions())
+            for dest in tm.date_mapping.dest_fields:
+                if dest not in schema.columns:
+                    continue
+                out[dest] = "__ct_norm"
+                if dest not in companions:
+                    continue
+                if dest in comp:
+                    ci = comp[dest]
+                    if "year" in ci and ci["year"] in schema.columns:
+                        out[ci["year"]] = "__ct_y"
+                    if "month" in ci and ci["month"] in schema.columns:
+                        out[ci["month"]] = "__ct_mo"
+                    if "day" in ci and ci["day"] in schema.columns:
+                        out[ci["day"]] = "__ct_dd"
+                elif dest in linked and linked[dest] in schema.columns:
+                    out[linked[dest]] = "__ct_d10"
+        return out
+
+    def _record_struct_sql(
+        self,
+        schema: TableSchema,
+        overrides: dict[str, str],
+        fname: str,
+        combo_idx: int,
+        field_idx: int,
+        wrap_overrides: bool = True,
+    ) -> str:
+        """named_struct text for one record — same fields, order, defaults,
+        and override coalescing as _record_struct."""
+        parts: list[str] = []
+        for c in schema.columns:
+            ov = overrides.get(c)
+            if ov is None:
+                val = "'0'" if c in schema.notnull_numeric_fields else "''"
+            elif wrap_overrides:
+                val = f"COALESCE(CAST(({ov}) AS STRING), '')"
+            else:
+                val = ov
+            parts.append(f"{_sql_str(c)}, {val}")
+        parts.append(f"{_sql_str(FIELD_COL)}, CAST({_sql_str(fname)} AS STRING)")
+        parts.append(f"{_sql_str(FIELDIDX_COL)}, CAST({field_idx} AS INT)")
+        parts.append(f"{_sql_str(COMBO_COL)}, CAST({combo_idx} AS INT)")
+        return f"named_struct({', '.join(parts)})"
+
+    @staticmethod
+    def _empty_arr_sql(template: str) -> str:
+        # twin of _empty_like: typed empty array via an always-false filter
+        return f"filter(array({template}), __ct_e -> false)"
+
+    def _joined_field_records_sql(
+        self,
+        cm,
+        schema: TableSchema,
+        common: dict[str, str],
+        cell: str,
+        fname: str,
+        fidx: int,
+        matched: str,
+    ) -> str:
+        """SQL twin of the per-field dest-map record builder: exact match
+        beats wildcard, clamped-zip combinations, blank cells never match
+        (formerly _joined_field_records)."""
+        wild = cm.value_mappings.get("*")
+        if wild:
+            pairs = [
+                f"{_sql_str(d)}, array({', '.join(_sql_str(str(x)) for x in ids)})"
+                for d, ids in wild.items()
+                if ids
+            ]
+            eff = f"COALESCE({matched}, map({', '.join(pairs)}))" if pairs else matched
+        else:
+            eff = matched
+        all_dests: list[str] = []
+        max_n = 1
+        for m in cm.value_mappings.values():
+            for d, ids in m.items():
+                if ids and d not in all_dests:
+                    all_dests.append(d)
+                if ids:
+                    max_n = max(max_n, len(ids))
+        arrs = {d: f"element_at({eff}, {_sql_str(d)})" for d in all_dests}
+        sizes = [f"COALESCE(size({arrs[d]}), 0)" for d in all_dests]
+        if len(sizes) > 1:
+            n_rec = f"greatest({', '.join(sizes)}, 0)"
+        else:
+            n_rec = sizes[0] if sizes else "0"
+        recs = []
+        for k in range(max_n):
+            concept_over = {
+                d: (
+                    f"CASE WHEN {arrs[d]} IS NOT NULL THEN "
+                    f"element_at({arrs[d]}, least({k + 1}, size({arrs[d]}))) END"
+                )
+                for d in all_dests
+                if d in schema.columns
+            }
+            orig_over = {d: cell for d in cm.original_value_fields if d in schema.columns}
+            merged = {**concept_over, **orig_over, **common}
+            merged = {
+                d: "COALESCE({}, {})".format(
+                    v, "'0'" if d in schema.notnull_numeric_fields else "''"
+                )
+                for d, v in merged.items()
+            }
+            recs.append(self._record_struct_sql(schema, merged, fname, k, fidx))
+        full = f"array({', '.join(recs)})"
+        empty = self._empty_arr_sql(recs[0])
+        sel = f"CASE WHEN ({n_rec}) > 0 THEN slice({full}, 1, {n_rec}) ELSE {empty} END"
+        return (
+            f"CASE WHEN COALESCE(trim({cell}) != '', false) THEN {sel} "
+            f"ELSE {empty} END"
+        )
+
     # fields with at least this many exact-valued mappings use a broadcast
     # rules-table join instead of an inlined when-chain
     LARGE_TERM_MAP_THRESHOLD = 100
@@ -590,6 +775,10 @@ class CarrotPlanner:
     # faster than the when-chain from the mid-tens of values while tiny
     # maps stay on the chain (a few comparisons beat the map machinery)
     MAPLIT_TERM_MAP_THRESHOLD = 16
+    # ...except on WIDE targets (total (field, value) pairs across all
+    # blocks at or past this bound): there compile time dominates — the
+    # maplit band drops to every field (see target_candidates)
+    WIDE_PLAN_PAIRS = 512
 
     def _attach_large_rules(
         self, df: DataFrame, tm: TableMapping
@@ -619,70 +808,6 @@ class CarrotPlanner:
             attached[fname] = map_col
         return df, attached
 
-    def _joined_field_records(
-        self,
-        cm,
-        schema: TableSchema,
-        common: dict[str, Column],
-        cell: Column,
-        fname: str,
-        fidx: int,
-        matched: Column,
-    ) -> Column:
-        """Record array for one term-map field from its matched dest-map
-        column — either a broadcast-joined rules column (large maps) or an
-        element_at over a CONSTANT map literal (small maps; Catalyst folds
-        the literal, so per row it is one hash lookup). Semantics: exact
-        match beats wildcard; clamped-zip combinations; blank cells never
-        match."""
-        wild = cm.value_mappings.get("*")
-        if wild:
-            pairs: list[Column] = []
-            for d, ids in wild.items():
-                if not ids:
-                    continue
-                pairs.append(F.lit(d))
-                pairs.append(F.array(*[F.lit(str(x)) for x in ids]))
-            eff = F.coalesce(matched, F.create_map(*pairs)) if pairs else matched
-        else:
-            eff = matched
-        all_dests: list[str] = []
-        max_n = 1
-        for m in cm.value_mappings.values():
-            for d, ids in m.items():
-                if ids and d not in all_dests:
-                    all_dests.append(d)
-                if ids:
-                    max_n = max(max_n, len(ids))
-        arrs = {d: F.element_at(eff, F.lit(d)) for d in all_dests}
-        sizes = [F.coalesce(F.size(arrs[d]), F.lit(0)) for d in all_dests]
-        n_rec = F.greatest(*sizes, F.lit(0)) if len(sizes) > 1 else (
-            sizes[0] if sizes else F.lit(0)
-        )
-        recs = []
-        for k in range(max_n):
-            concept_over = {
-                d: F.when(
-                    arrs[d].isNotNull(),
-                    F.element_at(arrs[d], F.least(F.lit(k + 1), F.size(arrs[d]))),
-                )
-                for d in all_dests
-                if d in schema.columns
-            }
-            orig_over = {d: cell for d in cm.original_value_fields if d in schema.columns}
-            merged = {**concept_over, **orig_over, **common}
-            merged = {
-                d: F.coalesce(
-                    v, F.lit("0") if d in schema.notnull_numeric_fields else F.lit("")
-                )
-                for d, v in merged.items()
-            }
-            recs.append(self._record_struct(schema, merged, self._lit(fname), self._lit(k), self._lit(fidx)))
-        full = F.array(*recs)
-        empty = _empty_like(recs[0])
-        sel = F.when(n_rec > 0, F.slice(full, 1, n_rec)).otherwise(empty)
-        return F.when(F.coalesce(valid_value(cell), F.lit(False)), sel).otherwise(empty)
-
     def _standard_records_col(
         self,
         df: DataFrame,
@@ -695,27 +820,32 @@ class CarrotPlanner:
         StandardRecordBuilder semantics (record_builder.py:306-367):
         records require a concept match (exact value, else wildcard).
 
-        Three value-map compilation bands, each the measured winner at its
-        size (crossovers measured on 200k-row x 5-field shapes):
-        - < MAPLIT_TERM_MAP_THRESHOLD values: inlined when-chain — a
+        Assembled as ONE SQL string for the whole block (see the SQL-text
+        note above). Three value-map compilation bands, each the measured
+        winner at its size (crossovers measured on 200k-row x 5-field
+        shapes):
+        - < MAPLIT_TERM_MAP_THRESHOLD values: inlined CASE chain — a
           handful of string comparisons per row beats the map machinery;
         - up to LARGE_TERM_MAP_THRESHOLD: element_at over a CONSTANT map
           literal (folded by Catalyst — one hash lookup per row) feeding
-          the shared _joined_field_records builder — ~30% faster than a
-          40-branch chain and one record set per FIELD, not per
-          (field, value), so plans stay |values|x smaller;
+          the shared per-field builder — ~30% faster than a 40-branch
+          chain and one record set per FIELD, not per (field, value), so
+          plans (and generated code) stay |values|x smaller;
         - beyond that: broadcast rules-table join (_attach_large_rules),
-          same builder."""
-        common = self._common_column_values(df, tm, schema)
-        per_field: list[Column] = []
+          same builder.
+        On WIDE targets (see WIDE_PLAN_PAIRS) every field takes the
+        per-field builder: |values|x less generated code dominates there."""
+        common = self._common_values_sql(df, tm, schema)
+        per_field: list[str] = []
         for fidx, (fname, cm) in enumerate(tm.concept_mappings.items()):
-            cell = _try_resolve(df, fname)
-            if cell is None:
+            cname = _try_resolve_name(df, fname)
+            if cname is None:
                 continue
+            cell = _sql_ident(cname)
             if attached and fname in attached:
                 per_field.append(
-                    self._joined_field_records(
-                        cm, schema, common, cell, fname, fidx, F.col(attached[fname])
+                    self._joined_field_records_sql(
+                        cm, schema, common, cell, fname, fidx, _sql_ident(attached[fname])
                     )
                 )
                 continue
@@ -728,35 +858,36 @@ class CarrotPlanner:
             has_wild = bool(wild) and any(ids for ids in wild.values())
             if not exact and not has_wild:
                 continue
-            if len(exact) >= self.MAPLIT_TERM_MAP_THRESHOLD:
-                pairs: list[Column] = []
+            maplit_floor = (
+                1 if getattr(self, "_wide_target", False) else self.MAPLIT_TERM_MAP_THRESHOLD
+            )
+            if exact and len(exact) >= maplit_floor:
+                pairs = []
                 for v, m in exact.items():
-                    dest_pairs: list[Column] = []
-                    for d, ids in m.items():
-                        if not ids:
-                            continue
-                        dest_pairs.append(self._lit(d))
-                        dest_pairs.append(F.array(*[self._lit(str(x)) for x in ids]))
-                    pairs.append(self._lit(v))
-                    pairs.append(F.create_map(*dest_pairs))
+                    dest_pairs = [
+                        f"{_sql_str(d)}, array({', '.join(_sql_str(str(x)) for x in ids)})"
+                        for d, ids in m.items()
+                        if ids
+                    ]
+                    pairs.append(f"{_sql_str(v)}, map({', '.join(dest_pairs)})")
                 matched = (
-                    F.element_at(F.create_map(*pairs), cell)
+                    f"element_at(map({', '.join(pairs)}), {cell})"
                     if pairs
-                    else F.lit(None).cast("map<string,array<string>>")
+                    else "CAST(NULL AS MAP<STRING, ARRAY<STRING>>)"
                 )
                 per_field.append(
-                    self._joined_field_records(cm, schema, common, cell, fname, fidx, matched)
+                    self._joined_field_records_sql(cm, schema, common, cell, fname, fidx, matched)
                 )
                 continue
 
-            def combos_for(dest_map: dict[str, list[int]]) -> Column:
+            def combos_for(dest_map: dict[str, list[int]]) -> str | None:
                 n = max((len(ids) for ids in dest_map.values() if ids), default=0)
                 recs = []
                 for k in range(n):
                     # precedence (low->high): concept, original value,
                     # person id, dates — common holds the last two
                     concept_over = {
-                        d: self._lit(str(ids[min(k, len(ids) - 1)]))
+                        d: _sql_str(str(ids[min(k, len(ids) - 1)]))
                         for d, ids in dest_map.items()
                         if ids and d in schema.columns
                     }
@@ -764,35 +895,33 @@ class CarrotPlanner:
                         d: cell for d in cm.original_value_fields if d in schema.columns
                     }
                     merged = {**concept_over, **orig_over, **common}
-                    recs.append(
-                        self._record_struct(schema, merged, self._lit(fname), self._lit(k), self._lit(fidx))
-                    )
-                return F.array(*recs) if recs else None
+                    recs.append(self._record_struct_sql(schema, merged, fname, k, fidx))
+                return f"array({', '.join(recs)})" if recs else None
 
-            branch = None
+            branches = []
             for value, dest_map in exact.items():
                 arr = combos_for(dest_map)
                 if arr is None:
                     continue
-                cond = cell == self._lit(value)
-                branch = F.when(cond, arr) if branch is None else branch.when(cond, arr)
+                branches.append(f"WHEN {cell} = {_sql_str(value)} THEN {arr}")
             wild_arr = combos_for(wild) if wild else None
-            if branch is None and wild_arr is None:
+            if not branches and wild_arr is None:
                 continue
-            empty = _empty_like(
-                self._record_struct(schema, common, self._lit(fname), self._lit(0), self._lit(fidx))
+            empty = self._empty_arr_sql(
+                self._record_struct_sql(schema, common, fname, 0, fidx)
             )
-            if branch is None:
-                sel = F.when(F.lit(True), wild_arr)
-            elif wild_arr is not None:
-                sel = branch.otherwise(wild_arr)
+            if not branches:
+                sel = wild_arr
             else:
-                sel = branch.otherwise(empty)
+                tail = wild_arr if wild_arr is not None else empty
+                sel = f"CASE {' '.join(branches)} ELSE {tail} END"
             # F1: blank cells never produce records (+ never match wildcard)
-            per_field.append(F.when(valid_value(cell), sel).otherwise(empty))
+            per_field.append(
+                f"CASE WHEN trim({cell}) != '' THEN {sel} ELSE {empty} END"
+            )
         if not per_field:
             return _empty_like(self._record_struct(schema, {}, F.lit(""), F.lit(0)))
-        return F.flatten(F.array(*per_field))
+        return F.expr(f"flatten(array({', '.join(per_field)}))")
 
     def _person_records_col(
         self, df: DataFrame, tm: TableMapping, schema: TableSchema
@@ -1012,9 +1141,25 @@ def _resolve(df: DataFrame, name: str) -> Column:
 
 def _try_resolve(df: DataFrame, name: str) -> Column | None:
     """Case-insensitive column resolution (reference omopcdm.py:144-150)."""
-    lower = {c.lower(): c for c in df.columns}
-    actual = lower.get(name.lower())
+    actual = _try_resolve_name(df, name)
     return F.col(actual) if actual is not None else None
+
+
+def _try_resolve_name(df: DataFrame, name: str) -> str | None:
+    """The ACTUAL column name behind a case-insensitive reference — the
+    SQL-text builder emits names, not Column handles."""
+    lower = {c.lower(): c for c in df.columns}
+    return lower.get(name.lower())
+
+
+def _sql_str(s: str) -> str:
+    """Spark SQL string literal (backslash IS an escape char by default)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quoted column reference."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _concept_match(cell: Column, cm) -> Column:

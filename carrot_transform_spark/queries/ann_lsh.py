@@ -18,7 +18,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from carrot_transform_spark.functions.rounding import fround, fround_sql
-from carrot_transform_spark.queries import load, register_suite
+from carrot_transform_spark.queries.similarity import _EMB_BOUND, _emb
+from carrot_transform_spark.queries import load, register_suite  # noqa: F401
 
 _DIM = 64
 _PLANES = 8
@@ -60,13 +61,13 @@ def _bucket_sql() -> str:
 
 _BUCKETS_SQL = f"""
     SELECT vec_id, {_bucket_sql()} AS bucket
-    FROM embeddings ORDER BY vec_id
+    FROM embeddings WHERE vec_id < {_EMB_BOUND} ORDER BY vec_id
     """
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector 8-bit random-hyperplane signature (the LSH bucket id)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     n = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     return n.select("vec_id", _bucket_col().alias("bucket")).orderBy("vec_id")
 
@@ -74,7 +75,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAND_SQL = f"""
     WITH b AS (SELECT vec_id, {_bucket_sql()} AS bucket,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+               FROM embeddings WHERE vec_id < {_EMB_BOUND}),
     n AS (SELECT vec_id, bucket, v,
                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
     pairs AS (
@@ -93,7 +94,7 @@ def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-collision candidates verified by exact cosine (>= 0.3). The
     bucket join replaces the all-pairs scan: expected candidate volume is
     |pairs| x (1 - theta/pi)^P."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     n = (
         e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("bucket", _bucket_col())
@@ -140,7 +141,7 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-centroid cell an IVF/k-means stage assigns at scale)."""
     from carrot_transform_spark.operators.semdedup import semantic_dedup
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     out = semantic_dedup(e, cell_col="label", threshold=_SEMDEDUP_THRESHOLD)
     return out.select(F.col("id").alias("vec_id"), "component_id", "keep").orderBy(
         "vec_id"
@@ -169,6 +170,7 @@ def _semdedup_sql() -> str:
            CASE WHEN COALESCE(c.component_id, e.vec_id) = e.vec_id
                 THEN 1 ELSE 0 END AS keep
     FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    WHERE e.vec_id < {_EMB_BOUND}
     ORDER BY vec_id
     """
 
@@ -212,7 +214,7 @@ def sim_semantic_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from carrot_transform_spark.queries.similarity import _CENTROIDS
 
     e = (
-        load(spark, sf_dir, "embeddings")
+        _emb(spark, sf_dir)
         .filter(F.col("vec_id") % 4 == 0)
         .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
     )
@@ -245,7 +247,7 @@ def _semdedup_mp_sql() -> str:
     return f"""
     WITH RECURSIVE base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE vec_id % 4 = 0
+        FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < {_EMB_BOUND}
         UNION ALL
         SELECT * FROM (VALUES {vals}) pl(vec_id, v)
     ),

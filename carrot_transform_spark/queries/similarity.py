@@ -21,9 +21,24 @@ from carrot_transform_spark.queries import load, register
 
 _DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
 
+# The blocking/quantization DEMO checks use O(1) cells (3 literal
+# centroids / the label column), so their pair volume is quadratic in the
+# corpus; at super-bench scale factors that is hours of oracle time for a
+# semantics check. Every embeddings-based demo query therefore runs on the
+# first _EMB_BOUND vectors — at the driver gate scales (sf0.01/sf0.1 the
+# whole table is smaller than the bound, so this is a no-op) — while the
+# SCALE proofs for this family are the dedicated stress scripts
+# (scripts/hotcell_stress.py, ann_stress.py: 10^6 vectors, 4096 cells).
+_EMB_BOUND = 4000
+
 
 def _to_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings DEMO slice (vec_id < _EMB_BOUND, see note above)."""
+    return load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _EMB_BOUND)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -34,11 +49,11 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
-_NORMED_SQL = """
+_NORMED_SQL = f"""
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE vec_id < {_EMB_BOUND}
 """
 
 
@@ -68,7 +83,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the corpus scan is embarrassingly parallel; per-query ranking
     is a windowed top-k (at scale: aggregate partial top-k per partition
     before the final window)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     n = e.select("vec_id", _to_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
@@ -118,7 +133,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label = nearest-centroid id). Turns the all-pairs scan into a
     cell-local equi-join — the 100 TB layout partitions the corpus by cell
     so each probe touches n_probe partitions."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     n = e.select("vec_id", "label", _to_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
@@ -165,7 +180,7 @@ def sim_neardup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (blocked by coarse cell, cosine
     >= 0.4). Same blocking trick as sim_ivf_topk; the threshold variant is
     what an embedding-dedup stage runs corpus-wide."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     n = e.select("vec_id", "label", _to_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
@@ -214,7 +229,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank window agree bit-for-bit."""
     from carrot_transform_spark.operators.similarity import knn_graph
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return (
         knn_graph(e, "label", k=_KNN_K)
         .withColumnRenamed("id", "vec_id")
@@ -235,7 +250,7 @@ def sim_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, probe sets, and the final rank window agree bit-for-bit."""
     from carrot_transform_spark.operators.similarity import knn_graph_multiprobe
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return (
         knn_graph_multiprobe(e, _CENTROIDS, n_probe=_MP_PROBES, k=_KNN_K)
         .withColumnRenamed("id", "vec_id")
@@ -258,7 +273,7 @@ def _knn_multiprobe_sql() -> str:
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                sqrt(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE vec_id < {_EMB_BOUND}
     ),
     sims AS ({sims_sql}),
     ranked AS (
@@ -321,7 +336,7 @@ def _centroid_sql() -> str:
 
 CENTROID_SQL = f"""
     SELECT vec_id, {_centroid_sql()} AS cell
-    FROM embeddings ORDER BY vec_id
+    FROM embeddings WHERE vec_id < {_EMB_BOUND} ORDER BY vec_id
     """
 
 
@@ -331,7 +346,7 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine argmax with first-wins tie-break)."""
     from carrot_transform_spark.operators.similarity import assign_cells
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     out = assign_cells(e, _CENTROIDS)
     return out.select(F.col("id").alias("vec_id"), "cell").orderBy("vec_id")
 
@@ -355,7 +370,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic first-k init."""
     from carrot_transform_spark.operators.kmeans import lloyd
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     final, _cents = lloyd(e, k=_KM_K, iters=_KM_ITERS)
     return final.select(F.col("id").alias("vec_id"), "cell").orderBy("vec_id")
 
@@ -367,12 +382,14 @@ def _kmeans_sql() -> str:
         f"""ecomp AS (
         SELECT vec_id, u.dim, CAST(embedding[u.dim] AS DOUBLE) AS x
         FROM embeddings, (SELECT unnest(generate_series(1, {_KM_DIM})) AS dim) u
+        WHERE vec_id < {_EMB_BOUND}
     ),
     cells AS (SELECT unnest(generate_series(0, {_KM_K - 1})) AS cell),
     dims AS (SELECT unnest(generate_series(1, {_KM_DIM})) AS dim),
     seeds AS (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < {_EMB_BOUND}
+              ORDER BY vec_id LIMIT {_KM_K})
     ),
     c0 AS (
         SELECT s.cell, ec.dim, {rnd.format(x="ec.x")} AS c

@@ -70,21 +70,19 @@ def main() -> None:
         return spark.read.parquet(f"{src}/{t}.parquet")
 
     def wr(df: DataFrame, t: str, parts: int) -> None:
-        t0 = time.time()
-        df.repartition(parts).write.mode("overwrite").parquet(f"{out}/__{t}")
-        # single .parquet file per table, as the driver lays testdata out
-        one = spark.read.parquet(f"{out}/__{t}")
+        # single .parquet FILE per table (DuckDB reads it directly, matching
+        # the driver's testdata layout): parallel compute up to the shuffle,
+        # one writer task after it
         import glob
-        import os
         import shutil
 
-        tmp = f"{out}/__one_{t}"
-        one.coalesce(1).write.mode("overwrite").parquet(tmp)
+        t0 = time.time()
+        tmp = f"{out}/__{t}"
+        df.repartition(parts).coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
         shutil.move(part, f"{out}/{t}.parquet")
         shutil.rmtree(tmp)
-        shutil.rmtree(f"{out}/__{t}")
-        n = one.count()
+        n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows in {time.time() - t0:.1f}s -> {out}/{t}.parquet", flush=True)
 
     for t in ("region", "nation"):

@@ -42,9 +42,10 @@ def test_csv_source_estimates_many_splits_for_large_file(spark, tmp_path):
 
 def test_jdbc_source_split_hints(spark):
     assert JdbcSource(spark, "jdbc:derby:x").scan_splits("t") == 1
-    # numPartitions alone does NOT parallelize a JDBC read; only the full
-    # partitionColumn+bounds combination does
-    assert JdbcSource(spark, "jdbc:derby:x", {"numPartitions": "8"}).scan_splits("t") == 1
+    # numPartitions ALONE now parallelizes the read: read() derives
+    # partitionColumn+bounds from the table's first numeric column
+    # (_derive_partitioning), so the honest split count is n
+    assert JdbcSource(spark, "jdbc:derby:x", {"numPartitions": "8"}).scan_splits("t") == 8
     part = {"numPartitions": "8", "partitionColumn": "id", "lowerBound": "1", "upperBound": "100"}
     assert JdbcSource(spark, "jdbc:derby:x", part).scan_splits("t") == 8
     bogus = dict(part, numPartitions="bogus")

@@ -86,10 +86,12 @@ def test_wide_plan_builds_within_budget(spark):
     cand.schema  # forces full analysis of the 50-block union
     analyze_s = time.perf_counter() - t1
 
-    # generous CI budget — the guarded failure mode is the multi-minute
-    # per-struct py4j fan-out this test originally caught (~250 s before
-    # the record-struct memoization; ~60 s after, on 8 local cores)
-    assert build_s + analyze_s < 120.0, (
+    # CI budget with ~2x headroom over the measured time — the guarded
+    # failure mode is plan-construction blow-up: ~250 s at round 5
+    # (per-struct py4j fan-out), ~60 s at round 8 (memoized Column
+    # handles), ~20 s clean / ~30 s contended at round 9 (the whole record
+    # array is ONE parsed SQL string per block + balanced-tree union)
+    assert build_s + analyze_s < 60.0, (
         f"wide plan took {build_s:.1f}s build + {analyze_s:.1f}s analyze "
         f"for {N_BLOCKS} blocks x {N_FIELDS} fields"
     )
