@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from carrot_transform_spark.functions.rounding import fround
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -53,7 +55,17 @@ def tumbling_counts(stream: DataFrame, window: str = "15 minutes", watermark: st
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # the davg pattern (decimal sum -> double -> fround): native
+            # ROUND on a double avg is the one remaining engine- and
+            # order-sensitive op class; keep the streaming leg on the same
+            # IEEE-only rule as its batch twin (queries/events.py davg)
+            fround(
+                F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
         .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "avg_value")
     )
 
