@@ -98,6 +98,24 @@ def _released(fn: SparkQuery) -> SparkQuery:
     return wrapped
 
 
+# Registration ORDER is a driver contract (the CORRECTNESS report is a
+# bounded window over it), but registration HAPPENS at module-import time —
+# and anything (a test, a user script) that imports a query submodule
+# directly registers that module's entries before all_queries() runs its
+# pinned import sequence. So ordering must not depend on who imported what
+# first: each entry records its defining module + a monotonic sequence
+# number, and all_queries() sorts by (pinned module rank, sequence). Module
+# import is atomic, so a module's entries stay contiguous and in file order
+# under ANY import interleaving.
+_ENTRY_MODULE: dict[str, str] = {}
+_ENTRY_SEQ: dict[str, int] = {}
+
+
+def _note_order(name: str, module: str) -> None:
+    _ENTRY_MODULE[name] = module.rsplit(".", 1)[-1]
+    _ENTRY_SEQ[name] = len(_ENTRY_SEQ)
+
+
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
 
@@ -107,6 +125,7 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
         REGISTRY[name] = QueryDef(
             name=name, spark_fn=_released(fn), oracle=oracle, tags=tags
         )
+        _note_order(name, getattr(fn, "__module__", "") or "")
         return fn
 
     return deco
@@ -366,27 +385,49 @@ def register_suite(name: str, parts: list[SuitePart], tags: tuple[str, ...] = ()
     if name in REGISTRY:
         raise ValueError(f"duplicate query name: {name}")
     REGISTRY[name] = QueryDef(name=name, spark_fn=spark_fn, oracle=oracle, tags=tags)
+    import sys
+
+    _note_order(name, sys._getframe(1).f_globals.get("__name__", ""))
+
+
+# The pinned presentation order for the driver's bounded CORRECTNESS
+# window: the flagship TPC-H batch first, rows-only (no-oracle) entries
+# last. all_queries() returns entries in THIS module order regardless of
+# which module happened to be imported first in the process.
+_MODULE_ORDER = (
+    "tpch",
+    "tpch2",
+    "tpch3",
+    "analytics",
+    "omop_pipeline",
+    "events",
+    "asof_q",
+    "rangejoin_q",
+    "dedup",
+    "similarity",
+    "ann_lsh",
+    "text",
+    "pipeline_ops",
+    "operators_demo",
+    "multimodal_q",
+)
 
 
 def all_queries() -> dict[str, QueryDef]:
-    # Import side-effect modules that populate the registry. Order matters:
-    # the driver's CORRECTNESS report is a bounded window over registration
-    # order, so the flagship TPC-H batch registers first and the rows-only
-    # (no-oracle) entries register last.
-    import carrot_transform_spark.queries.tpch  # noqa: F401
-    import carrot_transform_spark.queries.tpch2  # noqa: F401
-    import carrot_transform_spark.queries.tpch3  # noqa: F401
-    import carrot_transform_spark.queries.analytics  # noqa: F401
-    import carrot_transform_spark.queries.omop_pipeline  # noqa: F401
-    import carrot_transform_spark.queries.events  # noqa: F401
-    import carrot_transform_spark.queries.asof_q  # noqa: F401
-    import carrot_transform_spark.queries.rangejoin_q  # noqa: F401
-    import carrot_transform_spark.queries.dedup  # noqa: F401
-    import carrot_transform_spark.queries.similarity  # noqa: F401
-    import carrot_transform_spark.queries.ann_lsh  # noqa: F401
-    import carrot_transform_spark.queries.text  # noqa: F401
-    import carrot_transform_spark.queries.pipeline_ops  # noqa: F401
-    import carrot_transform_spark.queries.operators_demo  # noqa: F401
-    import carrot_transform_spark.queries.multimodal_q  # noqa: F401
+    # Import side-effect modules that populate the registry (idempotent),
+    # then present them in the pinned _MODULE_ORDER — NOT raw registration
+    # order, which depends on whoever imported a submodule first.
+    import importlib
 
-    return REGISTRY
+    for m in _MODULE_ORDER:
+        importlib.import_module(f"carrot_transform_spark.queries.{m}")
+
+    rank = {m: i for i, m in enumerate(_MODULE_ORDER)}
+    names = sorted(
+        REGISTRY,
+        key=lambda n: (
+            rank.get(_ENTRY_MODULE.get(n, ""), len(rank)),
+            _ENTRY_SEQ.get(n, 1 << 30),
+        ),
+    )
+    return {n: REGISTRY[n] for n in names}

@@ -262,25 +262,27 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("tot_qty"))
-        .filter(F.col("tot_qty") > 150)
-        .select("l_orderkey")
-    )
+    # One lineitem aggregation serves BOTH the HAVING filter and the final
+    # per-order sum_qty: o_orderkey is unique in orders, so the outer
+    # GROUP BY (c_name, ..., o_orderkey, ...) groups are exactly the
+    # per-orderkey groups and SUM(l_quantity) per group is the same exact
+    # decimal sum the subquery computed.  The naive two-pass form (semi-join
+    # then re-join lineitem and re-aggregate) shuffles the 4-per-order fact
+    # twice; this shuffles it once and joins only the filtered ~order-count
+    # rows — the difference grows linearly with the fact table at 100 TB.
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("__qty_dec")
+    ).filter(F.col("__qty_dec").cast("double") > 150)
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "bk"), o.o_orderkey == F.col("bk"), "left_semi")
+        per_order.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("o_orderkey") == l.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            "sum_qty",
+            F.round(F.col("__qty_dec"), 2).cast("double").alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
     )

@@ -83,3 +83,30 @@ def test_mm_pipeline_still_sits_last():
     registration keeps that future change window-safe)."""
     names = list(all_queries())
     assert names[-1] == "mm_pipeline"
+
+
+def test_order_survives_direct_submodule_import():
+    """Registration happens at import time, so a test or user script that
+    imports a query submodule directly (e.g. `from ...queries import
+    omop_pipeline`) used to register that module's entries FIRST and
+    permanently reorder the driver window for the whole process (seen in
+    round 9: test_bench_isolation's collection-time import put
+    omop_person_ids at index 0 for every later all_queries() call).
+    all_queries() now presents the pinned _MODULE_ORDER regardless of
+    import interleaving — prove it in a fresh interpreter that imports
+    omop_pipeline before anything else."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "import carrot_transform_spark.queries.omop_pipeline;"
+        "from carrot_transform_spark.queries import all_queries;"
+        "names = list(all_queries());"
+        "print(names[0], names[-1])"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.split() == ["q1_pricing_summary", "mm_pipeline"], out.stdout
