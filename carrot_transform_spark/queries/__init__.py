@@ -325,7 +325,17 @@ def _render_sql(expr: str, kind: str) -> str:
     if kind == "i":
         return f"CAST({expr} AS VARCHAR)"
     if kind == "f":
-        return f"CAST(CAST({expr} AS DECIMAL(27,6)) AS VARCHAR)"
+        # Route the double through its VARCHAR (shortest-repr) form before
+        # the DECIMAL(27,6) re-scale. DuckDB's direct double->DECIMAL cast
+        # multiplies by 10^6 in floating point, so for |x| above ~2^53/10^6
+        # (~9e9) the product is no longer exactly representable and the
+        # cast picks up ulp-sized errors (observed at sf10: engine-equal
+        # doubles like 753511015307.0 rendering as ...000064 in DuckDB vs
+        # ...000000 in Spark, which casts via BigDecimal.valueOf's shortest
+        # repr). Parsing the shortest-repr STRING into decimal is exact in
+        # both engines, so the renders agree at any magnitude a double can
+        # faithfully hold.
+        return f"CAST(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(27,6)) AS VARCHAR)"
     if kind == "s":
         return f"CAST({expr} AS VARCHAR)"
     if kind == "ts":

@@ -41,9 +41,12 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partial oracle: the sketch values themselves aren't SQL-reproducible, so
     the query emits the EXACT aggregates (oracle-checked by DuckDB) plus
     error-bound assertions on the sketches — hll_ok pins the HLL++ estimate
-    within 2.5% relative error (rsd=0.02), median_ok pins approx_percentile
-    within 5% of the exact median. A sketch regression flips a flag to false
-    and hash-mismatches."""
+    within 6% relative error (3x the configured rsd=0.02: rsd is a standard
+    error, so a bound must leave sigma headroom — the original 2.5% pin was
+    1.3 sigma and sf10's 150k-distinct draw deterministically erred 2.63%,
+    while a BROKEN sketch errs far beyond 6%), median_ok pins
+    approx_percentile within 5% of the exact median. A sketch regression
+    flips a flag to false and hash-mismatches."""
     e = load(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -59,7 +62,7 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
             / F.col("exact_users")
-            <= F.lit(0.025)
+            <= F.lit(0.06)
         ).alias("hll_ok"),
         (
             F.abs(F.col("approx_median") - F.col("exact_median"))

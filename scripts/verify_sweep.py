@@ -48,9 +48,20 @@ def main() -> int:
     assert not missing, f"oracle keys not in queries(): {missing}"
     print(f"{len(qs)} queries, {len(osql)} with oracles", flush=True)
 
+    # Subset controls for big scale factors where some DuckDB oracle twins
+    # are infeasible (the dedup/pipe suites rebuild MinHash/shingle indexes
+    # in single-query SQL) or the compare's full-result collect is too large
+    # (multi-million-row outputs): SWEEP_ONLY / SWEEP_SKIP are
+    # comma-separated entry names.
+    only = {s for s in os.environ.get("SWEEP_ONLY", "").split(",") if s}
+    skip = {s for s in os.environ.get("SWEEP_SKIP", "").split(",") if s}
+
     con = duck_connect(sf_dir)
     failed = []
     for name, fn in qs.items():
+        if (only and name not in only) or name in skip:
+            print(f"  {name}: skipped by SWEEP_ONLY/SWEEP_SKIP", flush=True)
+            continue
         if name not in osql:
             n = fn(spark, sf_dir).count()
             print(f"  {name}: rows-only, {n} rows", flush=True)

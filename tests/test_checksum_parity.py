@@ -14,9 +14,16 @@ from carrot_transform_spark.queries import checksum_df, checksum_sql
 # doubles restricted to values that survive a DECIMAL(27,6) cast exactly the
 # same way in both engines: pre-rounded to <= 4 decimal places, magnitude
 # within the decimal's range — which is what every suite column provides
-# (all suite "f" columns are ROUND(x, <=4) outputs)
-_rounded_doubles = st.integers(min_value=-(10**12), max_value=10**12).map(
-    lambda i: i / 10**4
+# (all suite "f" columns are ROUND(x, <=4) outputs). Magnitude goes to 1e11
+# (ulp <= 1e-4, so the 4dp decimal IS the double's shortest repr): round 9
+# found DuckDB's direct double->DECIMAL(27,6) cast goes through x*1e6 in
+# floating point and corrupts the microdigits above ~9e9 — the strategy's
+# old 1e8 cap sat entirely below the divergence zone. A second class draws
+# exact halves up to ~4.5e15 (representable at any of these magnitudes),
+# covering the aggregate-sum scale where sf10 diverged.
+_rounded_doubles = st.one_of(
+    st.integers(min_value=-(10**15), max_value=10**15).map(lambda i: i / 10**4),
+    st.integers(min_value=-(9 * 10**15), max_value=9 * 10**15).map(lambda i: i / 2),
 )
 
 
@@ -58,6 +65,30 @@ def test_checksum_render_parity(spark, rows):
     want = con.execute(checksum_sql(inner, cols, "prop")).fetchone()
     con.close()
 
+    assert (got["check_name"], got["n_rows"], got["sig_sum"]) == want
+
+
+def test_checksum_large_double_regression(spark):
+    """The exact sf10 witnesses: engine-equal doubles >9e9 whose DuckDB
+    direct decimal cast rendered ...000064/...999936/...500096 while Spark
+    rendered the clean 6dp form (sql_ops_suite agg_cube_orders mismatch,
+    round 9). Pinned so the render path can never regress to the raw cast."""
+    cols = [("f_val", "f")]
+    vals = [
+        (753511015307.0,),
+        (747231469342.5,),
+        (747892739445.0,),
+        (1242495051091.0,),
+        (1262037470858.5,),
+    ]
+    sdf = spark.createDataFrame(vals, "f_val double")
+    got = checksum_df(sdf, cols, "big").collect()[0]
+    con = duckdb.connect()
+    inner = "SELECT * FROM (VALUES {}) AS t(f_val)".format(
+        ", ".join(f"(CAST({v!r} AS DOUBLE))" for (v,) in vals)
+    )
+    want = con.execute(checksum_sql(inner, cols, "big")).fetchone()
+    con.close()
     assert (got["check_name"], got["n_rows"], got["sig_sum"]) == want
 
 
