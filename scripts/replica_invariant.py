@@ -78,6 +78,29 @@ def main() -> int:
             lambda df: df.filter((F.col("doc_a") < OFF) & (F.col("doc_b") < OFF)),
         ),
     ]
+    # suite-internal entries with the same exact invariant: cross-replica
+    # token spaces are disjoint, so cross-DOC duplicate runs and >=0.8-
+    # jaccard pairs are all within-replica — restriction equality is exact
+    from carrot_transform_spark.queries.dedup import dd_ngram_jaccard_pairs
+    from carrot_transform_spark.queries.pipeline_ops import txt_exact_scrub
+
+    class _QD:
+        def __init__(self, fn):
+            self.spark_fn = fn
+
+    qs = dict(qs)
+    qs["dd_ngram_jaccard_pairs"] = _QD(dd_ngram_jaccard_pairs)
+    qs["txt_exact_scrub"] = _QD(txt_exact_scrub)
+    checks += [
+        (
+            "dd_ngram_jaccard_pairs",
+            lambda df: df.filter((F.col("doc_a") < OFF) & (F.col("doc_b") < OFF)),
+        ),
+        (
+            "txt_exact_scrub",
+            lambda df: df.filter(F.col("doc") < OFF),
+        ),
+    ]
     failed = []
     for name, restrict in checks:
         fn = qs[name].spark_fn
