@@ -101,6 +101,21 @@ def main() -> int:
             lambda df: df.filter(F.col("doc") < OFF),
         ),
     ]
+    # Per-user event computations: replicas shift user_id/o_custkey/event_id
+    # by the same OFF, so sessions, per-user stats, as-of matches, and band
+    # rollups for replica-0 users are computed from byte-identical rows —
+    # restriction equality is exact. This gives the multi-million-row event
+    # entries (oracle-swept only to sf1; their sf10 collects are too big)
+    # an exact sf10 gate at sf0.1-sized collect cost.
+    checks += [
+        (name, lambda df: df.filter(F.col("user_id") < OFF))
+        for name in (
+            "ev_sessionize",
+            "ev_user_stats",
+            "ev_asof_last_order",
+            "ev_range_join",
+        )
+    ]
     failed = []
     for name, restrict in checks:
         fn = qs[name].spark_fn
