@@ -306,6 +306,56 @@ def cap_per_group_sql(
     """
 
 
+def sample_exact_n(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    salt: str = "exactn",
+) -> DataFrame:
+    """Keep EXACTLY min(n, |df|) rows, chosen deterministically.
+
+    The "give me exactly 100k documents" curation shape — the fraction
+    samplers (stratified/weighted) deliver a binomial count, not an exact
+    one. Rows are ranked by the md5 decision hash (key asc tiebreak — total
+    order, no ties) and the n smallest win; Catalyst executes the
+    orderBy+limit as a distributed partial top-N (TakeOrderedAndProject:
+    every partition keeps its own n best, one reducer merges the heads), so
+    no global sort materializes at any corpus size. The n results must fit
+    a single task — this is the exact-N shape for n up to a few million,
+    not a "half the corpus" operator (use the fraction samplers there).
+
+    Prefix-stable: the rank is a pure function of (key, salt), so
+    sample_exact_n(df, m) is a SUBSET of sample_exact_n(df, n) for m <= n —
+    growing a curated set never revokes earlier picks (pinned by test).
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    return (
+        df.withColumn("__rk", h)
+        .orderBy(F.col("__rk").asc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__rk")
+    )
+
+
+def sample_exact_n_sql(
+    inner_sql: str,
+    key_expr: str,
+    n: int,
+    salt: str = "exactn",
+) -> str:
+    """DuckDB twin of sample_exact_n over ``inner_sql`` rows."""
+    h = (
+        f"CAST(CONCAT('0x', substring(md5(concat_ws('|', CAST({key_expr} AS VARCHAR), "
+        f"{sql_str(salt)})), 1, 8)) AS UBIGINT)"
+    )
+    return f"""
+    SELECT * FROM ({inner_sql}) _exact
+    ORDER BY {h}, {key_expr} LIMIT {n}
+    """
+
+
 def mix_datasets(
     parts: list[tuple["DataFrame", float]],
     key_col: str,

@@ -337,6 +337,27 @@ def _curriculum_sql() -> str:
     )
 
 
+_EXACT_N = 137
+
+
+def ds_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-N sampling (operators/sampling.sample_exact_n):
+    the n smallest md5 ranks win — a distributed partial top-N
+    (TakeOrderedAndProject), no global sort, prefix-stable as n grows. The
+    exact-count counterpart of the fraction samplers."""
+    from carrot_transform_spark.operators.sampling import sample_exact_n
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_exact_n(d, "doc_id", _EXACT_N).orderBy("doc_id")
+
+
+def _sample_exact_n_sql() -> str:
+    from carrot_transform_spark.operators.sampling import sample_exact_n_sql
+
+    inner = sample_exact_n_sql("SELECT doc_id, lang FROM documents", "doc_id", _EXACT_N)
+    return f"SELECT doc_id, lang FROM ({inner}) _e ORDER BY doc_id"
+
+
 def ds_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row weighted Bernoulli sampling (operators/sampling.weighted_sample):
     keep probability proportional to an integer weight (here: token count),
@@ -870,6 +891,12 @@ register_suite(
             ds_weighted_sample,
             _weighted_sample_sql(),
             [("doc_id", "i"), ("weight", "i"), ("sampled", "i")],
+        ),
+        (
+            "ds_sample_exact_n",
+            ds_sample_exact_n,
+            _sample_exact_n_sql(),
+            [("doc_id", "i"), ("lang", "s")],
         ),
         (
             "ds_zorder_keys",

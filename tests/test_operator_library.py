@@ -882,3 +882,26 @@ def test_curriculum_sample_ties_share_bucket(spark):
     out = curriculum_sample(df, "score", "doc_id", n_buckets=4).collect()
     assert {r["bucket"] for r in out} == {1}
     assert all(r["sampled"] == 1 for r in out)  # bucket 1 keeps everything
+
+
+def test_sample_exact_n_contracts(spark):
+    """Exact count, determinism under partitioning, prefix stability as n
+    grows, and the n >= |df| / n = 0 edges."""
+    from carrot_transform_spark.operators.sampling import sample_exact_n
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(500)], "k long, v string")
+
+    s100 = {r["k"] for r in sample_exact_n(df, "k", 100).collect()}
+    assert len(s100) == 100
+    # deterministic + partition-invariant
+    s100b = {r["k"] for r in sample_exact_n(df.repartition(13), "k", 100).collect()}
+    assert s100b == s100
+    # prefix-stable: growing n keeps every earlier pick
+    s250 = {r["k"] for r in sample_exact_n(df, "k", 250).collect()}
+    assert s100 < s250
+    # salt decorrelates
+    other = {r["k"] for r in sample_exact_n(df, "k", 100, salt="other").collect()}
+    assert other != s100
+    # edges
+    assert sample_exact_n(df, "k", 10_000).count() == 500
+    assert sample_exact_n(df, "k", 0).count() == 0
