@@ -905,3 +905,7 @@ def test_sample_exact_n_contracts(spark):
     # edges
     assert sample_exact_n(df, "k", 10_000).count() == 500
     assert sample_exact_n(df, "k", 0).count() == 0
+    # plan shape: distributed partial top-N, not a global sort
+    plan = sample_exact_n(df, "k", 100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
