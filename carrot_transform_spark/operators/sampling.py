@@ -356,6 +356,46 @@ def sample_exact_n_sql(
     """
 
 
+def sample_exact_n_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wexactn",
+) -> DataFrame:
+    """Exactly min(n, |df|) rows WITHOUT replacement, inclusion odds
+    proportional to ``weight_col`` — Efraimidis-Spirakis A-ES: each row
+    draws u = md5-uniform in (0,1) and ranks by u^(1/w); the n largest
+    ranks are a weighted sample without replacement. Same distributed
+    partial top-N execution as sample_exact_n (TakeOrderedAndProject — no
+    global sort), deterministic for a given (key, salt), and prefix-stable
+    in n.
+
+    No DuckDB oracle twin: u^(1/w) goes through libm pow, whose last-ulp
+    behavior differs across engines, so rank ORDER near ties is not
+    cross-engine reproducible — the contracts are pinned Spark-side
+    instead (exact count, determinism, partition invariance, and the
+    weight-proportional inclusion law across independent salts). Rows with
+    weight <= 0 are ineligible (a zero weight means "never sample") and
+    are filtered before ranking, so the result is exactly
+    min(n, |rows with w > 0|).
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    # u in (0,1): 32-bit md5 hash shifted off 0 (u=0 would pin rank 0 for
+    # every weight; +0.5 centers each integer's mass away from both ends)
+    h = _h32(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("__wrk", F.pow(u, F.lit(1.0) / w))
+        .orderBy(F.col("__wrk").desc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__wrk")
+    )
+
+
 def mix_datasets(
     parts: list[tuple["DataFrame", float]],
     key_col: str,

@@ -909,3 +909,45 @@ def test_sample_exact_n_contracts(spark):
     plan = sample_exact_n(df, "k", 100)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_sample_exact_n_weighted_contracts(spark):
+    """Exact count, determinism/partition invariance, weight-proportional
+    inclusion across independent salts, w<=0 ineligibility, plan shape."""
+    from carrot_transform_spark.operators.sampling import sample_exact_n_weighted
+
+    rows = [(i, "heavy" if i % 10 == 0 else "light", 9.0 if i % 10 == 0 else 1.0)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, cls string, w double")
+
+    s = sample_exact_n_weighted(df, "k", "w", 200)
+    got = {r["k"] for r in s.collect()}
+    assert len(got) == 200
+    got_b = {r["k"] for r in
+             sample_exact_n_weighted(df.repartition(17), "k", "w", 200).collect()}
+    assert got_b == got
+
+    # inclusion-probability law: 100 heavy rows at w=9 vs 900 light at w=1.
+    # Across 30 independent salts, heavy rows must be sampled at several
+    # times the light rate (exact A-ES odds are order-statistics, but a
+    # 9x weight at this n gives a wide, test-stable margin).
+    heavy_rate = light_rate = 0
+    for t in range(30):
+        picked = {r["k"] for r in
+                  sample_exact_n_weighted(df, "k", "w", 200, salt=f"s{t}").collect()}
+        heavy_rate += len([k for k in picked if k % 10 == 0])
+        light_rate += len([k for k in picked if k % 10 != 0])
+    heavy_rate /= 30 * 100   # mean fraction of heavy rows included
+    light_rate /= 30 * 900
+    assert heavy_rate > 2.5 * light_rate, (heavy_rate, light_rate)
+
+    # w <= 0 rows are ineligible; result shrinks to the eligible count
+    dz = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -4.0), (4, 2.0)], "k long, w double"
+    )
+    kept = {r["k"] for r in sample_exact_n_weighted(dz, "k", "w", 10).collect()}
+    assert kept == {1, 4}
+
+    plan = sample_exact_n_weighted(df, "k", "w", 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
