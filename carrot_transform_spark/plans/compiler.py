@@ -393,7 +393,13 @@ class CarrotPlanner:
             self._metrics_seq += 1
             count_fields: list[str] = []
             if not is_person:
-                count_fields = list(tm.concept_mappings)
+                # unique SOURCE fields in first-appearance order — v1 block
+                # mappings may register several blocks per field under
+                # synthetic keys, but the reference counts once per datacol
+                seen_cf: dict[str, None] = {}
+                for cm_ in tm.concept_mappings.values():
+                    seen_cf.setdefault(cm_.source_field, None)
+                count_fields = list(seen_cf)
             elif self.rules.dialect == "v1" and tm.concept_mappings:
                 # v1 counts the person target's FIRST data column only
                 # (run.py:301-302); v2's person builder never counts blanks
@@ -421,10 +427,16 @@ class CarrotPlanner:
                 # produced records for that field (reference increments per
                 # failing data column only when the build reached date
                 # mapping, record_builder.py:92-132)
-                for fname, cm in tm.concept_mappings.items():
+                by_field: dict[str, list] = {}
+                for cm_ in tm.concept_mappings.values():
+                    by_field.setdefault(cm_.source_field, []).append(cm_)
+                for fname, cms in by_field.items():
                     cell = _try_resolve(raw, fname)
                     if cell is None:
                         continue
+                    match = _concept_match(cell, cms[0])
+                    for cm_ in cms[1:]:
+                        match = match | _concept_match(cell, cm_)
                     datebad_keys.append(fname)
                     aggs.append(
                         F.sum(
@@ -432,7 +444,7 @@ class CarrotPlanner:
                                 norm_ok
                                 & ~strict_ok
                                 & F.coalesce(valid_value(cell), F.lit(False))
-                                & _concept_match(cell, cm),
+                                & match,
                                 1,
                             ).otherwise(0)
                         ).alias(f"__m{seq}_datebad_{len(datebad_keys) - 1}")
@@ -712,6 +724,8 @@ class CarrotPlanner:
         fname: str,
         fidx: int,
         matched: str,
+        lit_over: dict[str, str] | None = None,
+        copy_over: dict[str, str] | None = None,
     ) -> str:
         """SQL twin of the per-field dest-map record builder: exact match
         beats wildcard, clamped-zip combinations, blank cells never match
@@ -751,7 +765,13 @@ class CarrotPlanner:
                 if d in schema.columns
             }
             orig_over = {d: cell for d in cm.original_value_fields if d in schema.columns}
-            merged = {**concept_over, **orig_over, **common}
+            merged = {
+                **concept_over,
+                **(lit_over or {}),
+                **orig_over,
+                **(copy_over or {}),
+                **common,
+            }
             merged = {
                 d: "COALESCE({}, {})".format(
                     v, "'0'" if d in schema.notnull_numeric_fields else "''"
@@ -797,7 +817,7 @@ class CarrotPlanner:
             exact = {v: m for v, m in exact.items() if m}
             if len(exact) < self.LARGE_TERM_MAP_THRESHOLD:
                 continue
-            cell = _try_resolve(df, fname)
+            cell = _try_resolve(df, cm.source_field)
             if cell is None:
                 continue
             val_col, map_col = f"__ct_rval_{i}", f"__ct_rules_{i}"
@@ -837,15 +857,51 @@ class CarrotPlanner:
         per-field builder: |values|x less generated code dominates there."""
         common = self._common_values_sql(df, tm, schema)
         per_field: list[str] = []
-        for fidx, (fname, cm) in enumerate(tm.concept_mappings.items()):
+        # FIELDIDX is field-major (the reference iterates data COLUMNS, and
+        # for each column emits its value-triggered blocks before its
+        # wildcard blocks) — with v1 block mappings several ConceptMappings
+        # can share a source field under synthetic dict keys
+        field_rank: dict[str, int] = {}
+        for cm_ in tm.concept_mappings.values():
+            field_rank.setdefault(cm_.source_field, len(field_rank))
+        block_seq: dict[tuple[str, int], int] = {}
+        for key_name, cm in tm.concept_mappings.items():
+            fname = cm.source_field
+            kind = 1 if set(cm.value_mappings) == {"*"} else 0
+            seq = block_seq.get((fname, kind), 0)
+            block_seq[(fname, kind)] = seq + 1
+            fidx = field_rank[fname] * 10000 + kind * 5000 + seq
             cname = _try_resolve_name(df, fname)
             if cname is None:
                 continue
             cell = _sql_ident(cname)
-            if attached and fname in attached:
+            # v1 block companions: literal writes from non-trigger term
+            # fields + raw-cell copies from non-trigger plain fields ride in
+            # every record this block emits
+            lit_over = {
+                d: _sql_str(v)
+                for d, v in cm.extra_literals.items()
+                if d in schema.columns
+            }
+            copy_over: dict[str, str] = {}
+            for d, fld in cm.copy_fields:
+                if d not in schema.columns:
+                    continue
+                cn = _try_resolve_name(df, fld)
+                if cn is not None:
+                    copy_over[d] = _sql_ident(cn)
+            if attached and key_name in attached:
                 per_field.append(
                     self._joined_field_records_sql(
-                        cm, schema, common, cell, fname, fidx, _sql_ident(attached[fname])
+                        cm,
+                        schema,
+                        common,
+                        cell,
+                        fname,
+                        fidx,
+                        _sql_ident(attached[key_name]),
+                        lit_over=lit_over,
+                        copy_over=copy_over,
                     )
                 )
                 continue
@@ -876,7 +932,17 @@ class CarrotPlanner:
                     else "CAST(NULL AS MAP<STRING, ARRAY<STRING>>)"
                 )
                 per_field.append(
-                    self._joined_field_records_sql(cm, schema, common, cell, fname, fidx, matched)
+                    self._joined_field_records_sql(
+                        cm,
+                        schema,
+                        common,
+                        cell,
+                        fname,
+                        fidx,
+                        matched,
+                        lit_over=lit_over,
+                        copy_over=copy_over,
+                    )
                 )
                 continue
 
@@ -894,7 +960,7 @@ class CarrotPlanner:
                     orig_over = {
                         d: cell for d in cm.original_value_fields if d in schema.columns
                     }
-                    merged = {**concept_over, **orig_over, **common}
+                    merged = {**concept_over, **lit_over, **orig_over, **copy_over, **common}
                     recs.append(self._record_struct_sql(schema, merged, fname, k, fidx))
                 return f"array({', '.join(recs)})" if recs else None
 

@@ -47,6 +47,19 @@ class ConceptMapping:
     # source value (or "*" wildcard) -> dest_field -> ordered concept ids
     value_mappings: dict[str, dict[str, list[int]]] = field(default_factory=dict)
     original_value_fields: list[str] = field(default_factory=list)
+    # v1 BLOCK companions (reference core.py get_target_records: a v1 rule
+    # block is ONE record shape keyed on its trigger field, and every other
+    # source field in the block rides along in the SAME record):
+    #   copy_fields    — (dest_field, other_source_field) raw-cell copies
+    #                    (e.g. value_as_number <- val in a concept-keyed
+    #                    block);
+    #   extra_literals — dest_field -> literal written unconditionally
+    #                    (a term mapping on a NON-trigger field collapses to
+    #                    its last term, mappingrules.process_rules last-write-
+    #                    wins).
+    # v2 blocks and person targets never populate these.
+    copy_fields: list[tuple[str, str]] = field(default_factory=list)
+    extra_literals: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass

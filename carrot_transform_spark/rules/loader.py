@@ -4,16 +4,13 @@ Dialect detection mirrors the reference (mappingrules.py:42-60): a rules file
 is v2 when any cdm.<table>.<source> value carries the three mapping-type
 keys. v2 parses 1:1 into the IR (mappingrules.py:62-117). v1 (the legacy
 Carrot-Mapper output, parsed at mappingrules.py:312-429 into tilde-keyed
-lookup dicts) is converted: each v1 rule block contributes
-
-- dest fields with dict ``term_mapping`` -> value_mappings[value][dest] +=
-  concept (accumulating lists preserves multi-concept values spread over
-  repeated rules),
-- dest fields with scalar ``term_mapping`` -> wildcard value_mappings["*"],
-- the dest matching the table's person-id column -> person_id_mapping,
-- dest fields typed datetime/date in the DDL (no term_mapping) ->
-  date_mapping dest list,
-- remaining plain dest fields -> original_value fields of that source field.
+lookup dicts) is converted block-faithfully for non-person targets (one
+ConceptMapping per rule block, keyed on the block's single emission
+trigger — see _merge_v1_block; uniform same-shape blocks fold back into
+multi-value CMs so large generated rule files keep the merged fast paths),
+while person rule-sets merge into one record shape exactly as the
+reference's file~person data dict does (_merge_v1_rule). Person-id and
+date dests register at TableMapping level for every target.
 """
 
 from __future__ import annotations
@@ -114,9 +111,173 @@ def _parse_v1(data: dict, omop: OmopSchemas) -> dict[str, dict[str, TableMapping
                         concept_mappings={},
                     )
                     per_source[src] = tm
-                _merge_v1_rule(tm, rule, src, person_col, dt_fields, d_fields)
+                if target == "person":
+                    # person rule-sets MERGE into one record shape
+                    # (mappingrules.parse_rules_src_to_tgt updates the single
+                    # file~person data dict across blocks)
+                    _merge_v1_rule(tm, rule, src, person_col, dt_fields, d_fields)
+                else:
+                    # every other target emits records PER BLOCK, keyed on
+                    # the block's trigger field (process_rules returns one
+                    # key per block; get_target_records emits one record per
+                    # registered block data)
+                    _merge_v1_block(tm, rule, src, person_col, dt_fields, d_fields)
         out[target] = per_source
     return out
+
+
+def _merge_v1_block(
+    tm: TableMapping,
+    rule: dict,
+    src: str,
+    person_col: str | None,
+    dt_fields: set[str],
+    d_fields: set[str],
+) -> None:
+    """One NON-person v1 rule block -> one block-level ConceptMapping.
+
+    Reference semantics (mappingrules.process_rules + core.get_target_records):
+    a block is ONE record shape with a single emission trigger —
+    - any dict ``term_mapping`` present: trigger = the LAST dict field's
+      LAST value (term_value_key is overwritten per (field, value) in rule
+      order), and each term-mapped dest receives its field's LAST term
+      (data[field] appends outfield~term per value; the record write loop
+      makes the last one win). A multi-entry dict therefore behaves exactly
+      like the single-entry {last_value: last_term};
+    - else a scalar ``term_mapping``: trigger = that field with the
+      wildcard "*" match (plain_key — fires for any non-blank value; the
+      LAST scalar field in rule order wins the key);
+    - no term_mapping at all: key stays "" and the block emits nothing
+      (parse_rules_src_to_tgt drops empty keys) — its person-id/date
+      contributions still register.
+    Every OTHER field in the block rides in the SAME record: plain fields
+    copy their own cell (copy_fields; original_value_fields when the source
+    IS the trigger field), and term maps on non-trigger fields write their
+    last term as unconditional literals (extra_literals).
+
+    Blocks fold together only when their SHAPE matches (same trigger field,
+    companions, and per-value dest set — see the merge step below); anything
+    else registers under a synthetic '<field>#<n>' key
+    (ConceptMapping.source_field keeps the real column; the compiler
+    resolves columns from it, never from the key)."""
+    date_dests_in_rule: list[str] = []
+    trigger_field: str | None = None
+    trigger_value: str | None = None  # None => wildcard trigger
+    scalar_trigger: str | None = None
+    term_writes: dict[str, dict[str, int]] = {}  # field -> dest -> last term
+    last_value: dict[str, str] = {}  # dict-mapped field -> its last value
+    plain_writes: list[tuple[str, str]] = []  # (dest, source field)
+
+    for dest_field, si in rule.items():
+        if si["source_table"] != src:
+            continue
+        source_field = si["source_field"]
+        term = si.get("term_mapping")
+        if dest_field == person_col and term is None:
+            tm.person_id_mapping = PersonIdMapping(
+                source_field=source_field, dest_field=dest_field
+            )
+        elif term is None and (dest_field in dt_fields or dest_field in d_fields):
+            if tm.date_mapping is None:
+                tm.date_mapping = DateMapping(
+                    source_field=source_field, dest_fields=[], companion_dests=[]
+                )
+            if dest_field not in tm.date_mapping.dest_fields:
+                tm.date_mapping.dest_fields.append(dest_field)
+            date_dests_in_rule.append(dest_field)
+        elif term is not None and isinstance(term, dict):
+            if not term:
+                continue
+            lv = str(list(term)[-1])
+            last_value[source_field] = lv
+            term_writes.setdefault(source_field, {})[dest_field] = int(term[list(term)[-1]])
+            trigger_field = source_field  # last dict field wins the key
+            trigger_value = lv
+        elif term is not None:
+            term_writes.setdefault(source_field, {})[dest_field] = int(term)
+            scalar_trigger = source_field  # last scalar field wins plain_key
+        else:
+            plain_writes.append((dest_field, source_field))
+
+    if date_dests_in_rule and tm.date_mapping is not None:
+        last = date_dests_in_rule[-1]
+        assert tm.date_mapping.companion_dests is not None
+        if last not in tm.date_mapping.companion_dests:
+            tm.date_mapping.companion_dests.append(last)
+
+    if trigger_field is None:
+        trigger_field = scalar_trigger
+        trigger_value = None
+    if trigger_field is None:
+        return  # no term mapping anywhere: empty key, block emits nothing
+    if trigger_value is not None:
+        # the trigger field's dict may not be the LAST dict field iterated;
+        # the key still uses the last dict field's last value
+        trigger_value = last_value[trigger_field]
+
+    cm = ConceptMapping(source_field=trigger_field)
+    match_key = trigger_value if trigger_value is not None else "*"
+    cm.value_mappings[match_key] = {
+        dest: [term] for dest, term in term_writes.get(trigger_field, {}).items()
+    }
+    for fld, writes in term_writes.items():
+        if fld == trigger_field:
+            continue
+        for dest, term in writes.items():
+            cm.extra_literals[dest] = str(term)
+    for dest, fld in plain_writes:
+        if fld == trigger_field:
+            if dest not in cm.original_value_fields:
+                cm.original_value_fields.append(dest)
+        else:
+            cm.copy_fields.append((dest, fld))
+
+    # SHAPE-AWARE merge: real v1 rule files carry thousands of uniform
+    # blocks (one per mapped value, identical companions and dest sets).
+    # One ConceptMapping per block would compile a per-block record builder
+    # — a plan explosion the old merged loader never had — so blocks whose
+    # shape matches an existing CM (same trigger field, original/copy/
+    # literal companions, and per-value dest set) fold back into it:
+    # per-value emission and writes are identical either way (equal dest
+    # sets make the clamped-zip combos reproduce block-wise records in
+    # block order), and the maplit/broadcast-join large-map paths stay
+    # reachable. Non-uniform blocks keep their own CM under a synthetic
+    # '<field>#<n>' key.
+    dest_set = tuple(sorted(cm.value_mappings[match_key]))
+    sig = (
+        trigger_field,
+        tuple(cm.original_value_fields),
+        tuple(cm.copy_fields),
+        tuple(sorted(cm.extra_literals.items())),
+        dest_set,
+    )
+    for existing in tm.concept_mappings.values():
+        if existing.source_field != trigger_field:
+            continue
+        e_dests = {tuple(sorted(m)) for m in existing.value_mappings.values()}
+        e_sig = (
+            existing.source_field,
+            tuple(existing.original_value_fields),
+            tuple(existing.copy_fields),
+            tuple(sorted(existing.extra_literals.items())),
+            next(iter(e_dests)) if len(e_dests) == 1 else None,
+        )
+        if e_sig != sig:
+            continue
+        tgt = existing.value_mappings.setdefault(match_key, {})
+        for dest, ids in cm.value_mappings[match_key].items():
+            lst = tgt.setdefault(dest, [])
+            for cid in ids:
+                if cid not in lst:
+                    lst.append(cid)
+        return
+
+    key = trigger_field
+    n = 1
+    while key in tm.concept_mappings:
+        key = f"{trigger_field}#{n}"
+        n += 1
+    tm.concept_mappings[key] = cm
 
 
 def _merge_v1_rule(

@@ -1,0 +1,189 @@
+"""Differential fuzz: random rules + CSVs through the REFERENCE engine
+(imported in-process via tests/ref_runner.py; reproduces its own goldens
+byte-for-byte under the shims) and through this engine, outputs diffed with
+the reference's own order-insensitive comparison. The 7 golden corpora pin
+real-world shapes; the fuzz adds adversarial ones — duplicate persons,
+missing person references, unmapped/blank terms, scalar AND dict term maps,
+the date-format zoo (valid, dd/mm/yyyy, datetime-bearing, garbage, blank,
+out-of-range), numeric values — under fresh random combinations per seed.
+
+Every case is deterministic in its seed: a failure reproduces exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+
+import pytest
+
+from tests.carrot_compare import compare_table
+from tests.ref_runner import run_reference_mapstream
+
+_DATES = [
+    "1990-01-02",
+    "1955-12-31",
+    "02/03/1991",
+    "31/01/1987",
+    "1993-05-06 07:08:09",
+    "2001-06-07",
+    "garbage",
+    "",
+    "31/11/2000",  # invalid day for month
+    "2001-02-30",  # invalid
+    "1990-1-2",
+]
+_SEXES = ["M", "F", "X", ""]
+_CODES = ["v0", "v1", "v2", "v3", "zz", ""]
+_VALS = ["1", "2.5", "-3", "", "17.25", "x"]
+
+
+def _src(field, table="demo.csv", mapping=None):
+    d = {"source_table": table, "source_field": field}
+    if mapping is not None:
+        d["term_mapping"] = mapping
+    return d
+
+
+def _gen_case(seed: int, d: Path) -> tuple[Path, Path]:
+    rng = random.Random(seed)
+    inputs = d / "inputs"
+    inputs.mkdir()
+
+    n_person = rng.randint(6, 25)
+    pids = [f"p{i:03d}" for i in range(n_person)]
+    person_rows = []
+    for p in pids:
+        person_rows.append((p, rng.choice(_SEXES), rng.choice(_DATES)))
+    # duplicate person rows (first-wins dedup) and an id colliding later
+    for _ in range(rng.randint(0, 4)):
+        p = rng.choice(pids)
+        person_rows.append((p, rng.choice(_SEXES), rng.choice(_DATES)))
+    (inputs / "demo.csv").write_text(
+        "pid,sex,dob\n" + "\n".join(",".join(r) for r in person_rows) + "\n"
+    )
+
+    obs_rows = []
+    for i in range(rng.randint(10, 60)):
+        pid = rng.choice(pids + ["ghost1", "ghost2"])  # missing-person refs
+        obs_rows.append(
+            (pid, rng.choice(_DATES), rng.choice(_CODES), rng.choice(_VALS))
+        )
+    (inputs / "obs.csv").write_text(
+        "pid,when,code,val\n" + "\n".join(",".join(r) for r in obs_rows) + "\n"
+    )
+
+    # rules: person (two gender rule-sets), observation (scalar + dict term
+    # maps, value_as_number, a demographics-sourced block), condition.
+    # Odd seeds add a SECOND scalar block on the same trigger field with a
+    # different companion shape — two records per row for that field, which
+    # exercises the non-mergeable multi-block path (synthetic CM keys).
+    code_map = {c: 9000 + i for i, c in enumerate(["v0", "v1", "v2"])}
+    rules = {
+        "metadata": {"date_created": "2026-01-01T00:00:00", "dataset": f"fuzz{seed}"},
+        "cdm": {
+            "person": {
+                "male": {
+                    "person_id": _src("pid"),
+                    "birth_datetime": _src("dob"),
+                    "gender_concept_id": _src("sex", mapping={"M": 8507}),
+                    "gender_source_concept_id": _src("sex", mapping={"M": 8507}),
+                    "gender_source_value": _src("sex"),
+                },
+                "female": {
+                    "person_id": _src("pid"),
+                    "birth_datetime": _src("dob"),
+                    "gender_concept_id": _src("sex", mapping={"F": 8532}),
+                    "gender_source_concept_id": _src("sex", mapping={"F": 8532}),
+                    "gender_source_value": _src("sex"),
+                },
+            },
+            "observation": {
+                "obs_scalar": {
+                    "person_id": _src("pid", "obs.csv"),
+                    "observation_datetime": _src("when", "obs.csv"),
+                    "observation_concept_id": _src("code", "obs.csv", mapping=9100),
+                    "observation_source_concept_id": _src(
+                        "code", "obs.csv", mapping=9100
+                    ),
+                    "observation_source_value": _src("code", "obs.csv"),
+                    "value_as_number": _src("val", "obs.csv"),
+                },
+                "obs_dict": {
+                    "person_id": _src("pid", "obs.csv"),
+                    "observation_datetime": _src("when", "obs.csv"),
+                    "observation_concept_id": _src("code", "obs.csv", mapping=code_map),
+                    "observation_source_concept_id": _src(
+                        "code", "obs.csv", mapping=code_map
+                    ),
+                    "observation_source_value": _src("code", "obs.csv"),
+                },
+                "obs_demo": {
+                    "person_id": _src("pid"),
+                    "observation_datetime": _src("dob"),
+                    "observation_concept_id": _src("sex", mapping={"X": 9200}),
+                    "observation_source_concept_id": _src("sex", mapping={"X": 9200}),
+                    "observation_source_value": _src("sex"),
+                },
+            },
+            "condition_occurrence": {
+                "cond_0": {
+                    "person_id": _src("pid", "obs.csv"),
+                    "condition_start_datetime": _src("when", "obs.csv"),
+                    "condition_end_datetime": _src("when", "obs.csv"),
+                    "condition_concept_id": _src(
+                        "code", "obs.csv", mapping={"v1": 254761, "v3": 254762}
+                    ),
+                    "condition_source_concept_id": _src(
+                        "code", "obs.csv", mapping={"v1": 254761, "v3": 254762}
+                    ),
+                    "condition_source_value": _src("code", "obs.csv"),
+                },
+            },
+        },
+    }
+    if seed % 2 == 1:
+        rules["cdm"]["observation"]["obs_scalar2"] = {
+            "person_id": _src("pid", "obs.csv"),
+            "observation_datetime": _src("when", "obs.csv"),
+            "observation_concept_id": _src("code", "obs.csv", mapping=9300),
+            "observation_source_value": _src("code", "obs.csv"),
+            "value_as_string": _src("val", "obs.csv"),
+        }
+    rules_file = d / "rules.json"
+    rules_file.write_text(json.dumps(rules, indent=1))
+    return rules_file, inputs
+
+
+_TABLES = ["person", "observation", "condition_occurrence"]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_case(spark, tmp_path, seed):
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_case(seed, tmp_path)
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    run_reference_mapstream(rules_file, inputs, ref_out, "demo")
+
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark,
+        rules_file=rules_file,
+        inputs=inputs,
+        output_dir=our_out,
+        person_table="demo",
+    )
+
+    problems = []
+    for table in _TABLES:
+        problems += compare_table(
+            table,
+            our_out / f"{table}.tsv",
+            ref_out / f"{table}.tsv",
+            our_out / "person_ids.tsv",
+            ref_out / "person_ids.tsv",
+        )
+    assert not problems, f"seed={seed}:\n" + "\n".join(problems[:20])
