@@ -393,12 +393,19 @@ class CarrotPlanner:
             self._metrics_seq += 1
             count_fields: list[str] = []
             if not is_person:
-                # unique SOURCE fields in first-appearance order — v1 block
+                # unique DATA COLUMNS in first-appearance order — v1 block
                 # mappings may register several blocks per field under
-                # synthetic keys, but the reference counts once per datacol
+                # synthetic keys, and block companions (plain copies and
+                # non-trigger term fields) are datacols too: the reference
+                # iterates every field present in a block's data and counts
+                # its blanks, even though no record is keyed on it
                 seen_cf: dict[str, None] = {}
                 for cm_ in tm.concept_mappings.values():
                     seen_cf.setdefault(cm_.source_field, None)
+                    for _d, fld_ in getattr(cm_, "copy_fields", []):
+                        seen_cf.setdefault(fld_, None)
+                    for fld_ in getattr(cm_, "companion_term_fields", []):
+                        seen_cf.setdefault(fld_, None)
                 count_fields = list(seen_cf)
             elif self.rules.dialect == "v1" and tm.concept_mappings:
                 # v1 counts the person target's FIRST data column only
@@ -430,13 +437,23 @@ class CarrotPlanner:
                 by_field: dict[str, list] = {}
                 for cm_ in tm.concept_mappings.values():
                     by_field.setdefault(cm_.source_field, []).append(cm_)
+                if is_person and self.rules.dialect == "v1":
+                    # v1 person: record build runs for the FIRST datacol only
+                    # (run.py breaks after person) and proceeds for ANY valid
+                    # value — unmatched terms still reach the component-date
+                    # check (core.py:76-95), so the count has no
+                    # concept-match gate
+                    by_field = dict(list(by_field.items())[:1])
                 for fname, cms in by_field.items():
                     cell = _try_resolve(raw, fname)
                     if cell is None:
                         continue
-                    match = _concept_match(cell, cms[0])
-                    for cm_ in cms[1:]:
-                        match = match | _concept_match(cell, cm_)
+                    if is_person and self.rules.dialect == "v1":
+                        match = F.lit(True)
+                    else:
+                        match = _concept_match(cell, cms[0])
+                        for cm_ in cms[1:]:
+                            match = match | _concept_match(cell, cm_)
                     datebad_keys.append(fname)
                     aggs.append(
                         F.sum(

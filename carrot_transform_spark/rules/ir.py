@@ -60,6 +60,10 @@ class ConceptMapping:
     # v2 blocks and person targets never populate these.
     copy_fields: list[tuple[str, str]] = field(default_factory=list)
     extra_literals: dict[str, str] = field(default_factory=dict)
+    # source fields of the extra_literals writes — they are DATA COLUMNS in
+    # the reference's per-datacol iteration, so blank-cell metrics count
+    # them even though no record is keyed on them
+    companion_term_fields: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -223,6 +223,8 @@ def _merge_v1_block(
     for fld, writes in term_writes.items():
         if fld == trigger_field:
             continue
+        if fld not in cm.companion_term_fields:
+            cm.companion_term_fields.append(fld)
         for dest, term in writes.items():
             cm.extra_literals[dest] = str(term)
     for dest, fld in plain_writes:
@@ -249,6 +251,7 @@ def _merge_v1_block(
         tuple(cm.original_value_fields),
         tuple(cm.copy_fields),
         tuple(sorted(cm.extra_literals.items())),
+        tuple(cm.companion_term_fields),
         dest_set,
     )
     for existing in tm.concept_mappings.values():
@@ -260,6 +263,7 @@ def _merge_v1_block(
             tuple(existing.original_value_fields),
             tuple(existing.copy_fields),
             tuple(sorted(existing.extra_literals.items())),
+            tuple(existing.companion_term_fields),
             next(iter(e_dests)) if len(e_dests) == 1 else None,
         )
         if e_sig != sig:

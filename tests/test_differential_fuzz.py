@@ -187,3 +187,17 @@ def test_differential_case(spark, tmp_path, seed):
             ref_out / "person_ids.tsv",
         )
     assert not problems, f"seed={seed}:\n" + "\n".join(problems[:20])
+
+    # the metric rollup must agree too — blank/invalid-date/person-reject
+    # counters under adversarial inputs (round 9 caught two counter classes
+    # here: companion datacols' blank counts and the ungated v1 person
+    # component-date count)
+    from tests.carrot_compare import read_tsv
+
+    h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
+    h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
+    assert h1 == h2
+    ours = {tuple(r[:6]): tuple(r[6:]) for r in r1}
+    gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
+    bad = {k: (gold.get(k), ours.get(k)) for k in set(gold) | set(ours) if gold.get(k) != ours.get(k)}
+    assert not bad, f"seed={seed} summary rows diverge: {dict(list(bad.items())[:8])}"
