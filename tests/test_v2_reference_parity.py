@@ -76,6 +76,21 @@ def test_v2_demo_corpus_parity(spark, tmp_path):
         )
     assert not problems, "\n".join(problems[:20])
 
+    # the v2 metric rollup agrees row-for-row too (48 rows on this corpus)
+    from tests.carrot_compare import read_tsv
+
+    h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
+    h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
+    assert h1 == h2
+    ours = {tuple(r[:6]): tuple(r[6:]) for r in r1}
+    gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
+    bad = {
+        k: (gold.get(k), ours.get(k))
+        for k in set(gold) | set(ours)
+        if gold.get(k) != ours.get(k)
+    }
+    assert not bad, f"v2 summary rows diverge: {dict(list(bad.items())[:8])}"
+
 
 def _v1_rules_to_v2(rules: dict) -> dict:
     """Re-express the fuzz generator's v1 rules in the v2 format. v2 holds
