@@ -143,6 +143,18 @@ def _gen_case(seed: int, d: Path) -> tuple[Path, Path]:
             },
         },
     }
+    if seed % 3 == 0:
+        # overlapping person rule-set: maps "M" AGAIN to a different concept
+        # — the reference merges person blocks field-wise and the record
+        # write makes the LATER entry win (v1 per-row person semantics:
+        # overwrite, not combination explosion)
+        rules["cdm"]["person"]["male_again"] = {
+            "person_id": _src("pid"),
+            "birth_datetime": _src("dob"),
+            "gender_concept_id": _src("sex", mapping={"M": 8599}),
+            "gender_source_concept_id": _src("sex", mapping={"M": 8599}),
+            "gender_source_value": _src("sex"),
+        }
     if seed % 2 == 1:
         rules["cdm"]["observation"]["obs_scalar2"] = {
             "person_id": _src("pid", "obs.csv"),
