@@ -36,10 +36,24 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 OFF = 10_000_000
 
+# At/above this factor the replicated fact tables are too big to funnel
+# through the single-file writer (factor 1000 = ~600M lineitem rows, a
+# ~30 GB shuffle + one 15 GB writer task).  Instead: put the replica ids on
+# the LEFT, partitioned by replica, and BROADCAST the small sf0.1 source
+# table — every task generates the full rows for its replica slice locally
+# (no shuffle of replicated data at all) and writes its own part file.
+# Output becomes a DIRECTORY named <t>.parquet/ (Spark reads it natively;
+# tests/oracle_compare.duck_connect globs it for DuckDB).
+BIG_FACTOR = 100
+BIG_TASKS = 96
+
 
 def _rep(spark: SparkSession, df: DataFrame, factor: int) -> DataFrame:
     """Cross-join with replica ids 0..factor-1 (column __r)."""
     reps = spark.range(factor).select(F.col("id").cast("int").alias("__r"))
+    if factor >= BIG_FACTOR:
+        reps = reps.repartition(BIG_TASKS, "__r")
+        return reps.crossJoin(F.broadcast(df))
     return df.crossJoin(reps)
 
 
@@ -56,10 +70,13 @@ def main() -> None:
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/data/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+    import os
+
+    cpus = os.environ.get("GEN_CPUS", "16")
     spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.driver.memory", "16g")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("GEN_DRIVER_MEM", "16g"))
         .appName("gen_sf_big")
         .getOrCreate()
     )
@@ -77,6 +94,16 @@ def main() -> None:
         import shutil
 
         t0 = time.time()
+        if factor >= BIG_FACTOR:
+            # replica-partitioned generation writes BIG_TASKS part files in
+            # parallel into a directory named <t>.parquet
+            dest = f"{out}/{t}.parquet"
+            if Path(dest).is_file():
+                Path(dest).unlink()
+            df.write.mode("overwrite").parquet(dest)
+            n = spark.read.parquet(dest).count()
+            print(f"{t}: {n} rows in {time.time() - t0:.1f}s -> {dest}/ (dir)", flush=True)
+            return
         tmp = f"{out}/__{t}"
         df.repartition(parts).coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]

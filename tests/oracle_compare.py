@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 from dataclasses import dataclass
 from datetime import date, datetime
 
@@ -108,9 +109,12 @@ def _spark_kind(t: str) -> str:
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # big scale factors (gen_sf_big factor>10) store each table as a
+        # DIRECTORY of part files named <t>.parquet/ — glob those for DuckDB
+        # (Spark reads either layout transparently)
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     return con
 
 
