@@ -78,6 +78,15 @@ def strict_date(col: Column) -> Column:
     return F.when(F.year(d) >= 1, d)
 
 
+def strict_date_sql(expr: str) -> str:
+    """SQL-text twin of strict_date for the string-assembled record plans."""
+    d = (
+        f"COALESCE(try_to_date({expr}, 'yyyy-M-d'), "
+        f"try_to_date({expr}, 'd-M-yyyy'), try_to_date({expr}, 'd/M/yyyy'))"
+    )
+    return f"(CASE WHEN year({d}) >= 1 THEN {d} END)"
+
+
 def valid_value(col: Column) -> Column:
     """Non-blank check (validation.py:8-10)."""
     return F.trim(col) != ""

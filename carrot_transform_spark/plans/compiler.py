@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from carrot_transform_spark.functions.dates import (
     normalise_to8601,
     strict_date,
+    strict_date_sql,
     valid_value,
 )
 from carrot_transform_spark.omop.ddl import OmopSchemas, TableSchema
@@ -89,6 +90,11 @@ class CarrotPlanner:
         # source file by flush_metrics() (was: one agg job per
         # (file, target) pair + one reject-count job per target)
         self._pending_aggs: dict[tuple[str, str | None], list[tuple[list[Column], object]]] = {}
+        # frame-level metric aggs (run over a target-specific frame instead
+        # of the file's cached scan — e.g. the v2 person per-combo
+        # invalid_date over the deduped rows), folded into the same
+        # one-collect-per-file flush
+        self._pending_df_aggs: dict[str, list[tuple[DataFrame, list[Column], object]]] = {}
         self._pending_rejects: list[tuple[DataFrame, RejectStats]] = []
         self._metrics_seq = 0
         # plan-construction memos: every Column operation is a synchronous
@@ -104,6 +110,44 @@ class CarrotPlanner:
         self._override_cache: dict[tuple[int, str], tuple[Column, Column]] = {}
         self._lit_cache: dict[tuple[str, object], Column] = {}
         self._tail_cache: dict[tuple[int, int, int], tuple] = {}
+        self._main_fields_memo: dict[str, tuple[str | None, str | None]] = {}
+
+    def _file_main_fields(self, src_file: str) -> tuple[str | None, str | None]:
+        """The file's MAIN (datetime, person-id) source columns.
+
+        The reference gates/normalises every row of a file on ONE datetime
+        column — not each target's own date source.  v2 selection
+        (mappingrules.py:216-235): iterate targets in cdm order, take each
+        mapping's date/person source (overwriting), stop as soon as both are
+        set.  v1 selection (mappingrules.py:237-262): same iteration but
+        LAST one wins (no break).  Targets whose own date source differs
+        from the main column get the RAW cell copied into their date dests
+        (orchestrator.py:141-158 normalises the main column in place;
+        record_builder.apply_date_mappings and core.py read each block's own
+        column from the mutated row).
+
+        v1 caveat: within one (target, source) the IR folds all blocks into
+        a single date mapping, so per-BLOCK date-field heterogeneity is not
+        representable — real Carrot-Mapper exports use one date column per
+        file, and the cross-target last-wins order is what this replicates.
+        """
+        hit = self._main_fields_memo.get(src_file)
+        if hit is not None:
+            return hit
+        dt: str | None = None
+        pid: str | None = None
+        for per_source in self.rules.mappings.values():
+            tm = per_source.get(src_file)
+            if tm is None:
+                continue
+            if tm.date_mapping:
+                dt = tm.date_mapping.source_field
+            if tm.person_id_mapping:
+                pid = tm.person_id_mapping.source_field
+            if self.rules.dialect == "v2" and dt and pid:
+                break
+        self._main_fields_memo[src_file] = (dt, pid)
+        return dt, pid
 
     def _lit(self, v) -> Column:
         """Memoized F.lit for the scalar literals a rules set repeats
@@ -275,12 +319,25 @@ class CarrotPlanner:
         if stats is not None:
             # deferred: flush_metrics() unions every target's reject counts
             # into ONE collect instead of one job per (file, target)
-            rej = (
-                joined.filter(F.col("target_subject").isNull())
-                .groupBy(SRC_COL)
-                .count()
-                .withColumn("__ct_tgt", F.lit(target))
-            )
+            nulls = joined.filter(F.col("target_subject").isNull())
+            if self.rules.dialect == "v2" and target != "person":
+                # v2 StandardRecordBuilder ABORTS the field's build on the
+                # first failed person write (record_builder.py:358-365), so
+                # a ghost person counts invalid_person_ids once per
+                # (row, data column), not once per combo record. The person
+                # builder and all of v1 count per record (no abort:
+                # record_builder.py:243-248, run.py:290-299).
+                rej = (
+                    nulls.groupBy(SRC_COL)
+                    .agg(F.count_distinct(F.col(LINE_COL), F.col(FIELD_COL)).alias("count"))
+                    .withColumn("__ct_tgt", F.lit(target))
+                )
+            else:
+                rej = (
+                    nulls.groupBy(SRC_COL)
+                    .count()
+                    .withColumn("__ct_tgt", F.lit(target))
+                )
             self._pending_rejects.append((rej, stats))
         return kept
 
@@ -294,7 +351,9 @@ class CarrotPlanner:
         by_file: dict[str, list[tuple[str, str | None]]] = {}
         for cache_key in self._pending_aggs:
             by_file.setdefault(cache_key[0], []).append(cache_key)
-        for keys in by_file.values():
+        for f in self._pending_df_aggs:
+            by_file.setdefault(f, [])
+        for src_file, keys in by_file.items():
             combined = None
             entries = []
             for cache_key in keys:
@@ -304,10 +363,15 @@ class CarrotPlanner:
                     *[a for cols, _ in pend for a in cols]
                 )
                 combined = frame if combined is None else combined.crossJoin(frame)
+            for dfx, cols, resolve in self._pending_df_aggs.get(src_file, []):
+                entries.append((cols, resolve))
+                frame = dfx.agg(*cols)
+                combined = frame if combined is None else combined.crossJoin(frame)
             row = combined.collect()[0]
             for _, resolve in entries:
                 resolve(row)
         self._pending_aggs.clear()
+        self._pending_df_aggs.clear()
         by_stats: dict[int, tuple[RejectStats, list[DataFrame]]] = {}
         for frame, stats in self._pending_rejects:
             by_stats.setdefault(id(stats), (stats, []))[1].append(frame)
@@ -344,12 +408,40 @@ class CarrotPlanner:
             self._counted_files.add(src_file)
 
         # F2: permissive row-level date normalisation; invalid rows rejected
-        # (orchestrator.py:146-158). The normalized scan is cached ONCE per
-        # (file, date field) and shared across targets; caching also stops
-        # projection collapse from inlining the regex-heavy normalise
-        # expression into every struct field of the record generator
-        # (measured 9s -> ~1s for the record explode at sf0.1)
-        date_field = tm.date_mapping.source_field if tm.date_mapping else None
+        # (orchestrator.py:146-158). The ROW GATE runs on the file's MAIN
+        # datetime column (see _file_main_fields), NOT the target's own date
+        # source; a target whose date source differs gets the raw cell
+        # copied. The normalized scan is cached ONCE per (file, main field)
+        # and shared across targets; caching also stops projection collapse
+        # from inlining the regex-heavy normalise expression into every
+        # struct field of the record generator (measured 9s -> ~1s for the
+        # record explode at sf0.1)
+        main_dt, main_pid = self._file_main_fields(src_file)
+        if self.rules.dialect == "v2" and (
+            main_dt is None
+            or main_pid is None
+            or _try_resolve(df, main_dt) is None
+        ):
+            # v2 skips the whole FILE when its main date/person sources are
+            # unresolved (orchestrator.py:85-101: file_meta gate + missing
+            # datetime column) — no records, no row metrics
+            if count_file:
+                self._counted_files.discard(src_file)
+            return df.limit(0).select(
+                *[F.lit("").alias(c) for c in schema.columns],
+                F.lit(src_file).alias(SRC_COL),
+                F.lit("").alias(FIELD_COL),
+                F.lit(0).alias(FIELDIDX_COL),
+                F.lit(0).alias(COMBO_COL),
+                F.col(LINE_COL),
+                F.lit(fileidx).alias(FILEIDX_COL),
+            )
+        date_field = main_dt
+        # the target's own date source; None when it IS the main column, in
+        # which case the normalised __ct_* columns apply
+        raw_date_field = None
+        if tm.date_mapping and tm.date_mapping.source_field != main_dt:
+            raw_date_field = tm.date_mapping.source_field
         cache_key = (src_file, date_field)
         if cache_key in self._norm_cache:
             raw = self._norm_cache[cache_key]
@@ -381,6 +473,22 @@ class CarrotPlanner:
             self._norm_cache[cache_key] = raw
 
         norm_ok = F.col("__ct_norm").isNotNull() if date_field is not None else F.lit(True)
+
+        # strict component-date check runs on the TARGET's date value: the
+        # normalised main column, or the raw secondary cell split at the
+        # first space (record_builder.py:96-99 get_datetime_value on
+        # source_date.split(" ")[0]); a secondary column missing from the
+        # header writes no dates and can never strict-reject
+        # (record_builder.py:74-79 returns True)
+        if raw_date_field is not None:
+            raw_cell = _try_resolve(raw, raw_date_field)
+            strict_ok_col = (
+                strict_date(F.substring_index(raw_cell, " ", 1)).isNotNull()
+                if raw_cell is not None
+                else F.lit(True)
+            )
+        else:
+            strict_ok_col = strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
 
         # ---- metrics: ONE aggregation job per (file, target) computing all
         # row/blank/date counters (was: one .count() job per counter) -------
@@ -427,8 +535,17 @@ class CarrotPlanner:
                     ).alias(f"__m{seq}_blank_{len(blank_keys) - 1}")
                 )
             datebad_keys: list[str] = []
-            if comp_dests:
-                strict_ok = strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
+            if comp_dests and is_person and self.rules.dialect == "v2":
+                # v2 person invalid_date counts once per BUILT COMBO record
+                # of the first-wins row (PersonRecordBuilder builds per
+                # combo, each failing _apply_date_mappings increments,
+                # record_builder.py:241-303) and keys on the triggering data
+                # column = the first mapped field present in the header.
+                # Needs size(records) over the DEDUPED frame — registered
+                # as a frame-level agg after the builder runs (below).
+                pass
+            elif comp_dests:
+                strict_ok = strict_ok_col
                 # invalid_date per concept FIELD, gated on the same
                 # valid-value + concept-match conditions that would have
                 # produced records for that field (reference increments per
@@ -516,17 +633,50 @@ class CarrotPlanner:
 
         if is_person:
             records = (
-                self._person_records_col_v1(df, tm, schema)
+                self._person_records_col_v1(df, tm, schema, raw_date_field)
                 if self.rules.dialect == "v1"
-                else self._person_records_col(df, tm, schema)
+                else self._person_records_col(df, tm, schema, raw_date_field)
             )
+            if stats is not None and self.rules.dialect == "v2" and comp_dests:
+                # v2 person invalid_date: per failing COMBO record of the
+                # deduped first-wins row, keyed on the first mapped data
+                # column present in the header (see the metrics note above)
+                fld = next(
+                    (
+                        cm_.source_field
+                        for cm_ in tm.concept_mappings.values()
+                        if _try_resolve(raw, cm_.source_field) is not None
+                    ),
+                    None,
+                )
+                if fld is not None:
+                    seq2 = self._metrics_seq
+                    self._metrics_seq += 1
+                    pname = f"__m{seq2}_pdatebad"
+                    aggs2 = [
+                        F.sum(
+                            F.when(~strict_ok_col, F.size(records)).otherwise(0)
+                        ).alias(pname)
+                    ]
+
+                    def resolve2(
+                        m, pname=pname, src_file=src_file, target=target, fld=fld, stats=stats
+                    ) -> None:
+                        n = m[pname]
+                        if n:
+                            key = (src_file, target, fld)
+                            stats.invalid_date[key] = stats.invalid_date.get(key, 0) + n
+
+                    self._pending_df_aggs.setdefault(src_file, []).append(
+                        (df, aggs2, resolve2)
+                    )
         else:
             # J1 both forms: small term maps compile into the plan as
             # when-chains (no join at all); large ones become broadcast
             # rules-table joins so a field with thousands of mapped values
             # doesn't produce a pathological expression tree
             df, attached = self._attach_large_rules(df, tm)
-            records = self._standard_records_col(df, tm, schema, attached)
+            records = self._standard_records_col(df, tm, schema, attached, raw_date_field)
         # explode_outer + null-filter, NOT explode: plain explode's implicit
         # size()>0 predicate gets pushed below upstream exchanges and
         # re-evaluates the entire record-generation expression per row
@@ -538,8 +688,7 @@ class CarrotPlanner:
         # this target (record_builder.py:92-132); the per-field counts were
         # folded into the metrics aggregation above
         if comp_dests:
-            ok = strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
-            exploded = exploded.filter(ok)
+            exploded = exploded.filter(strict_ok_col)
 
         cols = [F.col(f"__ct_rec.{c}").alias(c) for c in schema.columns]
         meta = [
@@ -557,10 +706,22 @@ class CarrotPlanner:
     # -- column-expression record builders ------------------------------
 
     def _common_column_values(
-        self, df: DataFrame, tm: TableMapping, schema: TableSchema
+        self,
+        df: DataFrame,
+        tm: TableMapping,
+        schema: TableSchema,
+        raw_date_field: str | None = None,
     ) -> dict[str, Column]:
         """Dest column -> value for person-id and date destinations
-        (applied last == highest precedence, record_builder.py:53-147)."""
+        (applied last == highest precedence, record_builder.py:53-147).
+
+        ``raw_date_field`` set means the target's date source is NOT the
+        file's main datetime column: the RAW cell is copied (the reference
+        only normalises the main column in place, orchestrator.py:141-152),
+        and the derived artifacts come from the raw value — [:10] slice for
+        the linked twin, split-at-space strict parse for components. A raw
+        source missing from the header writes no date fields at all
+        (record_builder.py:74-79)."""
         target = tm.target_table
         out: dict[str, Column] = {}
         if tm.person_id_mapping and tm.person_id_mapping.dest_field in schema.columns:
@@ -569,7 +730,16 @@ class CarrotPlanner:
                 out[tm.person_id_mapping.dest_field] = src
         linked = self.omop.linked_date_fields(target)
         comp = self.omop.date_components(target)
-        norm = F.col("__ct_norm")
+        if raw_date_field is not None:
+            norm = _try_resolve(df, raw_date_field)
+            if norm is None:
+                return out
+            dt = strict_date(F.substring_index(norm, " ", 1))
+            d10 = F.substring(norm, 1, 10)
+        else:
+            norm = F.col("__ct_norm")
+            dt = strict_date(F.substring(norm, 1, 10))
+            d10 = F.substring(norm, 1, 10)
         if tm.date_mapping:
             companions = set(tm.date_mapping.companions())
             for dest in tm.date_mapping.dest_fields:
@@ -580,7 +750,6 @@ class CarrotPlanner:
                     continue
                 if dest in comp:
                     # D3: birth_datetime -> year/month/day, str(int) unpadded
-                    dt = strict_date(F.substring(norm, 1, 10))
                     ci = comp[dest]
                     if "year" in ci and ci["year"] in schema.columns:
                         out[ci["year"]] = F.year(dt).cast("string")
@@ -590,7 +759,7 @@ class CarrotPlanner:
                         out[ci["day"]] = F.dayofmonth(dt).cast("string")
                 elif dest in linked and linked[dest] in schema.columns:
                     # D4: *_datetime -> paired *_date = first 10 chars
-                    out[linked[dest]] = F.substring(norm, 1, 10)
+                    out[linked[dest]] = d10
         return out
 
     def _record_struct(
@@ -671,8 +840,19 @@ class CarrotPlanner:
     # twins of the retired Column forms (same functions, same order), and
     # every golden/oracle test runs through this path.
 
-    def _common_values_sql(self, df: DataFrame, tm: TableMapping, schema: TableSchema) -> dict[str, str]:
-        """SQL twin of the retired _common_column_values: dest -> fragment."""
+    def _common_values_sql(
+        self,
+        df: DataFrame,
+        tm: TableMapping,
+        schema: TableSchema,
+        raw_date_field: str | None = None,
+    ) -> dict[str, str]:
+        """SQL twin of _common_column_values: dest -> fragment.
+
+        ``raw_date_field`` (target's date source != the file's main
+        datetime column): the raw cell is copied and the derived artifacts
+        are inlined over the raw column name — see the Column twin's
+        docstring for the reference semantics."""
         target = tm.target_table
         out: dict[str, str] = {}
         if tm.person_id_mapping and tm.person_id_mapping.dest_field in schema.columns:
@@ -681,24 +861,46 @@ class CarrotPlanner:
                 out[tm.person_id_mapping.dest_field] = _sql_ident(src)
         linked = self.omop.linked_date_fields(target)
         comp = self.omop.date_components(target)
+        if raw_date_field is not None:
+            raw_name = _try_resolve_name(df, raw_date_field)
+            if raw_name is None:
+                return out
+            val = _sql_ident(raw_name)
+            sd = strict_date_sql(f"substring_index({val}, ' ', 1)")
+            d10 = f"substring({val}, 1, 10)"
+            names = {
+                "val": val,
+                "d10": d10,
+                "y": f"CAST(year({sd}) AS STRING)",
+                "mo": f"CAST(month({sd}) AS STRING)",
+                "dd": f"CAST(dayofmonth({sd}) AS STRING)",
+            }
+        else:
+            names = {
+                "val": "__ct_norm",
+                "d10": "__ct_d10",
+                "y": "__ct_y",
+                "mo": "__ct_mo",
+                "dd": "__ct_dd",
+            }
         if tm.date_mapping:
             companions = set(tm.date_mapping.companions())
             for dest in tm.date_mapping.dest_fields:
                 if dest not in schema.columns:
                     continue
-                out[dest] = "__ct_norm"
+                out[dest] = names["val"]
                 if dest not in companions:
                     continue
                 if dest in comp:
                     ci = comp[dest]
                     if "year" in ci and ci["year"] in schema.columns:
-                        out[ci["year"]] = "__ct_y"
+                        out[ci["year"]] = names["y"]
                     if "month" in ci and ci["month"] in schema.columns:
-                        out[ci["month"]] = "__ct_mo"
+                        out[ci["month"]] = names["mo"]
                     if "day" in ci and ci["day"] in schema.columns:
-                        out[ci["day"]] = "__ct_dd"
+                        out[ci["day"]] = names["dd"]
                 elif dest in linked and linked[dest] in schema.columns:
-                    out[linked[dest]] = "__ct_d10"
+                    out[linked[dest]] = names["d10"]
         return out
 
     def _record_struct_sql(
@@ -851,6 +1053,7 @@ class CarrotPlanner:
         tm: TableMapping,
         schema: TableSchema,
         attached: dict[str, str] | None = None,
+        raw_date_field: str | None = None,
     ) -> Column:
         """array<record> for a standard target: per-field fan-out (U1), each
         field contributing its matched value's clamped-zip combinations (X1).
@@ -872,7 +1075,7 @@ class CarrotPlanner:
           same builder.
         On WIDE targets (see WIDE_PLAN_PAIRS) every field takes the
         per-field builder: |values|x less generated code dominates there."""
-        common = self._common_values_sql(df, tm, schema)
+        common = self._common_values_sql(df, tm, schema, raw_date_field)
         per_field: list[str] = []
         # FIELDIDX is field-major (the reference iterates data COLUMNS, and
         # for each column emits its value-triggered blocks before its
@@ -1007,12 +1210,16 @@ class CarrotPlanner:
         return F.expr(f"flatten(array({', '.join(per_field)}))")
 
     def _person_records_col(
-        self, df: DataFrame, tm: TableMapping, schema: TableSchema
+        self,
+        df: DataFrame,
+        tm: TableMapping,
+        schema: TableSchema,
+        raw_date_field: str | None = None,
     ) -> Column:
         """array<record> for the person target: mappings MERGED across all
         fields (later field wins dest-field collisions), then one clamped-zip
         combination set (PersonRecordBuilder, record_builder.py:199-303)."""
-        common = self._common_column_values(df, tm, schema)
+        common = self._common_column_values(df, tm, schema, raw_date_field)
 
         fields = list(tm.concept_mappings.items())
         # per dest column: coalesce(last field's match, ..., first field's)
@@ -1121,7 +1328,11 @@ class CarrotPlanner:
 
 
     def _person_records_col_v1(
-        self, df: DataFrame, tm: TableMapping, schema: TableSchema
+        self,
+        df: DataFrame,
+        tm: TableMapping,
+        schema: TableSchema,
+        raw_date_field: str | None = None,
     ) -> Column:
         """v1 person semantics (run.py:244-302 + core.py:51-102): exactly ONE
         record per input row, gated on the first data column being non-blank.
@@ -1129,7 +1340,7 @@ class CarrotPlanner:
         concept assignments overwrite, so each dest takes the LAST concept id
         of its matched list; original values apply only when the field's
         value matched; later fields win dest collisions."""
-        common = self._common_column_values(df, tm, schema)
+        common = self._common_column_values(df, tm, schema, raw_date_field)
         fields = list(tm.concept_mappings.items())
         template = self._record_struct(schema, common, F.lit(""), F.lit(0))
         if not fields:

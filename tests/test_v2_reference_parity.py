@@ -17,6 +17,7 @@ any-non-blank original values) that v1 blocks cannot express.
 from __future__ import annotations
 
 import json
+import random
 import sys
 from pathlib import Path
 
@@ -139,6 +140,269 @@ def _v1_rules_to_v2(rules: dict) -> dict:
             m.setdefault("person_id_mapping", {"source_field": "pid", "dest_field": "person_id"})
             m.setdefault("date_mapping", {"source_field": "dob", "dest_field": []})
     return out
+
+
+_V2_DATES = [
+    "1990-01-02",
+    "1955-12-31",
+    "02/03/1991",
+    "1993-05-06 07:08:09",
+    "2001-06-07",
+    "garbage",
+    "",
+    "31/11/2000",  # invalid day for month
+    "2001-02-30",  # calendar-invalid, regex-valid
+    "1990-1-2",
+]
+_V2_SEXES = ["M", "F", "X", "zz", ""]
+_V2_ETHS = ["e0", "e1", "e2", "zz", ""]
+_V2_CODES = ["v0", "v1", "v2", "v3", "zz", ""]
+_V2_VALS = ["1", "2.5", "-3", "", "17.25", "x"]
+
+
+def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
+    """Native v2-format fuzz corpus: rules shapes only v2 can express.
+
+    Shapes drawn per seed (reference semantics each must hit):
+      - uneven multi-concept lists -> clamped-zip combos
+        (concept_helpers.generate_combinations: index min(i, len-1))
+      - exact AND wildcard on one field -> exact wins
+        (concept_helpers.get_value_mapping: exact > '*' > None)
+      - original_value WITHOUT any value mapping: standard builder emits
+        NOTHING (record_builder.py:344-368 gates on non-empty combinations)
+        while the person builder emits with combos=[{}]
+        (record_builder.py:236-241) — the emit asymmetry
+      - several concept fields on one table mapping: person merges with
+        later-field dest overwrite (record_builder.py:252-283); standard
+        tables emit per-field record sets
+      - multi-dest date mapping + the main-datetime quirk: the row's
+        validity datetime is the FIRST (cdm-order) target's date source for
+        that file, normalised IN PLACE (orchestrator.py:93-152); a target
+        whose date source is a DIFFERENT column gets the RAW value copied
+      - rules fields missing from the CSV header are skipped
+        (orchestrator.py:201-203)
+      - empty concept-id lists: the dest is dropped from combos
+        (generate_combinations's `if concept_ids` filter)
+    """
+    rng = random.Random(31_337 + seed)
+    inputs = d / "inputs"
+    inputs.mkdir()
+
+    pids = [f"p{i:03d}" for i in range(rng.randint(6, 25))]
+    person_rows = [
+        (p, rng.choice(_V2_SEXES), rng.choice(_V2_DATES), rng.choice(_V2_ETHS))
+        for p in pids
+    ]
+    for _ in range(rng.randint(0, 4)):  # duplicate persons (first-wins)
+        person_rows.append(
+            (
+                rng.choice(pids),
+                rng.choice(_V2_SEXES),
+                rng.choice(_V2_DATES),
+                rng.choice(_V2_ETHS),
+            )
+        )
+    (inputs / "demo.csv").write_text(
+        "pid,sex,dob,eth\n" + "\n".join(",".join(r) for r in person_rows) + "\n"
+    )
+
+    obs_rows = [
+        (
+            rng.choice(pids + ["ghost1", "ghost2"]),
+            rng.choice(_V2_DATES),
+            rng.choice(_V2_DATES),
+            rng.choice(_V2_CODES),
+            rng.choice(_V2_VALS),
+        )
+        for _ in range(rng.randint(10, 60))
+    ]
+    (inputs / "obs.csv").write_text(
+        "pid,when,when2,code,val\n" + "\n".join(",".join(r) for r in obs_rows) + "\n"
+    )
+
+    def _pid(f="pid"):
+        return {"source_field": f, "dest_field": "person_id"}
+
+    def _date(f, dests):
+        return {"source_field": f, "dest_field": dests}
+
+    # --- person mapping (always) ---
+    sex_cm: dict = {
+        "M": {"gender_concept_id": [8507], "gender_source_concept_id": [8507]},
+        "F": {"gender_concept_id": [8532], "gender_source_concept_id": [8532]},
+    }
+    if rng.random() < 0.5:  # uneven zip inside person
+        sex_cm["X"] = {
+            "gender_concept_id": [8551, 8552],
+            "gender_source_concept_id": [8551],
+        }
+    if rng.random() < 0.4:  # wildcard losing to exacts
+        sex_cm["*"] = {"gender_concept_id": [8599]}
+    if rng.random() < 0.7:
+        sex_cm["original_value"] = ["gender_source_value"]
+    person_cms: dict = {"sex": sex_cm}
+    eth_variant = rng.randrange(4)
+    if eth_variant == 1:
+        person_cms["eth"] = {
+            "e0": {"ethnicity_concept_id": [38003564]},
+            "original_value": ["ethnicity_source_value"],
+        }
+    elif eth_variant == 2:  # dest collision: later field overwrites sex's dest
+        person_cms["eth"] = {"e1": {"gender_concept_id": [7777]}}
+    elif eth_variant == 3:  # wildcard multi-concept -> uneven zip across fields
+        person_cms["eth"] = {
+            "*": {"race_concept_id": [8527, 8516]},
+            "original_value": ["race_source_value"],
+        }
+    person_map = {
+        "person_id_mapping": _pid(),
+        "date_mapping": _date("dob", ["birth_datetime"]),
+        "concept_mappings": person_cms,
+    }
+
+    # --- observation mapping (always) ---
+    code_cm: dict = {
+        "v0": {
+            "observation_concept_id": [9000, 9001],
+            "observation_source_concept_id": [9000],
+        },
+        "v1": {"observation_concept_id": [9010], "observation_source_concept_id": [9010]},
+    }
+    if rng.random() < 0.5:
+        code_cm["*"] = {"observation_concept_id": [9090]}
+    if rng.random() < 0.7:
+        code_cm["original_value"] = ["observation_source_value"]
+    obs_cms: dict = {"code": code_cm}
+    val_variant = rng.randrange(3)
+    if val_variant == 1:  # original_value only -> standard builder emits nothing
+        obs_cms["val"] = {"original_value": ["value_as_number"]}
+    elif val_variant == 2:
+        obs_cms["val"] = {
+            "*": {"observation_concept_id": [9400]},
+            "original_value": ["value_as_number"],
+        }
+    if rng.random() < 0.3:  # field absent from the CSV header
+        obs_cms["nosuch"] = {"*": {"observation_concept_id": [9999]}}
+    observation_map = {
+        "person_id_mapping": _pid(),
+        "date_mapping": _date("when", ["observation_datetime"]),
+        "concept_mappings": obs_cms,
+    }
+
+    # --- measurement mapping (half the seeds): date source when2 != the
+    # file's main datetime -> raw-copy quirk ---
+    measurement_map = None
+    if rng.random() < 0.5:
+        m_cm: dict = {
+            "v2": {
+                "measurement_concept_id": [3020891],
+                "measurement_source_concept_id": [3020891],
+            }
+        }
+        if rng.random() < 0.5:
+            m_cm["original_value"] = ["measurement_source_value"]
+        measurement_map = {
+            "person_id_mapping": _pid(),
+            "date_mapping": _date("when2", ["measurement_datetime"]),
+            "concept_mappings": {"code": m_cm},
+        }
+
+    # --- condition mapping (60%): multi-dest dates, empty concept lists ---
+    condition_map = None
+    if rng.random() < 0.6:
+        c_cm: dict = {
+            "v1": {
+                "condition_concept_id": [254761],
+                "condition_source_concept_id": [254761],
+            },
+            "v3": {
+                "condition_concept_id": [254762, 254763],
+                "condition_source_concept_id": [254762],
+            },
+        }
+        if rng.random() < 0.3:  # empty list: dest dropped from combos
+            c_cm["v0"] = {"condition_concept_id": [], "condition_source_concept_id": [254764]}
+        condition_map = {
+            "person_id_mapping": _pid(),
+            "date_mapping": _date("when", ["condition_start_datetime", "condition_end_datetime"]),
+            "concept_mappings": {"code": c_cm},
+        }
+
+    # cdm insertion order decides the per-file MAIN datetime column
+    # (first target mapping the file wins) — shuffle it so the quirk flips
+    cdm: dict = {"person": {"demo.csv": person_map}}
+    others = [("observation", observation_map)]
+    if measurement_map:
+        others.append(("measurement", measurement_map))
+    if condition_map:
+        others.append(("condition_occurrence", condition_map))
+    rng.shuffle(others)
+    for name, m in others:
+        cdm[name] = {"obs.csv": m}
+
+    rules_file = d / "rules_v2.json"
+    rules_file.write_text(
+        json.dumps(
+            {
+                "metadata": {
+                    "date_created": "2026-01-01T00:00:00",
+                    "dataset": f"v2fuzz{seed}",
+                },
+                "cdm": cdm,
+            },
+            indent=1,
+        )
+    )
+    return rules_file, inputs
+
+
+_V2_TABLES = ["person", "observation", "measurement", "condition_occurrence"]
+
+
+def run_v2_fuzz_seed(spark, tmp_path: Path, seed: int) -> None:
+    """One native-v2 differential seed: records AND summary parity."""
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_v2_case(seed, tmp_path)
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    _run_reference_v2(rules_file, inputs, ref_out, "demo")
+
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark, rules_file=rules_file, inputs=inputs, output_dir=our_out, person_table="demo"
+    )
+    problems = []
+    for table in _V2_TABLES:
+        if not (ref_out / f"{table}.tsv").exists():
+            continue
+        problems += compare_table(
+            table,
+            our_out / f"{table}.tsv",
+            ref_out / f"{table}.tsv",
+            our_out / "person_ids.tsv",
+            ref_out / "person_ids.tsv",
+        )
+    assert not problems, f"seed={seed}:\n" + "\n".join(problems[:20])
+
+    from tests.carrot_compare import read_tsv
+
+    h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
+    h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
+    assert h1 == h2
+    ours = {tuple(r[:6]): tuple(r[6:]) for r in r1}
+    gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
+    bad = {
+        k: (gold.get(k), ours.get(k))
+        for k in set(gold) | set(ours)
+        if gold.get(k) != ours.get(k)
+    }
+    assert not bad, f"seed={seed} summary rows diverge: {dict(list(bad.items())[:8])}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_v2_native_fuzz_case(spark, tmp_path, seed):
+    run_v2_fuzz_seed(spark, tmp_path, seed)
 
 
 @pytest.mark.parametrize("seed", range(3))
