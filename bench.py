@@ -40,10 +40,15 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from carrot_transform_spark.queries import all_queries
-    from carrot_transform_spark.session import get_spark
+    from carrot_transform_spark.session import derive_shuffle_partitions, get_spark
 
     registry = all_queries()
-    spark = get_spark(app_name="carrot-bench", master=f"local[{cpus}]")
+    spark = get_spark(
+        app_name="carrot-bench",
+        master=f"local[{cpus}]",
+        # scale-aware: 32 at sf<=1, 64 at sf10, 512 at sf100 — no hand tuning
+        shuffle_partitions=derive_shuffle_partitions(sf_dir, floor=int(cpus)),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers with a trivial action (not timed)
@@ -56,10 +61,14 @@ def main() -> None:
     # identical trees).  All raw runs are kept in the JSON tail ("runs") so the
     # medians stay auditable.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # optional subset (comma-separated names) for targeted scale runs where
+    # the full battery would be wall-clock prohibitive (e.g. sf100)
+    only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+    bench_queries = [q for q in BENCH_QUERIES if not only or q in only]
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     t_all = time.perf_counter()
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         qd = registry[name]
         runs: list[float] = []
         for _ in range(repeats):

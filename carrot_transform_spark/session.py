@@ -15,6 +15,58 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+# Auto-derivation targets ~32 MB of PARQUET bytes per shuffle partition
+# (snappy parquet decompresses/widens ~4x, so that's ~128 MB in-flight per
+# task — the classic sizing that keeps sort spills rare without drowning the
+# scheduler in tiny tasks).  Rounded to a power of two so AQE's coalescing
+# and our bucketing tests see stable, canonical partition counts.
+_TARGET_PARQUET_BYTES_PER_PARTITION = 32 * 1024 * 1024
+_MAX_AUTO_PARTITIONS = 2048
+
+
+def derive_shuffle_partitions(sf_dir: str, floor: int | None = None) -> int:
+    """Derive ``spark.sql.shuffle.partitions`` from the input's leaf-file stats.
+
+    Sums the parquet bytes under ``sf_dir`` (both single-file ``t.parquet``
+    and directory ``t.parquet/part-*.parquet`` layouts), divides by the
+    per-partition target, and clamps to [floor, 2048] where ``floor``
+    defaults to the session's CPU count — below that the cluster is
+    under-parallelized no matter how small the data.  Rounds to the nearest
+    power of two.  An explicit ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` env always
+    wins (returned verbatim) so hand-tuning stays possible.
+
+    This removes the per-scale-factor SWEEP_SHUFFLE hand-tuning: sf0.1
+    (21 MB) -> 32, sf1 (184 MB) -> 32, sf10 (2.1 GB) -> 64, sf100 (16 GB)
+    -> 512 — matching or subsuming the previously hand-set values.
+    """
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    if floor is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        floor = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+    total = 0
+    try:
+        import pathlib
+
+        for p in pathlib.Path(sf_dir).glob("*.parquet"):
+            if p.is_dir():
+                total += sum(f.stat().st_size for f in p.glob("*.parquet"))
+            else:
+                total += p.stat().st_size
+    except OSError:
+        return DEFAULT_SHUFFLE_PARTITIONS
+    if total == 0:
+        return DEFAULT_SHUFFLE_PARTITIONS
+    raw = max(floor, -(-total // _TARGET_PARQUET_BYTES_PER_PARTITION))
+    raw = min(raw, _MAX_AUTO_PARTITIONS)
+    # nearest power of two (ties round up): p is the smallest power >= raw,
+    # keep it when raw is in the upper half of (p/2, p], else fall back to p/2
+    p = 1
+    while p < raw:
+        p *= 2
+    return p if raw > 3 * p // 4 else max(p // 2, 1)
+
 
 def get_spark(
     app_name: str = "carrot-transform-spark",

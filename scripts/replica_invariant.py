@@ -52,9 +52,14 @@ def _rows(df) -> list[tuple]:
 def main() -> int:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/data/sf10"
+    from carrot_transform_spark.session import derive_shuffle_partitions
+
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(derive_shuffle_partitions(big, floor=32)),
+        )
         .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "16g"))
         .appName("replica-invariant")
         .getOrCreate()

@@ -25,9 +25,14 @@ def main() -> int:
     import os
 
     cpus = os.environ.get("SWEEP_CPUS", "8")
+    from carrot_transform_spark.session import derive_shuffle_partitions
+
+    shuffle = os.environ.get("SWEEP_SHUFFLE") or str(
+        derive_shuffle_partitions(sf_dir, floor=int(cpus))
+    )
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", os.environ.get("SWEEP_SHUFFLE", cpus))
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "2g"))
         .getOrCreate()
     )
