@@ -65,13 +65,23 @@ def attach_payload_meta(
     ).withColumnRenamed(payload_col, "payload")
 
 
-def real_decode(payload: bytes, fmt: str):  # pragma: no cover - env-gated
-    """Actual codec hook. The container has no PIL/ffmpeg; installations that
-    do can monkeypatch or subclass. Kept as the single clearly-marked seam."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake_decode for deterministic tests"
-    )
+def real_decode(payload: bytes, fmt: str) -> dict:
+    """Real dependency-free image decode (operators/codecs.py: BMP, 8-bit
+    PNG with all five scanline filters, binary PGM/PPM — pure numpy +
+    stdlib zlib). Returns the same stat dict shape as fake_decode so the
+    mapInPandas plumbing is identical; ``pixels`` carries the decoded
+    array for downstream transforms. Video/audio and compressed formats
+    beyond zlib-PNG raise NotImplementedError inside decode_image — the
+    one remaining seam."""
+    from carrot_transform_spark.operators.codecs import decode_image
+
+    px = decode_image(payload, fmt)
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "n_frames": 1,
+        "pixels": px,
+    }
 
 
 def fake_decode(payload: bytes, fmt: str) -> dict:
@@ -122,9 +132,12 @@ def decode_stats(df: DataFrame, decoder=fake_decode) -> DataFrame:
 
 
 def resize_images(df: DataFrame, target: int = 224, decoder=fake_decode) -> DataFrame:
-    """Decode -> resize -> re-encode. Codec stubbed: the fake 'resize' emits a
-    deterministic payload (hash of input + target) with updated meta; the
-    partition/batch plumbing matches what a real PIL/turbojpeg impl needs."""
+    """Decode -> resize -> re-encode inside Arrow batches.
+
+    With the default fake decoder the 'resize' emits a deterministic
+    payload (hash of input + target) so the DuckDB oracle can reproduce
+    it. With decoder=real_decode the path is fully real: codecs.decode
+    -> nearest-neighbor resize -> re-encode in the SAME format."""
     out_schema = StructType(
         [
             StructField("id", LongType()),
@@ -139,9 +152,19 @@ def resize_images(df: DataFrame, target: int = 224, decoder=fake_decode) -> Data
             rows = []
             for rid, payload, meta in zip(pdf["id"], pdf["payload"], pdf["meta"]):
                 raw = bytes(payload)
-                decoder(raw, meta["format"])  # dimension probe (stubbed)
-                fake_resized = hashlib.sha256(raw + str(target).encode()).digest()
-                rows.append((rid, fake_resized, target, target))
+                d = decoder(raw, meta["format"])
+                if "pixels" in d:
+                    from carrot_transform_spark.operators.codecs import (
+                        encode_image,
+                        resize_nearest,
+                        sniff_format,
+                    )
+
+                    px = resize_nearest(d["pixels"], target, target)
+                    resized = encode_image(px, sniff_format(raw) or meta["format"])
+                else:
+                    resized = hashlib.sha256(raw + str(target).encode()).digest()
+                rows.append((rid, resized, target, target))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select("id", "payload", "meta").mapInPandas(fn, schema=out_schema)

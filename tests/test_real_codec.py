@@ -1,0 +1,257 @@
+"""Real dependency-free image codec (operators/codecs.py) — VERDICT r9
+task 3: the multimodal decode seam closed with a pure-numpy BMP / zlib-PNG /
+netpbm decoder, value-checked (not rows-only) against committed tiny images
+(tests/data/mm/ + golden.json, deterministic gradient patterns).
+
+Independence of the checks:
+- the hand-crafted BMP is built byte-by-byte in the test from the spec;
+- PNG filter coverage builds FILTERED scanlines with an independent
+  re-implementation of the five filter functions (the encoder only ever
+  emits filter 0), so decode must invert real Sub/Up/Average/Paeth data;
+- the committed goldens pin exact payload AND pixel checksums, so a codec
+  regression (or silent re-encode drift) fails loudly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from carrot_transform_spark.operators.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_pnm,
+    encode_image,
+    resize_nearest,
+    sniff_format,
+)
+
+MM = Path(__file__).resolve().parent / "data" / "mm"
+GOLDEN = json.loads((MM / "golden.json").read_text())
+
+
+def _pattern(h, w, c):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 3 + y * 7 + ch * 11) % 256 for ch in range(c)], axis=-1).astype(
+        np.uint8
+    )
+
+
+# ---------------------------------------------------------- hand-built BMP
+
+
+def test_handcrafted_bmp_decodes_exactly():
+    # 2x2 24-bit BMP, bottom-up, stride 8 (2*3 padded to 4 bytes), built
+    # byte-by-byte from the spec — independent of encode_bmp.
+    # target pixels (RGB): row0 = red, green ; row1 = blue, white
+    bottom_row = bytes([255, 0, 0, 255, 255, 255]) + b"\0\0"  # BGR: blue, white
+    top_row = bytes([0, 0, 255, 0, 255, 0]) + b"\0\0"  # BGR: red, green
+    body = bottom_row + top_row  # bottom-up storage
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    px = decode_bmp(hdr + info + body)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    assert (px == expect).all()
+
+
+def test_topdown_bmp():
+    # negative height = top-down row order
+    body = bytes([0, 0, 255, 0, 255, 0]) + b"\0\0" + bytes([255, 0, 0, 255, 255, 255]) + b"\0\0"
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    px = decode_bmp(hdr + info + body)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    assert (px == expect).all()
+
+
+# --------------------------------------------------- PNG filter differential
+
+
+def _png_wrap(w, h, channels, raw_scanlines: bytes) -> bytes:
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _filter_line(ftype: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> bytes:
+    """Independent spec implementation of PNG filtering (encode side)."""
+    n = len(line)
+    out = np.zeros(n, dtype=np.int32)
+    for x in range(n):
+        left = int(line[x - bpp]) if x >= bpp else 0
+        up = int(prev[x])
+        ul = int(prev[x - bpp]) if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        else:  # Paeth
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+        out[x] = (int(line[x]) - pred) & 0xFF
+    return bytes([ftype]) + out.astype(np.uint8).tobytes()
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_filters_roundtrip(ftype, channels):
+    px = _pattern(6, 5, channels)
+    flat = px.reshape(6, -1)
+    raw = b""
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
+    for y in range(6):
+        raw += _filter_line(ftype, flat[y], prev, channels)
+        prev = flat[y]
+    got = decode_png(_png_wrap(5, 6, channels, raw))
+    assert (got == px).all()
+
+
+def test_png_mixed_filters():
+    channels = 3
+    px = _pattern(5, 4, channels)
+    flat = px.reshape(5, -1)
+    raw = b""
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
+    for y, ftype in enumerate([4, 3, 1, 2, 0]):
+        raw += _filter_line(ftype, flat[y], prev, channels)
+        prev = flat[y]
+    assert (decode_png(_png_wrap(4, 5, channels, raw)) == px).all()
+
+
+# ------------------------------------------------------------- round trips
+
+
+@pytest.mark.parametrize(
+    "fmt,channels",
+    [("bmp", 1), ("bmp", 3), ("bmp", 4), ("png", 1), ("png", 3), ("png", 4), ("pnm", 1), ("pnm", 3)],
+)
+def test_encode_decode_roundtrip(fmt, channels):
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(11, 7, channels), dtype=np.uint8)  # odd width
+    payload = encode_image(px, fmt)
+    assert sniff_format(payload) == fmt
+    assert (decode_image(payload) == px).all()
+
+
+def test_pnm_comments_and_whitespace():
+    px = _pattern(3, 2, 3)
+    payload = b"P6\n# a comment\n 2 # inline\n3\n255\n" + px.tobytes()
+    assert (decode_pnm(payload) == px).all()
+
+
+def test_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 not really jpeg")
+
+
+# ----------------------------------------------------------------- resize
+
+
+def test_resize_nearest_exact_picks():
+    px = _pattern(4, 4, 3)
+    out = resize_nearest(px, 2, 2)
+    # src idx = floor((i+0.5)*4/2) = {1, 3}
+    assert (out == px[[1, 3]][:, [1, 3]]).all()
+
+
+def test_resize_upscale_shape():
+    px = _pattern(3, 3, 1)
+    out = resize_nearest(px, 9, 6)
+    assert out.shape == (6, 9, 1)
+    # corners map to corners
+    assert out[0, 0, 0] == px[0, 0, 0] and out[-1, -1, 0] == px[-1, -1, 0]
+
+
+# ------------------------------------------- committed goldens, value-check
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_committed_golden_decodes(name):
+    payload = (MM / name).read_bytes()
+    g = GOLDEN[name]
+    assert hashlib.md5(payload).hexdigest() == g["payload_md5"]
+    px = decode_image(payload)
+    assert px.shape == (g["height"], g["width"], g["channels"])
+    assert hashlib.md5(px.tobytes()).hexdigest() == g["pixel_md5"]
+    assert int(px.astype(np.int64).sum()) == g["pixel_sum"]
+    # the committed bytes ARE the deterministic gradient pattern
+    assert (px == _pattern(g["height"], g["width"], g["channels"])).all()
+
+
+# --------------------------------------------------- Spark end-to-end legs
+
+
+def test_decode_stats_real_codec_spark(spark):
+    from carrot_transform_spark.operators.multimodal import (
+        attach_payload_meta,
+        decode_stats,
+        real_decode,
+    )
+
+    rows = [
+        (i, name, (MM / name).read_bytes(), GOLDEN[name]["format"])
+        for i, name in enumerate(sorted(GOLDEN))
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[2], r[3]) for r in rows], "id long, raw binary, fmt string"
+    )
+    df = attach_payload_meta(df.withColumnRenamed("raw", "payload_raw"), "payload_raw", "image", "mixed")
+    # attach real per-row format (attach_payload_meta writes a literal)
+    got = {
+        r["id"]: r
+        for r in decode_stats(df, decoder=real_decode).collect()
+    }
+    for i, name in enumerate(sorted(GOLDEN)):
+        g = GOLDEN[name]
+        assert got[i]["width"] == g["width"], name
+        assert got[i]["height"] == g["height"], name
+        assert got[i]["n_bytes"] == g["n_bytes"], name
+        assert got[i]["n_frames"] == 1
+
+
+def test_resize_images_real_codec_spark(spark):
+    from carrot_transform_spark.operators.multimodal import (
+        attach_payload_meta,
+        real_decode,
+        resize_images,
+    )
+
+    name = "grad_13x6_rgb.png"
+    payload = (MM / name).read_bytes()
+    df = spark.createDataFrame([(1, payload)], "id long, raw binary")
+    df = attach_payload_meta(df, "raw", "image", "png")
+    out = resize_images(df, target=4, decoder=real_decode).collect()[0]
+    assert (out["width"], out["height"]) == (4, 4)
+    resized = decode_image(bytes(out["payload"]))
+    expect = resize_nearest(decode_image(payload), 4, 4)
+    assert sniff_format(bytes(out["payload"])) == "png"  # same format back
+    assert (resized == expect).all()
