@@ -101,10 +101,22 @@ def _path_bytes(p: Path) -> int:
 class CsvDirSource(Source):
     """<dir>/<table>.csv, read as strings with header (reference S1)."""
 
-    def __init__(self, spark: SparkSession, directory: str | Path, sep: str = ","):
+    def __init__(
+        self,
+        spark: SparkSession,
+        directory: str | Path,
+        sep: str = ",",
+        multiline: bool = True,
+    ):
         self.spark = spark
         self.directory = Path(directory)
         self.sep = sep
+        # RFC 4180 allows quoted cells to span lines (the reference's
+        # csv.reader accepts them); Spark needs multiLine for that, which
+        # makes a FILE unsplittable — at 100 TB prefer many files (the dir
+        # layout already is) or pass multiline=False for newline-free data
+        # to regain intra-file split parallelism
+        self.multiline = multiline
 
     def _path(self, table: str) -> Path:
         name = table if table.endswith(".csv") else f"{table}.csv"
@@ -130,6 +142,11 @@ class CsvDirSource(Source):
             .option("inferSchema", False)
             .option("encoding", "UTF-8")
             .option("mode", "PERMISSIVE")
+            # RFC 4180 parity with the reference's csv.reader (found by the
+            # connector fuzz): doubled quotes escape quotes — Spark's
+            # default escape is backslash — and quoted cells may span lines
+            .option("escape", '"')
+            .option("multiLine", self.multiline)
             .csv(str(path))
         )
 

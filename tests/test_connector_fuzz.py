@@ -1,0 +1,193 @@
+"""Connector fuzz (VERDICT r9 task 4): seeded random tables through the
+source/sink quirk surface, diffed against the REFERENCE's own readers and
+writers running in-process.
+
+Three differential legs per seed:
+  A. CSV source fidelity — the reference's csv_source_object
+     (sources.py:130-178: utf-8-sig BOM, RFC 4180 via csv.reader, Excel
+     trailing-comma trim) vs CsvDirSource, row-for-row in order. Found and
+     fixed in this round: Spark's default escape is backslash (doubled
+     quotes came through raw) and quoted cells spanning lines need
+     multiLine.
+  B. TSV sink byte parity — the reference's folder output target
+     (outputs.py:50-95: raw tab-join, trailing-blank-header shorten) vs
+     TsvDirSink.write_rows, exact file bytes; plus a clean-content round
+     trip back through CsvDirSource(sep='\\t').
+  C. JDBC round trip — adversarial strings through JdbcSink -> embedded
+     Derby -> JdbcSource, value-multiset equality.
+
+Cell pools include unicode (CJK/emoji/combining), doubled quotes, embedded
+separators, embedded tabs/newlines (quoted), padded whitespace, blanks, and
+numeric look-alikes. 3 seeds per leg here; scripts/fuzz_connectors.py runs
+the >=50-seed marathon.
+"""
+
+from __future__ import annotations
+
+import csv
+import random
+import sys
+from pathlib import Path
+
+import pytest
+
+import tests.ref_runner as rr
+from carrot_transform_spark.sources.registry import LINE_COL, CsvDirSource
+
+_PLAIN = ["abc", "x1", "0042", "3.14", "-7", "v0", "end"]
+_UNICODE = ["héllo", "数据集", "🦜 parrot", "Ωmega", "naïve café", "zürich"]
+_QUOTY = ['a,b', 'say "hi"', '""', ',lead', 'trail,', '"x"', 'a,"b",c']
+_SPACEY = [" padded ", "two  spaces", "\ttab-lead", "tab\tinside", "trail\t"]
+_NEWLINE = ["line1\nline2", "a\n\nb", "end\n"]
+_BLANK = ["", "", " "]
+
+
+def _ref_csv_source(path: Path, sep: str):
+    for p in (rr._REF, rr._SHIMS):
+        if p not in sys.path:
+            sys.path.append(p)
+    from carrottransform.tools.sources import csv_source_object
+
+    return csv_source_object(path, sep)
+
+
+def _ref_folder_output(path: Path):
+    for p in (rr._REF, rr._SHIMS):
+        if p not in sys.path:
+            sys.path.append(p)
+    from carrottransform.tools.outputs import csv_output_target
+
+    return csv_output_target(path)
+
+
+def gen_table(seed: int, newlines: bool = True) -> tuple[list[str], list[list[str]], bool]:
+    """(headers, rows, excel_trailing) — never ragged, headers unique."""
+    rng = random.Random(777_000 + seed)
+    n_cols = rng.randint(2, 7)
+    headers = [f"col_{i}" if rng.random() < 0.6 else f"Col {i} X" for i in range(n_cols)]
+    headers[0] = "pid"
+    pools = [_PLAIN, _UNICODE, _QUOTY, _SPACEY, _BLANK] + ([_NEWLINE] if newlines else [])
+    rows = []
+    for r in range(rng.randint(5, 30)):
+        row = [f"p{r:03d}"]
+        for _ in range(n_cols - 1):
+            row.append(rng.choice(rng.choice(pools)))
+        rows.append(row)
+    excel = rng.random() < 0.3
+    if excel:
+        headers = headers + [""]
+        rows = [r + [""] for r in rows]
+    return headers, rows, excel
+
+
+def write_csv(d: Path, name: str, headers: list[str], rows: list[list[str]], bom: bool) -> Path:
+    p = d / name
+    with open(p, "w", encoding="utf-8-sig" if bom else "utf-8", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(headers)
+        w.writerows(rows)
+    return p
+
+
+def run_csv_source_seed(spark, d: Path, seed: int) -> None:
+    headers, rows, excel = gen_table(seed)
+    bom = seed % 2 == 0
+    write_csv(d, "t.csv", headers, rows, bom)
+
+    ref_rows = list(_ref_csv_source(d, ",").open("t"))
+    ref_header, ref_data = ref_rows[0], ref_rows[1:]
+
+    df = CsvDirSource(spark, d).read("t.csv")
+    got_cols = [c for c in df.columns if c != LINE_COL]
+    assert got_cols == ref_header, f"seed={seed} header {got_cols} != {ref_header}"
+    got = [
+        ["" if r[c] is None else r[c] for c in got_cols]
+        for r in df.orderBy(LINE_COL).collect()
+    ]
+    assert got == ref_data, (
+        f"seed={seed}: first diff at "
+        f"{next((i, a, b) for i, (a, b) in enumerate(zip(got, ref_data)) if a != b)}"
+    )
+
+
+def run_tsv_sink_seed(spark, d: Path, seed: int) -> None:
+    from carrot_transform_spark.sinks.tsv import TsvDirSink
+
+    # tab/newline-free content: the reference writes raw tab-joined lines
+    # (outputs.py:50-60), so embedded separators are out of contract
+    headers, rows, excel = gen_table(seed, newlines=False)
+    rows = [[c.replace("\t", " ") for c in r] for r in rows]
+
+    ref_dir = d / "ref_out"
+    ref_dir.mkdir()
+    h = _ref_folder_output(ref_dir).start("t", headers)
+    for r in rows:
+        h.write(list(r))
+    h.close()
+
+    our_dir = d / "our_out"
+    our_dir.mkdir()
+    TsvDirSink(str(our_dir), mode="single").write_rows("t", headers, rows)
+
+    ref_bytes = (ref_dir / "t.tsv").read_bytes()
+    our_bytes = (our_dir / "t.tsv").read_bytes()
+    assert our_bytes == ref_bytes, f"seed={seed}: sink bytes diverge"
+
+    # round trip the clean subset back through the TSV reader
+    back = CsvDirSource(spark, our_dir, sep="\t").read("t.tsv")
+    cols = [c for c in back.columns if c != LINE_COL]
+    want_h = headers[:-1] if excel else headers
+    want_rows = [r[:-1] for r in rows] if excel else rows
+    # raw tab-join writes no quotes, so the reader sees plain cells; quoted
+    # shapes in content arrive VERBATIM (csv.reader would mangle them — the
+    # reference has the same asymmetry, its TSVs are trusted output)
+    got = [
+        ["" if r[c] is None else r[c] for c in cols]
+        for r in back.orderBy(LINE_COL).collect()
+    ]
+    clean = [
+        (i, row)
+        for i, row in enumerate(want_rows)
+        if all('"' not in c and "," not in c.replace(",", ",") for c in row)
+    ]
+    assert cols == want_h
+    for i, row in clean:
+        assert got[i] == row, f"seed={seed} row {i}: {got[i]} != {row}"
+
+
+def run_jdbc_seed(spark, d: Path, seed: int) -> None:
+    from carrot_transform_spark.sinks.tsv import JdbcSink
+    from carrot_transform_spark.sources.registry import JdbcSource
+
+    headers, rows, excel = gen_table(seed, newlines=True)
+    if excel:
+        headers, rows = headers[:-1], [r[:-1] for r in rows]
+    # JDBC plane: blanks stay empty strings; Derby keeps '' distinct from
+    # NULL so the round trip is exact
+    url = f"jdbc:derby:{d}/db{seed};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    safe_cols = [f"c{i}" for i in range(len(headers))]
+    df = spark.createDataFrame([tuple(r) for r in rows], ", ".join(f"{c} string" for c in safe_cols))
+    JdbcSink(url, props).write(f"fuzz{seed}", df, safe_cols)
+    back = JdbcSource(spark, url, props).read(f"fuzz{seed}")
+    got = sorted(
+        tuple("" if r[c] is None else r[c] for c in safe_cols)
+        for r in back.drop(LINE_COL).collect()
+    )
+    want = sorted(tuple(r) for r in rows)
+    assert got == want, f"seed={seed}: JDBC round trip diverges"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_csv_source_fuzz(spark, tmp_path, seed):
+    run_csv_source_seed(spark, tmp_path, seed)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_tsv_sink_fuzz(spark, tmp_path, seed):
+    run_tsv_sink_seed(spark, tmp_path, seed)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_jdbc_fuzz(spark, tmp_path, seed):
+    run_jdbc_seed(spark, tmp_path, seed)
