@@ -89,9 +89,11 @@ def test_wide_plan_builds_within_budget(spark):
     # CI budget with ~2x headroom over the measured time — the guarded
     # failure mode is plan-construction blow-up: ~250 s at round 5
     # (per-struct py4j fan-out), ~60 s at round 8 (memoized Column
-    # handles), ~20 s clean / ~30 s contended at round 9 (the whole record
-    # array is ONE parsed SQL string per block + balanced-tree union)
-    assert build_s + analyze_s < 60.0, (
+    # handles), ~20 s at round 9 (the whole record array is ONE parsed SQL
+    # string per block + balanced-tree union), ~11 s at round 10 (per-file
+    # plan construction and union-tree levels run across a thread pool —
+    # py4j clientserver parallelizes JVM parse/analysis per thread)
+    assert build_s + analyze_s < 30.0, (
         f"wide plan took {build_s:.1f}s build + {analyze_s:.1f}s analyze "
         f"for {N_BLOCKS} blocks x {N_FIELDS} fields"
     )
