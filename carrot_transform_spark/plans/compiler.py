@@ -1440,6 +1440,20 @@ class CarrotPlanner:
                 piece = F.when(F.coalesce(valid_value(cell), F.lit(False)), branch)
                 prev = overrides.get(d)
                 overrides[d] = F.coalesce(piece, prev) if prev is not None else piece
+            # value-gated plain copies: a plain dest of a dict-mapped field
+            # rides exactly ONE value's entry list in the reference's person
+            # data (the stale-inputvalue attach — see ir.ConceptMapping), so
+            # it writes only when the row's cell IS that value
+            for value, vdests in cm.value_original_fields.items():
+                cond = F.coalesce(valid_value(cell), F.lit(False)) & (
+                    cell == self._lit(value)
+                )
+                for d in vdests:
+                    if d not in schema.columns:
+                        continue
+                    piece = F.when(cond, cell)
+                    prev = overrides.get(d)
+                    overrides[d] = F.coalesce(piece, prev) if prev is not None else piece
             if cm.original_value_fields:
                 matched = None
                 for value in exact:

@@ -64,6 +64,14 @@ class ConceptMapping:
     # the reference's per-datacol iteration, so blank-cell metrics count
     # them even though no record is keyed on them
     companion_term_fields: list[str] = field(default_factory=list)
+    # v1 PERSON-only: plain copies gated on ONE exact source value — the
+    # reference's process_rules attaches a plain dest of a dict-mapped
+    # field to data[field][inputvalue], where `inputvalue` is the STALE
+    # last value of the most recent dict iterated (mappingrules.py:398-404:
+    # plain-after-dict rides the dict's LAST value; plain-before-dict is
+    # folded into the dict's FIRST value by the TypeError conversion at
+    # mappingrules.py:355-364). value -> dest fields.
+    value_original_fields: dict[str, list[str]] = field(default_factory=dict)
 
 
 @dataclass

@@ -297,6 +297,18 @@ def _merge_v1_rule(
     # (core.py: date handling runs after the outfield loop on its final
     # element) — track encounter order to find it.
     date_dests_in_rule: list[str] = []
+    # Replicates process_rules' person data structure per rule-set
+    # (mappingrules.py:331-429): data[field] starts as a plain LIST of
+    # unconditional dests and becomes a value-keyed DICT when a dict
+    # term_mapping touches the field. The dict conversion folds any
+    # already-collected plain dests into the FIRST value processed, and a
+    # plain dest arriving AFTER the conversion attaches to the STALE
+    # `inputvalue` — the last value of the most recent dict iterated
+    # (the reference raises KeyError when that stale value isn't one of
+    # this field's values; those rule shapes can't run there, so they are
+    # ignored here).
+    rs: dict[str, dict] = {}  # field -> {kind, plains, values{v: {ids, plains}}}
+    stale_value: str | None = None
     for dest_field, si in rule.items():
         if si["source_table"] != src:
             continue
@@ -313,15 +325,17 @@ def _merge_v1_rule(
                 tm.date_mapping.dest_fields.append(dest_field)
             date_dests_in_rule.append(dest_field)
         elif term is not None and isinstance(term, dict):
-            cm = tm.concept_mappings.setdefault(
-                source_field, ConceptMapping(source_field=source_field)
-            )
+            st = rs.setdefault(source_field, {"kind": "list", "plains": [], "values": {}})
             for value, concept in term.items():
-                dest_map = cm.value_mappings.setdefault(str(value), {})
-                ids = dest_map.setdefault(dest_field, [])
-                cid = int(concept)
-                if cid not in ids:
-                    ids.append(cid)
+                v = str(value)
+                if st["kind"] == "list":
+                    st["kind"] = "dict"
+                    st["values"][v] = {"ids": [], "plains": list(st["plains"])}
+                    st["plains"] = []
+                elif v not in st["values"]:
+                    st["values"][v] = {"ids": [], "plains": []}
+                st["values"][v]["ids"].append((dest_field, int(concept)))
+                stale_value = v
         elif term is not None:
             cm = tm.concept_mappings.setdefault(
                 source_field, ConceptMapping(source_field=source_field)
@@ -332,11 +346,35 @@ def _merge_v1_rule(
             if cid not in ids:
                 ids.append(cid)
         else:
-            cm = tm.concept_mappings.setdefault(
-                source_field, ConceptMapping(source_field=source_field)
-            )
-            if dest_field not in cm.original_value_fields:
-                cm.original_value_fields.append(dest_field)
+            st = rs.setdefault(source_field, {"kind": "list", "plains": [], "values": {}})
+            if st["kind"] == "dict":
+                if stale_value is not None and stale_value in st["values"]:
+                    st["values"][stale_value]["plains"].append(dest_field)
+            else:
+                st["plains"].append(dest_field)
+    # fold the rule-set into the merged mapping. Dict-kind fields REPLACE
+    # at value level: the reference's cross-rule-set merge is
+    # dict.update(new_rule_data) (mappingrules.py:parse_rules_src_to_tgt),
+    # so a later rule-set redefining value v replaces v's whole entry list
+    # — concept dests AND value-gated plains — while other values survive.
+    for source_field, st in rs.items():
+        cm = tm.concept_mappings.setdefault(
+            source_field, ConceptMapping(source_field=source_field)
+        )
+        if st["kind"] == "dict":
+            for v, vd in st["values"].items():
+                dest_map: dict[str, list[int]] = {}
+                for dest, cid in vd["ids"]:
+                    dest_map.setdefault(dest, []).append(cid)
+                cm.value_mappings[v] = dest_map
+                if vd["plains"]:
+                    cm.value_original_fields[v] = list(vd["plains"])
+                else:
+                    cm.value_original_fields.pop(v, None)
+        else:
+            for dest in st["plains"]:
+                if dest not in cm.original_value_fields:
+                    cm.original_value_fields.append(dest)
     if date_dests_in_rule and tm.date_mapping is not None:
         last = date_dests_in_rule[-1]
         assert tm.date_mapping.companion_dests is not None

@@ -171,6 +171,127 @@ def _gen_case(seed: int, d: Path) -> tuple[Path, Path]:
 _TABLES = ["person", "observation", "condition_occurrence"]
 
 
+def _gen_case_hetero_dates(seed: int, d: Path) -> tuple[Path, Path]:
+    """v1 rules where DIFFERENT TARGETS read different date columns of the
+    same file. The reference normalises and row-gates on ONE main datetime
+    column — for v1 the LAST datetime-dest source field in (target, block)
+    iteration order (mappingrules.py:237-262) — and every other target's
+    date dests receive the RAW cell (run.py:230-235 mutates only the main
+    column in place). Target order is shuffled per seed so the main column
+    flips between 'when' and 'when2'."""
+    rng = random.Random(555_000 + seed)
+    inputs = d / "inputs"
+    inputs.mkdir()
+    pids = [f"p{i:03d}" for i in range(rng.randint(5, 15))]
+    person_rows = [(p, rng.choice(_SEXES), rng.choice(_DATES)) for p in pids]
+    (inputs / "demo.csv").write_text(
+        "pid,sex,dob\n" + "\n".join(",".join(r) for r in person_rows) + "\n"
+    )
+    obs_rows = [
+        (
+            rng.choice(pids + ["ghost1"]),
+            rng.choice(_DATES),
+            rng.choice(_DATES),
+            rng.choice(_CODES),
+            rng.choice(_VALS),
+        )
+        for _ in range(rng.randint(10, 40))
+    ]
+    (inputs / "obs.csv").write_text(
+        "pid,when,when2,code,val\n" + "\n".join(",".join(r) for r in obs_rows) + "\n"
+    )
+
+    observation = {
+        "obs_0": {
+            "person_id": _src("pid", "obs.csv"),
+            "observation_datetime": _src("when", "obs.csv"),
+            "observation_concept_id": _src("code", "obs.csv", mapping={"v0": 9000, "v1": 9001}),
+            "observation_source_concept_id": _src(
+                "code", "obs.csv", mapping={"v0": 9000, "v1": 9001}
+            ),
+            "observation_source_value": _src("code", "obs.csv"),
+            "value_as_number": _src("val", "obs.csv"),
+        }
+    }
+    condition = {
+        "cond_0": {
+            "person_id": _src("pid", "obs.csv"),
+            "condition_start_datetime": _src("when2", "obs.csv"),
+            "condition_end_datetime": _src("when2", "obs.csv"),
+            "condition_concept_id": _src("code", "obs.csv", mapping={"v1": 254761, "v2": 254762}),
+            "condition_source_concept_id": _src(
+                "code", "obs.csv", mapping={"v1": 254761, "v2": 254762}
+            ),
+            "condition_source_value": _src("code", "obs.csv"),
+        }
+    }
+    cdm = {
+        "person": {
+            "p_rules": {
+                "person_id": _src("pid"),
+                "birth_datetime": _src("dob"),
+                "gender_concept_id": _src("sex", mapping={"M": 8507, "F": 8532}),
+                "gender_source_concept_id": _src("sex", mapping={"M": 8507, "F": 8532}),
+                "gender_source_value": _src("sex"),
+            }
+        }
+    }
+    others = [("observation", observation), ("condition_occurrence", condition)]
+    rng.shuffle(others)  # flips which target is LAST -> which column is main
+    for name, block in others:
+        cdm[name] = block
+
+    rules_file = d / "rules.json"
+    rules_file.write_text(
+        json.dumps(
+            {
+                "metadata": {"date_created": "2026-01-01T00:00:00", "dataset": f"hd{seed}"},
+                "cdm": cdm,
+            },
+            indent=1,
+        )
+    )
+    return rules_file, inputs
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_hetero_dates(spark, tmp_path, seed):
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_case_hetero_dates(seed, tmp_path)
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    run_reference_mapstream(rules_file, inputs, ref_out, "demo")
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark, rules_file=rules_file, inputs=inputs, output_dir=our_out, person_table="demo"
+    )
+    problems = []
+    for table in _TABLES:
+        problems += compare_table(
+            table,
+            our_out / f"{table}.tsv",
+            ref_out / f"{table}.tsv",
+            our_out / "person_ids.tsv",
+            ref_out / "person_ids.tsv",
+        )
+    assert not problems, f"seed={seed}:\n" + "\n".join(problems[:20])
+
+    from tests.carrot_compare import read_tsv
+
+    h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
+    h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
+    assert h1 == h2
+    ours = {tuple(r[:6]): tuple(r[6:]) for r in r1}
+    gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
+    bad = {
+        k: (gold.get(k), ours.get(k))
+        for k in set(gold) | set(ours)
+        if gold.get(k) != ours.get(k)
+    }
+    assert not bad, f"seed={seed} summary rows diverge: {dict(list(bad.items())[:8])}"
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_differential_case(spark, tmp_path, seed):
     from carrot_transform_spark.pipeline import run_transform
