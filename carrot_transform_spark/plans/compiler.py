@@ -1454,6 +1454,16 @@ class CarrotPlanner:
                     piece = F.when(cond, cell)
                     prev = overrides.get(d)
                     overrides[d] = F.coalesce(piece, prev) if prev is not None else piece
+            # v1 person scalar terms ride the field's plain LIST and apply
+            # UNCONDITIONALLY (core.py list-kind entries have no valid-value
+            # check — the literal lands even on a blank cell); later fields
+            # still win dest collisions via the coalesce chain
+            for d, lit in getattr(cm, "extra_literals", {}).items():
+                if d not in schema.columns:
+                    continue
+                prev = overrides.get(d)
+                piece = self._lit(lit).cast("string")
+                overrides[d] = F.coalesce(piece, prev) if prev is not None else piece
             if cm.original_value_fields:
                 matched = None
                 for value in exact:
@@ -1461,13 +1471,18 @@ class CarrotPlanner:
                     matched = c if matched is None else (matched | c)
                 if wild:
                     matched = F.lit(True) if matched is None else F.lit(True)
-                if matched is None:
+                if matched is None and cm.value_mappings:
                     continue
+                # a field with NO value mappings at all is list-kind in the
+                # reference and its plain copies apply to every row (copying
+                # a blank writes '' ≡ the default, so non-blank gating is
+                # value-equivalent)
+                gate_m = F.lit(True) if matched is None else matched
                 for d in cm.original_value_fields:
                     if d not in schema.columns:
                         continue
                     piece = F.when(
-                        F.coalesce(valid_value(cell), F.lit(False)) & matched, cell
+                        F.coalesce(valid_value(cell), F.lit(False)) & gate_m, cell
                     )
                     prev = overrides.get(d)
                     overrides[d] = F.coalesce(piece, prev) if prev is not None else piece

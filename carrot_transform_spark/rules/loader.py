@@ -325,28 +325,41 @@ def _merge_v1_rule(
                 tm.date_mapping.dest_fields.append(dest_field)
             date_dests_in_rule.append(dest_field)
         elif term is not None and isinstance(term, dict):
-            st = rs.setdefault(source_field, {"kind": "list", "plains": [], "values": {}})
+            st = rs.setdefault(
+                source_field, {"kind": "list", "plains": [], "lits": [], "values": {}}
+            )
             for value, concept in term.items():
                 v = str(value)
                 if st["kind"] == "list":
+                    # TypeError conversion: everything collected while the
+                    # field was list-kind — plain dests AND scalar term
+                    # writes — folds into the FIRST value processed
                     st["kind"] = "dict"
-                    st["values"][v] = {"ids": [], "plains": list(st["plains"])}
+                    st["values"][v] = {
+                        "ids": list(st["lits"]),
+                        "plains": list(st["plains"]),
+                    }
                     st["plains"] = []
+                    st["lits"] = []
                 elif v not in st["values"]:
                     st["values"][v] = {"ids": [], "plains": []}
                 st["values"][v]["ids"].append((dest_field, int(concept)))
                 stale_value = v
         elif term is not None:
-            cm = tm.concept_mappings.setdefault(
-                source_field, ConceptMapping(source_field=source_field)
+            # scalar term on a person field: process_rules appends
+            # 'dest~term' to the field's plain LIST (mappingrules.py:412-418)
+            # and core.py applies list-kind entries UNCONDITIONALLY — the
+            # term is written even for a blank cell (a scalar landing on an
+            # already-dict field crashes the reference; ignored here)
+            st = rs.setdefault(
+                source_field, {"kind": "list", "plains": [], "lits": [], "values": {}}
             )
-            dest_map = cm.value_mappings.setdefault("*", {})
-            ids = dest_map.setdefault(dest_field, [])
-            cid = int(term)
-            if cid not in ids:
-                ids.append(cid)
+            if st["kind"] == "list":
+                st["lits"].append((dest_field, int(term)))
         else:
-            st = rs.setdefault(source_field, {"kind": "list", "plains": [], "values": {}})
+            st = rs.setdefault(
+                source_field, {"kind": "list", "plains": [], "lits": [], "values": {}}
+            )
             if st["kind"] == "dict":
                 if stale_value is not None and stale_value in st["values"]:
                     st["values"][stale_value]["plains"].append(dest_field)
@@ -375,6 +388,10 @@ def _merge_v1_rule(
             for dest in st["plains"]:
                 if dest not in cm.original_value_fields:
                     cm.original_value_fields.append(dest)
+            for dest, cid in st["lits"]:
+                # unconditional write — core.py's list-kind application has
+                # no valid-value check, so the term lands even on blank cells
+                cm.extra_literals[dest] = str(cid)
     if date_dests_in_rule and tm.date_mapping is not None:
         last = date_dests_in_rule[-1]
         assert tm.date_mapping.companion_dests is not None

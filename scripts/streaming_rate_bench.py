@@ -10,7 +10,10 @@ progress events, steady-state docs/s, a flatness ratio (median of the last
 slower as state grows), and the on-disk state-size curve recovered from
 the per-unit store layout.
 
-Usage: python scripts/streaming_rate_bench.py [n_batches] [docs_per_batch]
+Usage: python scripts/streaming_rate_bench.py [n_batches] [docs_per_batch] [compact_every]
+compact_every > 0 turns on in-stream store compaction for the three
+unit-store families (the flatness lever — without it, unit accumulation
+grows multi-unit read planning ~linearly in batch count).
 Prints ONE JSON line; a human-readable table goes to stderr.
 """
 
@@ -117,6 +120,8 @@ def bench_family(name: str, start_fn, feed_schema: str, feed: str, store_dirs: l
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     per_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    ce = compact_every or None
     per_kv = per_docs * 12
 
     from carrot_transform_spark.streaming.dedup_index import (
@@ -144,7 +149,8 @@ def main() -> None:
     results["minhash_neardup"] = bench_family(
         "minhash_neardup",
         lambda s: maintain_neardup_index(
-            s, f"{tmp}/mh_store", f"{tmp}/mh_pairs", f"{tmp}/mh_ck", threshold=0.5
+            s, f"{tmp}/mh_store", f"{tmp}/mh_pairs", f"{tmp}/mh_ck", threshold=0.5,
+            compact_every=ce,
         ),
         doc_schema,
         doc_feed,
@@ -154,7 +160,7 @@ def main() -> None:
     results["simhash_index"] = bench_family(
         "simhash_index",
         lambda s: maintain_simhash_index(
-            s, f"{tmp}/sh_store", f"{tmp}/sh_pairs", f"{tmp}/sh_ck"
+            s, f"{tmp}/sh_store", f"{tmp}/sh_pairs", f"{tmp}/sh_ck", compact_every=ce
         ),
         doc_schema,
         doc_feed,
@@ -164,7 +170,7 @@ def main() -> None:
     results["fingerprint_store"] = bench_family(
         "fingerprint_store",
         lambda s: maintain_fingerprint_store(
-            s, f"{tmp}/fp_store", f"{tmp}/fp_dec", f"{tmp}/fp_ck"
+            s, f"{tmp}/fp_store", f"{tmp}/fp_dec", f"{tmp}/fp_ck", compact_every=ce
         ),
         doc_schema,
         doc_feed,
@@ -192,6 +198,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "streaming_sustained_rate",
+                "compact_every": compact_every,
                 "n_batches": n_batches,
                 "docs_per_batch": per_docs,
                 "kv_per_batch": per_kv,

@@ -241,7 +241,7 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
     if rng.random() < 0.7:
         sex_cm["original_value"] = ["gender_source_value"]
     person_cms: dict = {"sex": sex_cm}
-    eth_variant = rng.randrange(4)
+    eth_variant = rng.randrange(5)
     if eth_variant == 1:
         person_cms["eth"] = {
             "e0": {"ethnicity_concept_id": [38003564]},
@@ -254,6 +254,10 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
             "*": {"race_concept_id": [8527, 8516]},
             "original_value": ["race_source_value"],
         }
+    elif eth_variant == 4:  # original-ONLY field: person still collects the
+        # copy (record_builder.py:278-283) even though a standard table
+        # would emit nothing for such a field
+        person_cms["eth"] = {"original_value": ["ethnicity_source_value"]}
     person_map = {
         "person_id_mapping": _pid(),
         "date_mapping": _date("dob", ["birth_datetime"]),
@@ -290,7 +294,9 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
     }
 
     # --- measurement mapping (half the seeds): date source when2 != the
-    # file's main datetime -> raw-copy quirk ---
+    # file's main datetime -> raw-copy quirk; sometimes the date source is
+    # a column MISSING from the header entirely -> records emit with empty
+    # date fields and can never strict-reject (record_builder.py:74-79) ---
     measurement_map = None
     if rng.random() < 0.5:
         m_cm: dict = {
@@ -301,9 +307,10 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
         }
         if rng.random() < 0.5:
             m_cm["original_value"] = ["measurement_source_value"]
+        m_date_src = "when2" if rng.random() < 0.8 else "nosuch_date"
         measurement_map = {
             "person_id_mapping": _pid(),
-            "date_mapping": _date("when2", ["measurement_datetime"]),
+            "date_mapping": _date(m_date_src, ["measurement_datetime"]),
             "concept_mappings": {"code": m_cm},
         }
 
