@@ -1417,6 +1417,10 @@ class CarrotPlanner:
         for fname, cm in fields:  # later fields overwrite on collision
             cell = _try_resolve(df, fname)
             if cell is None:
+                # a mapped field missing from the header: the reference
+                # CRASHES here (core.py:105 reads srcdata for the date
+                # handling of every list-kind field) — skipping the field
+                # is our graceful superset of an unrunnable shape
                 continue
             exact = {v: m for v, m in cm.value_mappings.items() if v != "*"}
             wild = cm.value_mappings.get("*")

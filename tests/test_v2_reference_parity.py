@@ -335,6 +335,35 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
             "concept_mappings": {"code": c_cm},
         }
 
+    # --- second source FILE for observation (40%): exercises the global
+    # input-file iteration order (auto-number ids run file-major across
+    # files, mappingrules._get_all_infile_names_v2) and independent
+    # per-file main-datetime selection ---
+    obs2_map = None
+    if rng.random() < 0.4:
+        o2_rows = [
+            (
+                rng.choice(pids + ["ghost1"]),
+                rng.choice(_V2_DATES),
+                rng.choice(_V2_CODES),
+            )
+            for _ in range(rng.randint(5, 25))
+        ]
+        (inputs / "obs2.csv").write_text(
+            "pid,ts,code\n" + "\n".join(",".join(r) for r in o2_rows) + "\n"
+        )
+        obs2_map = {
+            "person_id_mapping": _pid(),
+            "date_mapping": _date("ts", ["observation_datetime"]),
+            "concept_mappings": {
+                "code": {
+                    "v1": {"observation_concept_id": [9500]},
+                    "*": {"observation_concept_id": [9501, 9502]},
+                    "original_value": ["observation_source_value"],
+                }
+            },
+        }
+
     # cdm insertion order decides the per-file MAIN datetime column
     # (first target mapping the file wins) — shuffle it so the quirk flips
     cdm: dict = {"person": {"demo.csv": person_map}}
@@ -346,6 +375,8 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
     rng.shuffle(others)
     for name, m in others:
         cdm[name] = {"obs.csv": m}
+    if obs2_map is not None:
+        cdm["observation"]["obs2.csv"] = obs2_map
 
     rules_file = d / "rules_v2.json"
     rules_file.write_text(
