@@ -47,7 +47,10 @@ def main() -> None:
         app_name="carrot-bench",
         master=f"local[{cpus}]",
         # scale-aware: 32 at sf<=1, 64 at sf10, 512 at sf100 — no hand tuning
-        shuffle_partitions=derive_shuffle_partitions(sf_dir, floor=int(cpus)),
+        # (floor=None -> derive uses the machine CPU count for the wildcard)
+        shuffle_partitions=derive_shuffle_partitions(
+            sf_dir, floor=None if cpus == "*" else int(cpus)
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -64,6 +67,10 @@ def main() -> None:
     # optional subset (comma-separated names) for targeted scale runs where
     # the full battery would be wall-clock prohibitive (e.g. sf100)
     only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+    unknown = only - set(BENCH_QUERIES)
+    if unknown:
+        # a typo'd subset must not read as a successful (empty) scale run
+        sys.exit(f"SPARK_GRAFT_BENCH_ONLY names not in BENCH_QUERIES: {sorted(unknown)}")
     bench_queries = [q for q in BENCH_QUERIES if not only or q in only]
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}

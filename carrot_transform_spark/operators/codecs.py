@@ -62,7 +62,12 @@ def _pnm_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
             j += 1
         vals.append(int(payload[i:j]))
         i = j
-    return vals, i + 1  # single whitespace after maxval precedes raster
+    # a single whitespace after maxval precedes the raster; tolerate CRLF
+    # (text-mode Windows writers) as one separator — the strict-spec read
+    # would take the \n as the first raster byte, which no real writer means
+    if payload[i : i + 2] == b"\r\n":
+        return vals, i + 2
+    return vals, i + 1
 
 
 def decode_pnm(payload: bytes) -> np.ndarray:
@@ -120,7 +125,23 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if channels >= 3:
         # stored BGR(A) -> RGB(A)
         img = img[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
-    return np.ascontiguousarray(img)
+        return np.ascontiguousarray(img)
+    # 8-bit = palette-indexed: map indices through the BGRX color table
+    # (between the headers and the raster). A grayscale-identity palette —
+    # what encode_bmp writes — stays single-channel; anything else expands
+    # to RGB so indexed-color exports decode to real pixel values
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal_off = 14 + hdr_size
+    pal = np.frombuffer(
+        payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+    ).reshape(n_colors, 4)
+    idx = img[:, :, 0]
+    if n_colors == 256 and (pal[:, 0] == pal[:, 1]).all() and (
+        pal[:, 1] == pal[:, 2]
+    ).all() and (pal[:, 0] == np.arange(256)).all():
+        return np.ascontiguousarray(idx[:, :, None])
+    rgb = pal[idx][:, :, [2, 1, 0]]  # BGRX -> RGB lookup
+    return np.ascontiguousarray(rgb)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -207,9 +228,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         if ftype == 0:  # None
             recon = line
         elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
-            recon = line.copy()
-            for x in range(bpp, stride):
-                recon[x] = (recon[x] + recon[x - bpp]) & 0xFF
+            # exact vectorization: each channel lane is an independent
+            # prefix sum mod 256 (Average/Paeth below stay per-byte — their
+            # left-neighbor dependency doesn't reduce to a scan; foreign
+            # PNGs using them decode correctly, just not at array speed)
+            recon = (
+                line.reshape(-1, bpp).cumsum(axis=0).reshape(stride) & 0xFF
+            )
         elif ftype == 2:  # Up
             recon = (line + prev) & 0xFF
         elif ftype == 3:  # Average

@@ -143,6 +143,48 @@ _TEMPORAL_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def maybe_broadcast(df: DataFrame, size_like: DataFrame | None = None) -> DataFrame:
+    """Broadcast hint ONLY when the frame's plan-estimated size fits the
+    session's autoBroadcastJoinThreshold.
+
+    Scale-variant dimensions (customer/supplier/part grow linearly with the
+    scale factor) must not carry an unconditional F.broadcast: at sf100 the
+    customer table is 15M rows and a forced broadcast made q5 superlinear
+    (92 s = 14.5x for 10x data — building and shipping a multi-GB hash
+    table). Below the threshold the explicit hint still wins over AQE's
+    conservatism; above it, no hint — AQE picks shuffle joins and its own
+    runtime broadcasts. Falls back to hinting if plan stats are
+    unavailable (in-memory frames), matching the old behavior.
+
+    ``size_like``: estimate from THIS frame's plan instead (pass the base
+    scan when ``df`` is a derived join/filter — join-output size stats are
+    meaningless without CBO, while the base table's scan bytes upper-bound
+    any dimension that was only filtered or semi-joined smaller)."""
+    import pyspark.sql.functions as F
+
+    try:
+        spark = df.sparkSession
+        stats_df = size_like if size_like is not None else df
+        raw = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).lower().strip()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+            if raw.endswith(suf):
+                raw, mult = raw[: -len(suf)], m
+                break
+        threshold = int(raw) * mult
+        size = int(
+            stats_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return F.broadcast(df)
+    if threshold < 0 or size <= threshold:
+        return F.broadcast(df)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Part of the temporal contract: have the parquet reader surface
     # NTZ-eligible columns (timestamp[us] without UTC adjustment) as

@@ -11,7 +11,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from carrot_transform_spark.queries import dsum, dsum_sql, fround, fround_sql, load, register, register_suite
+from carrot_transform_spark.queries import (
+    dsum,
+    dsum_sql,
+    fround,
+    fround_sql,
+    load,
+    maybe_broadcast,
+    register,
+    register_suite,
+)
 
 # ---------------------------------------------------------------------------
 # window functions
@@ -546,7 +555,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.sum(promo.cast("decimal(27,6)")).cast("double")
@@ -576,7 +585,7 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
@@ -606,7 +615,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
-        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        l.join(maybe_broadcast(p), p.p_partkey == l.l_partkey)
         .join(avg_qty, F.col("ak") == l.l_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
@@ -639,7 +648,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return (
-        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        l.join(maybe_broadcast(p), p.p_partkey == l.l_partkey)
         .filter(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from carrot_transform_spark.queries import dsum, load, register_suite
+from carrot_transform_spark.queries import dsum, load, maybe_broadcast, register_suite
 
 # The single-operator demos below are folded into two registry entries
 # (op_rowops_suite / op_keyops_suite) via checksum suites — see
@@ -265,8 +265,8 @@ _F4_SQL = """
 def op_f4_existence_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     valid = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
-    kept = e.join(F.broadcast(valid), e.user_id == valid.c_custkey, "left_semi")
-    rejected = e.join(F.broadcast(valid), e.user_id == valid.c_custkey, "left_anti")
+    kept = e.join(maybe_broadcast(valid), e.user_id == valid.c_custkey, "left_semi")
+    rejected = e.join(maybe_broadcast(valid), e.user_id == valid.c_custkey, "left_anti")
     return (
         kept.agg(F.count(F.lit(1)).alias("n")).select(F.lit("kept").alias("bucket"), "n")
         .unionByName(

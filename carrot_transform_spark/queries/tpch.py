@@ -20,7 +20,15 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from carrot_transform_spark.queries import davg, davg_sql, dsum, dsum_sql, load, register
+from carrot_transform_spark.queries import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    load,
+    maybe_broadcast,
+    register,
+)
 
 
 @register(
@@ -91,7 +99,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -120,6 +128,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "bench"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale-shaped plan: restrict customer AND supplier to the region's ~5
+    # nations FIRST (broadcast of the 5-row nation⋈region frame), so the
+    # region selectivity lands before any big join. lineitem then shuffles
+    # exactly ONCE (against orders⋈customer, both already date/region
+    # reduced) and the region-filtered supplier — 1/5 of the table — rides
+    # a size-checked broadcast. The old form joined the full 15M-row
+    # customer into the l⋈o stream (a forced broadcast that went
+    # superlinear at sf100, or a second full shuffle of the 180M-row
+    # intermediate without it).
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -129,15 +146,29 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c2 = c.select("c_custkey", "c_nationkey").join(
+        F.broadcast(asia), c.c_nationkey == asia.n_nationkey
+    )
+    s2 = s.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(asia.select("n_nationkey")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).drop("n_nationkey")
+    oc = o.select("o_orderkey", "o_custkey").join(
+        maybe_broadcast(c2, size_like=c), o.o_custkey == c2.c_custkey
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(oc, l.l_orderkey == oc.o_orderkey)
         .join(
-            F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            # size bounded by the supplier SCAN (the asia join only shrinks
+            # it); without the bound the join-output stats block the hint
+            # and the 600M-row stream would shuffle a second time
+            maybe_broadcast(s2, size_like=s),
+            (l.l_suppkey == s2.s_suppkey) & (F.col("c_nationkey") == s2.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -198,8 +229,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * 0.5
     )
     return (
-        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        l.join(maybe_broadcast(p), p.p_partkey == l.l_partkey)
+        .join(maybe_broadcast(s), s.s_suppkey == l.l_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -275,7 +306,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("__qty_dec").cast("double") > 150)
     return (
         per_order.join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(maybe_broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",

@@ -15,6 +15,7 @@ from carrot_transform_spark.queries import (
     fround,
     fround_sql,
     load,
+    maybe_broadcast,
     register,
 )
 
@@ -52,8 +53,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
     best = costs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        best.join(F.broadcast(p), p.p_partkey == best.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == best.l_suppkey)
+        best.join(maybe_broadcast(p), p.p_partkey == best.l_partkey)
+        .join(maybe_broadcast(s), s.s_suppkey == best.l_suppkey)
         .select("p_partkey", "p_name", "s_name", fround("unit_cost", 4).alias("unit_cost"))
         .orderBy("p_partkey")
     )
@@ -88,8 +89,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
     return (
         l.join(o, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
-        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(maybe_broadcast(c), c.c_custkey == o.o_custkey)
+        .join(maybe_broadcast(s), s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(n1), F.col("nk1") == c.c_nationkey)
         .join(F.broadcast(n2), F.col("nk2") == s.s_nationkey)
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -132,10 +133,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     volumes = (
         l.join(o, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(maybe_broadcast(c), c.c_custkey == o.o_custkey)
         .join(F.broadcast(n1), F.col("nk1") == c.c_nationkey)
         .join(F.broadcast(r), r.r_regionkey == F.col("rk1"))
-        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(maybe_broadcast(s), s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(n2), F.col("nk2") == s.s_nationkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -186,7 +187,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(maybe_broadcast(c), c.c_custkey == o.o_custkey)
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -228,7 +229,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), s.s_suppkey == F.col("supplier_no"))
+        .join(maybe_broadcast(s), s.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from carrot_transform_spark.queries import load, register
+from carrot_transform_spark.queries import load, maybe_broadcast, register
 
 _DEC = "decimal(27,6)"
 
@@ -52,7 +52,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     pv = (
-        l.join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        l.join(maybe_broadcast(s), s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .groupBy("l_partkey")
         .agg(
@@ -110,7 +110,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     sq = (
-        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        l.join(maybe_broadcast(p), p.p_partkey == l.l_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.when(in97, F.col("l_quantity").cast(_DEC)).otherwise(F.lit(0).cast(_DEC))).alias("qty97"),
@@ -121,7 +121,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qty97") * 3 > F.col("qty_all")) & (F.col("qty_all") >= 100)
     ).select("l_suppkey")
     return (
-        s.join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(maybe_broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -169,7 +169,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         l1.join(o, o.o_orderkey == F.col("k1"))
-        .join(F.broadcast(s), s.s_suppkey == F.col("sk1"))
+        .join(maybe_broadcast(s), s.s_suppkey == F.col("sk1"))
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .select("k1", "sk1", "sd1", "s_name")
     )

@@ -61,11 +61,14 @@ def derive_shuffle_partitions(sf_dir: str, floor: int | None = None) -> int:
     raw = max(floor, -(-total // _TARGET_PARQUET_BYTES_PER_PARTITION))
     raw = min(raw, _MAX_AUTO_PARTITIONS)
     # nearest power of two (ties round up): p is the smallest power >= raw,
-    # keep it when raw is in the upper half of (p/2, p], else fall back to p/2
+    # keep it when raw is in the upper half of (p/2, p], else fall back to
+    # p/2 — then re-apply the floor so rounding can never drop below it
+    # (floor need not be a power of two, e.g. a 48-CPU machine)
     p = 1
     while p < raw:
         p *= 2
-    return p if raw > 3 * p // 4 else max(p // 2, 1)
+    rounded = p if raw > 3 * p // 4 else max(p // 2, 1)
+    return min(max(rounded, floor), _MAX_AUTO_PARTITIONS)
 
 
 def get_spark(

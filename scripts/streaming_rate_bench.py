@@ -134,7 +134,14 @@ def main() -> None:
     from carrot_transform_spark.streaming.hll import apply_hll_stream
     from carrot_transform_spark.streaming.sketches import apply_cms_stream
 
-    spark = get_spark(app_name="stream-rate-bench")
+    spark = get_spark(
+        app_name="stream-rate-bench",
+        # recentProgress defaults to the last 100 updates — keep every batch
+        # visible so the flatness baseline (batches 3..7) is never evicted
+        extra_conf={
+            "spark.sql.streaming.numRecentProgressUpdates": str(n_batches + 10)
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="srate_")
 

@@ -145,10 +145,11 @@ def run_tsv_sink_seed(spark, d: Path, seed: int) -> None:
         ["" if r[c] is None else r[c] for c in cols]
         for r in back.orderBy(LINE_COL).collect()
     ]
+    # quote-bearing cells are the only reader hazard: the raw tab-join
+    # writes them unescaped and the csv-grammar reader quote-parses them
+    # (commas are not special in TSV)
     clean = [
-        (i, row)
-        for i, row in enumerate(want_rows)
-        if all('"' not in c and "," not in c.replace(",", ",") for c in row)
+        (i, row) for i, row in enumerate(want_rows) if all('"' not in c for c in row)
     ]
     assert cols == want_h
     for i, row in clean:

@@ -168,6 +168,31 @@ def test_pnm_comments_and_whitespace():
     assert (decode_pnm(payload) == px).all()
 
 
+def test_pnm_crlf_after_maxval():
+    # text-mode Windows writers end the header with \r\n; treat it as ONE
+    # separator instead of shifting the whole raster by a byte
+    px = _pattern(4, 3, 3)
+    payload = b"P6\r\n3 4\r\n255\r\n" + px.tobytes()
+    assert (decode_pnm(payload) == px).all()
+
+
+def test_bmp_indexed_palette_maps_to_rgb():
+    # 2x2 8-bit BMP with a non-gray palette: indices must map THROUGH the
+    # BGRX color table, not decode as luminance
+    pal = bytearray(256 * 4)
+    pal[0:4] = bytes([255, 0, 0, 0])  # index 0 -> blue (BGR)
+    pal[4:8] = bytes([0, 0, 255, 0])  # index 1 -> red
+    body = bytes([0, 1, 0, 0]) + bytes([1, 0, 0, 0])  # stride 4, bottom-up
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(body), 0, 0, 256, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 1024 + len(body), 0, 0, 14 + 40 + 1024)
+    px = decode_bmp(hdr + info + bytes(pal) + body)
+    assert px.shape == (2, 2, 3)
+    expect = np.array(
+        [[[255, 0, 0], [0, 0, 255]], [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8
+    )
+    assert (px == expect).all()
+
+
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 not really jpeg")

@@ -55,6 +55,14 @@ def test_sf100_scale_with_directory_layout(tmp_path):
     assert derive_shuffle_partitions(str(tmp_path), floor=32) == 512
 
 
+def test_non_power_of_two_floor_survives_rounding(tmp_path):
+    # rounding to a power of two must never land BELOW the floor — a
+    # 48-CPU machine with tiny input keeps 48 partitions, not 32
+    _mk(tmp_path, "lineitem", 1 * MB)
+    assert derive_shuffle_partitions(str(tmp_path), floor=48) == 48
+    assert derive_shuffle_partitions(str(tmp_path), floor=24) == 24
+
+
 def test_cap_at_2048(tmp_path):
     _mk(tmp_path, "lineitem", 500_000 * MB)  # ~500 GB sparse file
     assert derive_shuffle_partitions(str(tmp_path), floor=32) == 2048
