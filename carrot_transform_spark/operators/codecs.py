@@ -19,8 +19,18 @@ re-emit what they decoded; the PNG encoder writes filter-0 scanlines (the
 decoder handles all filters, which is what matters for reading foreign
 files).
 
-Video/audio formats remain out of scope — ``decode_image`` raises
-``NotImplementedError`` for unknown magics, the single remaining seam.
+Audio and video are covered by two more dependency-free formats:
+
+- WAV : RIFF/WAVE PCM 8 (uint8) / 16 / 24 / 32-bit and IEEE float32,
+        any channel count, proper chunk walk (word-aligned sizes, unknown
+        chunks skipped) -> (n_samples, channels) array + sample rate
+- Y4M : YUV4MPEG2 uncompressed video, C420* / C422 / C444 / Cmono
+        subsampling, per-frame O(1) slicing (header arithmetic, no full
+        materialisation) -> (H, W, 1|3) uint8 frames, chroma
+        nearest-upsampled to full resolution
+
+``decode_image`` still raises ``NotImplementedError`` for unknown magics;
+compressed video/audio (mp4/mp3/...) is the remaining out-of-scope set.
 """
 
 from __future__ import annotations
@@ -40,6 +50,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:2] in (b"P5", b"P6"):
         return "pnm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -62,12 +76,27 @@ def _pnm_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
             j += 1
         vals.append(int(payload[i:j]))
         i = j
-    # a single whitespace after maxval precedes the raster; tolerate CRLF
-    # (text-mode Windows writers) as one separator — the strict-spec read
-    # would take the \n as the first raster byte, which no real writer means
-    if payload[i : i + 2] == b"\r\n":
-        return vals, i + 2
-    return vals, i + 1
+    # i is the single whitespace separator preceding the raster; the caller
+    # decides whether a following \r\n counts as one separator (CRLF
+    # tolerance needs the raster length to disambiguate a lone-\r separator
+    # whose first raster byte happens to be 0x0A)
+    return vals, i
+
+
+def _pnm_raster_offset(payload: bytes, sep: int, raster_len: int) -> int:
+    """Offset of the raster after the separator at ``sep``.
+
+    Spec: exactly ONE whitespace byte separates maxval from the raster.
+    Text-mode Windows writers emit \\r\\n there; tolerate it as one
+    separator — but only when the strict-spec read would NOT yield an
+    exact-length raster, so a spec-valid file with a lone '\\r' separator
+    and a first raster byte of 0x0A keeps its pixel."""
+    if (
+        payload[sep : sep + 2] == b"\r\n"
+        and len(payload) - (sep + 1) != raster_len
+    ):
+        return sep + 2
+    return sep + 1
 
 
 def decode_pnm(payload: bytes) -> np.ndarray:
@@ -75,10 +104,11 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     if magic not in (b"P5", b"P6"):
         raise ValueError(f"unsupported netpbm magic {magic!r}")
     channels = 1 if magic == b"P5" else 3
-    (w, h, maxval), off = _pnm_tokens(payload, 3, 2)
+    (w, h, maxval), sep = _pnm_tokens(payload, 3, 2)
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
     n = w * h * channels
+    off = _pnm_raster_offset(payload, sep, n)
     raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
     return raster.reshape(h, w, channels).copy()
 
@@ -319,3 +349,266 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
     xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
     return pixels[ys][:, xs]
+
+
+# --------------------------------------------------------------------- WAV
+
+
+def _wav_chunks(payload: bytes):
+    """Walk RIFF chunks: yields (fourcc, offset, size). Chunk sizes are
+    word-aligned on disk (odd sizes carry a pad byte, RIFF spec)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    while i + 8 <= end:
+        fourcc = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        yield fourcc, i + 8, size
+        i += 8 + size + (size & 1)  # odd chunk sizes are padded to a word
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM / IEEE-float WAV to ((n_samples, channels), sample_rate).
+
+    dtypes: 8-bit -> uint8 (unsigned per spec), 16/32-bit -> int16/int32,
+    24-bit -> int32 (sign-extended), float -> float32. Unknown chunks
+    (LIST, fact, cue, ...) are skipped by the chunk walk."""
+    fmt = None
+    data = None
+    for fourcc, off, size in _wav_chunks(payload):
+        if fourcc == b"fmt " and fmt is None:
+            audio_format, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, off
+            )
+            bits = struct.unpack_from("<H", payload, off + 14)[0]
+            if audio_format == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                audio_format = struct.unpack_from("<H", payload, off + 24)[0]
+            fmt = (audio_format, channels, sample_rate, bits)
+        elif fourcc == b"data" and data is None:
+            data = payload[off : off + size]
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, bits = fmt
+    if channels <= 0:
+        raise ValueError("WAV with zero channels")
+    if audio_format == 3:  # IEEE float
+        if bits != 32:
+            raise ValueError(f"float{bits} WAV not supported")
+        arr = np.frombuffer(data, dtype="<f4")
+    elif audio_format == 1:  # PCM
+        if bits == 8:
+            arr = np.frombuffer(data, dtype=np.uint8)
+        elif bits == 16:
+            arr = np.frombuffer(data, dtype="<i2")
+        elif bits == 32:
+            arr = np.frombuffer(data, dtype="<i4")
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.int32)
+            arr = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            arr = (arr << 8) >> 8  # sign-extend bit 23
+        else:
+            raise ValueError(f"{bits}-bit PCM WAV not supported")
+    else:
+        raise ValueError(f"WAV audio format {audio_format} not supported")
+    n = len(arr) - len(arr) % channels
+    return arr[:n].reshape(-1, channels).copy(), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode (n_samples, channels) to WAV. uint8 -> PCM8, int16 -> PCM16,
+    int32 -> PCM32, float32 -> IEEE float."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    dt = samples.dtype
+    if dt == np.uint8:
+        audio_format, bits = 1, 8
+        body = samples.astype(np.uint8).tobytes()
+    elif dt == np.int16:
+        audio_format, bits = 1, 16
+        body = samples.astype("<i2").tobytes()
+    elif dt == np.int32:
+        audio_format, bits = 1, 32
+        body = samples.astype("<i4").tobytes()
+    elif dt == np.float32:
+        audio_format, bits = 3, 32
+        body = samples.astype("<f4").tobytes()
+    else:
+        raise ValueError(f"unsupported sample dtype {dt}")
+    block_align = channels * bits // 8
+    fmt_body = struct.pack(
+        "<HHIIHH",
+        audio_format,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\0"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# --------------------------------------------------------------------- Y4M
+
+
+def parse_y4m_header(payload: bytes) -> dict:
+    """Parse the YUV4MPEG2 stream header. Returns width/height/fps/
+    subsampling/frame_size/data_offset (first FRAME marker)."""
+    nl = payload.find(b"\n")
+    if nl < 0 or payload[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = (25, 1)
+    sub = "420"
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == b"C":
+            # C420jpeg/C420mpeg2/C420paldv share 2x2 chroma geometry
+            sub = "420" if val.startswith("420") else val
+        # Ip/A/X params don't affect the raster layout
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if sub == "420":
+        frame_size = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif sub == "422":
+        frame_size = w * h + 2 * ((w + 1) // 2) * h
+    elif sub == "444":
+        frame_size = 3 * w * h
+    elif sub == "mono":
+        frame_size = w * h
+    else:
+        raise ValueError(f"Y4M chroma mode C{sub} not supported")
+    return {
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "subsampling": sub,
+        "frame_size": frame_size,
+        "data_offset": nl + 1,
+    }
+
+
+def _y4m_frame_offsets(payload: bytes, meta: dict):
+    """Yield (frame_index, plane_data_offset). FRAME markers may carry
+    parameters up to their own newline; frames are fixed-size after it."""
+    i = meta["data_offset"]
+    idx = 0
+    size = meta["frame_size"]
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {i}")
+        nl = payload.find(b"\n", i)
+        if nl < 0:
+            raise ValueError("truncated FRAME header")
+        yield idx, nl + 1
+        i = nl + 1 + size
+        idx += 1
+
+
+def y4m_frame_count(payload: bytes, meta: dict | None = None) -> int:
+    meta = meta or parse_y4m_header(payload)
+    return sum(1 for _ in _y4m_frame_offsets(payload, meta))
+
+
+def _y4m_planes_to_frame(buf: np.ndarray, meta: dict) -> np.ndarray:
+    """One frame's plane bytes -> (H, W, 1|3) uint8, chroma
+    nearest-upsampled to full resolution."""
+    w, h, sub = meta["width"], meta["height"], meta["subsampling"]
+    y = buf[: w * h].reshape(h, w)
+    if sub == "mono":
+        return y[:, :, None].copy()
+    if sub == "420":
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+    elif sub == "422":
+        cw, ch = (w + 1) // 2, h
+    else:  # 444
+        cw, ch = w, h
+    u = buf[w * h : w * h + cw * ch].reshape(ch, cw)
+    v = buf[w * h + cw * ch : w * h + 2 * cw * ch].reshape(ch, cw)
+    if (cw, ch) != (w, h):
+        # nearest-neighbor chroma upsample via integer index maps
+        xi = (np.arange(w) * cw) // w
+        yi = (np.arange(h) * ch) // h
+        u = u[yi][:, xi]
+        v = v[yi][:, xi]
+    return np.stack([y, u, v], axis=2).copy()
+
+
+def decode_y4m_frame(payload: bytes, index: int, meta: dict | None = None) -> np.ndarray:
+    """O(frames-scanned) random access to one frame — header arithmetic +
+    one plane reshape; nothing else is materialised."""
+    meta = meta or parse_y4m_header(payload)
+    for idx, off in _y4m_frame_offsets(payload, meta):
+        if idx == index:
+            buf = np.frombuffer(payload, dtype=np.uint8, count=meta["frame_size"], offset=off)
+            return _y4m_planes_to_frame(buf, meta)
+    raise IndexError(f"frame {index} out of range")
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, dict]:
+    """All frames -> (n_frames, H, W, 1|3) uint8 + header meta."""
+    meta = parse_y4m_header(payload)
+    frames = [
+        _y4m_planes_to_frame(
+            np.frombuffer(payload, dtype=np.uint8, count=meta["frame_size"], offset=off),
+            meta,
+        )
+        for _, off in _y4m_frame_offsets(payload, meta)
+    ]
+    if not frames:
+        ch = 1 if meta["subsampling"] == "mono" else 3
+        return np.zeros((0, meta["height"], meta["width"], ch), np.uint8), meta
+    return np.stack(frames), meta
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), subsampling: str | None = None
+) -> bytes:
+    """Encode (n_frames, H, W, 1|3) uint8 -> Y4M. 1 channel -> Cmono;
+    3 channels -> C444 by default or C420jpeg with 2x2 box-mean
+    downsampling when subsampling='420' (exact for 2x2-constant chroma)."""
+    n, h, w, c = frames.shape
+    if c == 1:
+        sub = "mono"
+    elif subsampling in (None, "444"):
+        sub = "444"
+    elif subsampling == "420":
+        sub = "420jpeg"
+    else:
+        raise ValueError(f"unsupported encode subsampling {subsampling!r}")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{sub}\n".encode()
+    out = bytearray(header)
+    for f in frames.astype(np.uint8):
+        out += b"FRAME\n"
+        out += f[:, :, 0].tobytes()
+        if c == 3:
+            u, v = f[:, :, 1], f[:, :, 2]
+            if sub == "420jpeg":
+                # 2x2 box mean (pad odd edges by replication)
+                if h & 1:
+                    u = np.vstack([u, u[-1:]])
+                    v = np.vstack([v, v[-1:]])
+                if w & 1:
+                    u = np.hstack([u, u[:, -1:]])
+                    v = np.hstack([v, v[:, -1:]])
+                u = u.reshape(u.shape[0] // 2, 2, u.shape[1] // 2, 2).mean((1, 3))
+                v = v.reshape(v.shape[0] // 2, 2, v.shape[1] // 2, 2).mean((1, 3))
+                u = np.round(u).astype(np.uint8)
+                v = np.round(v).astype(np.uint8)
+            out += u.tobytes() + v.tobytes()
+    return bytes(out)

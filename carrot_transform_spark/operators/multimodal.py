@@ -3,20 +3,24 @@
 Images / audio / video ride through the engine as ``binary`` columns with a
 typed metadata struct, exactly how a 100 TB training-data pipeline carries
 them (payload bytes in parquet, decode at the edges). The Spark-side
-plumbing here — schemas, Arrow-batched mapInPandas, partition sizing — is
-real and tested; the codec calls themselves are STUBBED behind
-``NotImplementedError`` (this container ships no image/audio libs) with a
-deterministic fake used by tests and the synthetic pipeline.
+plumbing — schemas, Arrow-batched mapInPandas, partition sizing — is real
+and tested, and so are the codecs for the dependency-free formats
+(operators/codecs.py: BMP / 8-bit PNG / PGM-PPM images, PCM+float WAV
+audio, YUV4MPEG2 video). Compressed formats (jpeg/mp3/mp4/...) have no
+dependency-free decoder in this container — ``real_decode`` raises
+``NotImplementedError`` for them; the deterministic ``fake_decode`` keeps
+the plumbing testable for any payload.
 
 Operators:
 - ``attach_payload_meta``  : wrap raw bytes + declared modality into the
                              standard (payload, meta) column pair
-- ``decode_stats``         : per-record byte stats via mapInPandas (Arrow
-                             batches, no per-row Python)
-- ``resize_images``        : stubbed decode->resize->re-encode; plumbing
-                             (schema, batch shape) real, codec faked
-- ``sample_frames``        : stubbed video frame sampler emitting one row
-                             per sampled frame (fan-out via mapInPandas)
+- ``decode_stats``         : per-record decode statistics via mapInPandas
+                             (Arrow batches, no per-row Python)
+- ``resize_images``        : decode->resize->re-encode in the same format
+- ``sample_frames``        : video frame sampler emitting one row per
+                             sampled frame (fan-out via mapInPandas); with
+                             ``real_decode`` each row carries the frame as
+                             a single-frame Y4M payload
 """
 
 from __future__ import annotations
@@ -66,16 +70,50 @@ def attach_payload_meta(
 
 
 def real_decode(payload: bytes, fmt: str) -> dict:
-    """Real dependency-free image decode (operators/codecs.py: BMP, 8-bit
-    PNG with all five scanline filters, binary PGM/PPM — pure numpy +
-    stdlib zlib). Returns the same stat dict shape as fake_decode so the
-    mapInPandas plumbing is identical; ``pixels`` carries the decoded
-    array for downstream transforms. Video/audio and compressed formats
-    beyond zlib-PNG raise NotImplementedError inside decode_image — the
-    one remaining seam."""
-    from carrot_transform_spark.operators.codecs import decode_image
+    """Real dependency-free decode (operators/codecs.py). Returns the same
+    stat dict shape as fake_decode so the mapInPandas plumbing is
+    identical, plus modality-specific extras:
 
-    px = decode_image(payload, fmt)
+    - images (BMP / 8-bit PNG / PGM-PPM): width x height, n_frames=1,
+      ``pixels`` = (H, W, C) uint8
+    - audio (PCM / IEEE-float WAV): n_frames = SAMPLE count (the WAV term
+      for per-channel sample groups), width = channels, height =
+      sample_rate; ``samples`` = (n, channels), ``sample_rate``
+    - video (YUV4MPEG2): width x height, n_frames = frame count;
+      ``pixels`` = first frame (YUV, chroma upsampled), ``frame_at(i)`` =
+      that frame re-encoded as a single-frame Y4M payload (O(1) header
+      arithmetic, unsampled frames never materialised)
+
+    Compressed formats raise NotImplementedError inside decode_image —
+    the remaining out-of-scope set (no ffmpeg/PIL in this container)."""
+    from carrot_transform_spark.operators import codecs as C
+
+    sniffed = C.sniff_format(payload)
+    if sniffed == "wav":
+        samples, rate = C.decode_wav(payload)
+        return {
+            "width": int(samples.shape[1]),
+            "height": int(rate),
+            "n_frames": int(samples.shape[0]),
+            "samples": samples,
+            "sample_rate": rate,
+        }
+    if sniffed == "y4m":
+        meta = C.parse_y4m_header(payload)
+        n = C.y4m_frame_count(payload, meta)
+
+        def frame_at(i: int) -> bytes:
+            fr = C.decode_y4m_frame(payload, i, meta)
+            return C.encode_y4m(fr[None], fps=meta["fps"])
+
+        return {
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_frames": n,
+            "pixels": C.decode_y4m_frame(payload, 0, meta) if n else None,
+            "frame_at": frame_at,
+        }
+    px = C.decode_image(payload, fmt)
     return {
         "width": int(px.shape[1]),
         "height": int(px.shape[0]),
@@ -187,9 +225,13 @@ def sample_frames(df: DataFrame, every_n: int = 2, decoder=fake_decode) -> DataF
             for rid, payload, meta in zip(pdf["id"], pdf["payload"], pdf["meta"]):
                 raw = bytes(payload)
                 d = decoder(raw, meta["format"])
+                frame_at = d.get("frame_at")
                 for i in range(0, d["n_frames"], every_n):
-                    fake_frame = hashlib.sha256(raw + bytes([i])).digest()
-                    rows.append((rid, i, fake_frame))
+                    if frame_at is not None:
+                        frame = frame_at(i)
+                    else:
+                        frame = hashlib.sha256(raw + bytes([i % 256])).digest()
+                    rows.append((rid, i, frame))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select("id", "payload", "meta").mapInPandas(fn, schema=out_schema)

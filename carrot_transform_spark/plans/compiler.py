@@ -111,6 +111,13 @@ class CarrotPlanner:
         self._lit_cache: dict[tuple[str, object], Column] = {}
         self._tail_cache: dict[tuple[int, int, int], tuple] = {}
         self._main_fields_memo: dict[str, tuple[str | None, str | None]] = {}
+        # Thread-safety note (compile runs across a thread pool): every
+        # mutation that must be observed exactly once — the _pending_* queues
+        # and _main_fields_memo/_norm_cache writes — happens under
+        # _compile_lock. The pure-memoization dicts (_lit/_const/_override/
+        # _tail caches) are intentionally unlocked: a lost get/set race just
+        # recomputes an identical immutable Column, and per-object dict ops
+        # are atomic on CPython (incl. free-threaded builds' per-dict locks).
         # fences the planner's Python bookkeeping (metric sequence numbers,
         # counted-file set, norm-scan memo) when target_candidates builds
         # per-file plans across a thread pool; the Column caches need no
@@ -153,7 +160,8 @@ class CarrotPlanner:
                 pid = tm.person_id_mapping.source_field
             if self.rules.dialect == "v2" and dt and pid:
                 break
-        self._main_fields_memo[src_file] = (dt, pid)
+        with self._compile_lock:
+            self._main_fields_memo[src_file] = (dt, pid)
         return dt, pid
 
     def _lit(self, v) -> Column:
@@ -388,7 +396,8 @@ class CarrotPlanner:
                     .count()
                     .withColumn("__ct_tgt", F.lit(target))
                 )
-            self._pending_rejects.append((rej, stats))
+            with self._compile_lock:
+                self._pending_rejects.append((rej, stats))
         return kept
 
     def flush_metrics(self) -> None:
@@ -615,13 +624,21 @@ class CarrotPlanner:
                 by_field: dict[str, list] = {}
                 for cm_ in tm.concept_mappings.values():
                     by_field.setdefault(cm_.source_field, []).append(cm_)
+                datebad_mult = 1
                 if is_person and self.rules.dialect == "v1":
                     # v1 person: record build runs for the FIRST datacol only
                     # (run.py breaks after person) and proceeds for ANY valid
                     # value — unmatched terms still reach the component-date
                     # check (core.py:76-95), so the count has no
-                    # concept-match gate
+                    # concept-match gate. It increments once per consulted
+                    # BUCKET whose data maps a date dest (each bucket's
+                    # record runs its own core.py date handling)
                     by_field = dict(list(by_field.items())[:1])
+                    chosen_m = _v1_chosen_buckets(tm)
+                    if chosen_m is not None:
+                        datebad_mult = sum(1 for b in chosen_m if b.maps_date)
+                        if datebad_mult == 0:
+                            by_field = {}
                 for fname, cms in by_field.items():
                     cell = _try_resolve(raw, fname)
                     if cell is None:
@@ -640,7 +657,7 @@ class CarrotPlanner:
                                 & ~strict_ok
                                 & F.coalesce(valid_value(cell), F.lit(False))
                                 & match,
-                                1,
+                                datebad_mult,
                             ).otherwise(0)
                         ).alias(f"__m{seq}_datebad_{len(datebad_keys) - 1}")
                     )
@@ -676,7 +693,8 @@ class CarrotPlanner:
 
             # deferred: flush_metrics() runs every target's counters over
             # this file's cached scan in ONE combined aggregation job
-            self._pending_aggs.setdefault(cache_key, []).append((aggs, resolve))
+            with self._compile_lock:
+                self._pending_aggs.setdefault(cache_key, []).append((aggs, resolve))
 
         df = raw.filter(norm_ok) if date_field is not None else raw
 
@@ -729,9 +747,10 @@ class CarrotPlanner:
                             key = (src_file, target, fld)
                             stats.invalid_date[key] = stats.invalid_date.get(key, 0) + n
 
-                    self._pending_df_aggs.setdefault(src_file, []).append(
-                        (df, aggs2, resolve2)
-                    )
+                    with self._compile_lock:
+                        self._pending_df_aggs.setdefault(src_file, []).append(
+                            (df, aggs2, resolve2)
+                        )
         else:
             # J1 both forms: small term maps compile into the plan as
             # when-chains (no join at all); large ones become broadcast
@@ -748,9 +767,26 @@ class CarrotPlanner:
 
         # strict-date component failure drops the whole row's records for
         # this target (record_builder.py:92-132); the per-field counts were
-        # folded into the metrics aggregation above
+        # folded into the metrics aggregation above. v1 person: the gate is
+        # per consulted BUCKET — a bucket whose rule-sets never mapped a date
+        # dest skips core.py's date handling and its record always survives
         if comp_dests:
-            exploded = exploded.filter(strict_ok_col)
+            chosen_f = (
+                _v1_chosen_buckets(tm)
+                if is_person and self.rules.dialect == "v1"
+                else None
+            )
+            if chosen_f is None:
+                exploded = exploded.filter(strict_ok_col)
+            else:
+                gated = [i for i, b in enumerate(chosen_f) if b.maps_date]
+                if len(gated) == len(chosen_f):
+                    exploded = exploded.filter(strict_ok_col)
+                elif gated:
+                    exploded = exploded.filter(
+                        strict_ok_col
+                        | ~F.col(f"__ct_rec.{COMBO_COL}").isin(gated)
+                    )
 
         cols = [F.col(f"__ct_rec.{c}").alias(c) for c in schema.columns]
         meta = [
@@ -1413,6 +1449,54 @@ class CarrotPlanner:
             return _empty_like(template)
         gate = F.coalesce(valid_value(first_cell), F.lit(False))
 
+        chosen = _v1_chosen_buckets(tm)
+        if chosen is not None:
+            # dictkeys order (core.py:49-59): the '<file>~person' dict bucket
+            # first, then the scalar bucket keyed on the FIRST datacol — ONE
+            # record per consulted bucket; other scalar buckets are dead
+            # rules (their srckey never matches the first datacol)
+            if not chosen:
+                return _empty_like(template)
+            pid_key = (
+                tm.person_id_mapping.dest_field if tm.person_id_mapping else None
+            )
+
+            def bucket_common(b) -> dict[str, Column]:
+                # common holds ONLY person-id + date writes; a bucket whose
+                # rule-sets never mapped them leaves the defaults (blank pid
+                # record is later rejected at the person lookup)
+                out: dict[str, Column] = {}
+                for k, v in common.items():
+                    if k == pid_key:
+                        if b.maps_person_id:
+                            out[k] = v
+                    elif b.maps_date:
+                        out[k] = v
+                return out
+
+            recs = [
+                self._v1_person_record(
+                    df, list(b.concept_mappings.items()), schema,
+                    bucket_common(b), first_field, combo_idx=i,
+                )
+                for i, b in enumerate(chosen)
+            ]
+            return F.when(gate, F.array(*recs)).otherwise(_empty_like(recs[0]))
+
+        rec = self._v1_person_record(df, fields, schema, common, first_field)
+        return F.when(gate, F.array(rec)).otherwise(_empty_like(rec))
+
+    def _v1_person_record(
+        self,
+        df: DataFrame,
+        fields: list,
+        schema: TableSchema,
+        common: dict[str, Column],
+        first_field: str,
+        combo_idx: int = 0,
+    ) -> Column:
+        """One person record struct from one rules element (core.py:67-156
+        applied to a single out_data_elem)."""
         overrides: dict[str, Column] = {}
         for fname, cm in fields:  # later fields overwrite on collision
             cell = _try_resolve(df, fname)
@@ -1498,8 +1582,10 @@ class CarrotPlanner:
             for d, v in overrides.items()
         }
         merged.update(common)
-        rec = self._record_struct(schema, merged, F.lit(first_field), F.lit(0))
-        return F.when(gate, F.array(rec)).otherwise(_empty_like(rec))
+        # combo_idx orders the dict-bucket record before the scalar-bucket
+        # record within a row (dense-id sort key [file, line, fieldidx,
+        # combo]) — the reference writes them in dictkeys order
+        return self._record_struct(schema, merged, F.lit(first_field), F.lit(combo_idx))
 
 
 # ---------------------------------------------------------------------------
@@ -1519,6 +1605,22 @@ def _records_per_row_bound(tm: TableMapping) -> int:
                     max_combo = max(max_combo, len(ids))
         total += max_combo
     return max(total, 1)
+
+
+def _v1_chosen_buckets(tm: TableMapping):
+    """The person buckets a v1 record build consults (core.py:49-59): the
+    '<file>~person' dict bucket, then the scalar bucket whose key field is
+    the FIRST datacol. None when the mapping is not bucketed (v2 / tests
+    constructing IR directly)."""
+    buckets = tm.v1_person_buckets
+    if buckets is None:
+        return None
+    if not tm.concept_mappings:
+        return []
+    first = next(iter(tm.concept_mappings))
+    return [b for b in buckets if b.key_field is None] + [
+        b for b in buckets if b.key_field == first
+    ]
 
 
 def _resolve(df: DataFrame, name: str) -> Column:

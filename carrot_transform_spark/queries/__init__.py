@@ -159,12 +159,15 @@ def maybe_broadcast(df: DataFrame, size_like: DataFrame | None = None) -> DataFr
     ``size_like``: estimate from THIS frame's plan instead (pass the base
     scan when ``df`` is a derived join/filter — join-output size stats are
     meaningless without CBO, while the base table's scan bytes upper-bound
-    any dimension that was only filtered or semi-joined smaller)."""
+    any dimension that was only filtered or semi-joined smaller).
+
+    A negative threshold is Spark's sentinel for DISABLING auto-broadcast
+    (sessions force sort-merge joins that way at scale) — honour it by
+    returning the frame un-hinted, never by treating it as 'unlimited'."""
     import pyspark.sql.functions as F
 
     try:
         spark = df.sparkSession
-        stats_df = size_like if size_like is not None else df
         raw = str(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         ).lower().strip()
@@ -175,12 +178,26 @@ def maybe_broadcast(df: DataFrame, size_like: DataFrame | None = None) -> DataFr
                 raw, mult = raw[: -len(suf)], m
                 break
         threshold = int(raw) * mult
+    except Exception:
+        threshold = 10 << 20
+    if threshold < 0:
+        return df
+    try:
+        stats_df = size_like if size_like is not None else df
         size = int(
             stats_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:
+        # Private-API breakage must be LOUD, not a silent force-broadcast
+        # that resurrects the sf100 q5 regression.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "maybe_broadcast: plan-size stats unavailable; hinting broadcast "
+            "without a size check", exc_info=True,
+        )
         return F.broadcast(df)
-    if threshold < 0 or size <= threshold:
+    if size <= threshold:
         return F.broadcast(df)
     return df
 

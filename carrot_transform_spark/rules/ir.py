@@ -75,6 +75,31 @@ class ConceptMapping:
 
 
 @dataclass
+class PersonBucket:
+    """v1 person rule-sets partition by their process_rules key
+    (mappingrules.py:369-421): a rule-set with any DICT term map gets
+    term_value_key '<file>~person' (key_field None here); a rule-set with
+    only SCALAR terms gets plain_key '<file>~<last-scalar-field>~person'
+    (key_field = that field); a rule-set with no term_mapping at all
+    returns key '' and is DROPPED before the merge
+    (parse_rules_src_to_tgt:325 'if key != ""'). Rule-sets sharing a key
+    merge with dict.update/replace semantics INSIDE the bucket; distinct
+    keys never merge. Record build (core.py:49-66) consults the dict
+    bucket plus the scalar bucket whose key_field equals the row's FIRST
+    data column — emitting one record per consulted bucket."""
+
+    key_field: str | None  # None = the '<file>~person' dict bucket
+    concept_mappings: dict[str, ConceptMapping] = field(default_factory=dict)
+    # whether any rule-set merged into this bucket mapped the person-id /
+    # a date dest: a bucket WITHOUT them builds records with a blank
+    # person id (rejected at the person-lookup, counted invalid_person_ids)
+    # / no date writes and NO strict-date gate (core.py only runs the date
+    # handling for fields present in the bucket's own data)
+    maps_person_id: bool = False
+    maps_date: bool = False
+
+
+@dataclass
 class TableMapping:
     target_table: str
     source_table: str
@@ -84,6 +109,11 @@ class TableMapping:
     # earlier fields on dest-field collisions (reference
     # record_builder.py:271-272)
     concept_mappings: dict[str, ConceptMapping] = field(default_factory=dict)
+    # v1 person ONLY (None otherwise): the process_rules key buckets in
+    # creation order; concept_mappings is then their ordered UNION (bucket
+    # creation order, per-bucket field insertion order) — the datacol
+    # enumeration the reference derives in _get_infile_data_fields_v1
+    v1_person_buckets: list[PersonBucket] | None = None
 
 
 @dataclass

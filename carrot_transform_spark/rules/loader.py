@@ -22,6 +22,7 @@ from carrot_transform_spark.omop.ddl import OmopSchemas
 from carrot_transform_spark.rules.ir import (
     ConceptMapping,
     DateMapping,
+    PersonBucket,
     PersonIdMapping,
     RuleSet,
     TableMapping,
@@ -292,6 +293,27 @@ def _merge_v1_rule(
     dt_fields: set[str],
     d_fields: set[str],
 ) -> None:
+    # process_rules key pre-scan (mappingrules.py:366-421): any DICT term
+    # sets term_value_key '<file>~person'; a scalar term sets plain_key
+    # '<file>~<field>~person' (LAST scalar field wins); a rule-set with no
+    # term_mapping at all returns key '' and parse_rules_src_to_tgt DROPS it
+    # ('if key != ""') — it contributes nothing, not even person-id/date
+    # registrations (get_infile_date_person_id scans only surviving outdata)
+    has_dict = False
+    last_scalar: str | None = None
+    for _dest, si in rule.items():
+        if si["source_table"] != src:
+            continue
+        term = si.get("term_mapping")
+        if term is None:
+            continue
+        if isinstance(term, dict):
+            has_dict = True
+        else:
+            last_scalar = si["source_field"]
+    if not has_dict and last_scalar is None:
+        return
+
     # v1 applies derived date artifacts (linked *_date companion, y/m/d
     # components) only to the LAST dest listed per source field in the rule
     # (core.py: date handling runs after the outfield loop on its final
@@ -309,6 +331,8 @@ def _merge_v1_rule(
     # ignored here).
     rs: dict[str, dict] = {}  # field -> {kind, plains, values{v: {ids, plains}}}
     stale_value: str | None = None
+    rs_maps_pid = False
+    rs_maps_date = False
     for dest_field, si in rule.items():
         if si["source_table"] != src:
             continue
@@ -316,7 +340,9 @@ def _merge_v1_rule(
         term = si.get("term_mapping")
         if dest_field == person_col and term is None:
             tm.person_id_mapping = PersonIdMapping(source_field=source_field, dest_field=dest_field)
+            rs_maps_pid = True
         elif term is None and (dest_field in dt_fields or dest_field in d_fields):
+            rs_maps_date = True
             if tm.date_mapping is None:
                 tm.date_mapping = DateMapping(
                     source_field=source_field, dest_fields=[], companion_dests=[]
@@ -370,11 +396,31 @@ def _merge_v1_rule(
     # dict.update(new_rule_data) (mappingrules.py:parse_rules_src_to_tgt),
     # so a later rule-set redefining value v replaces v's whole entry list
     # — concept dests AND value-gated plains — while other values survive.
+    if tm.v1_person_buckets is None:
+        tm.v1_person_buckets = []
+    bucket_key = None if has_dict else last_scalar
+    bucket = next(
+        (b for b in tm.v1_person_buckets if b.key_field == bucket_key), None
+    )
+    if bucket is None:
+        bucket = PersonBucket(key_field=bucket_key)
+        tm.v1_person_buckets.append(bucket)
+    bucket.maps_person_id = bucket.maps_person_id or rs_maps_pid
+    bucket.maps_date = bucket.maps_date or rs_maps_date
     for source_field, st in rs.items():
-        cm = tm.concept_mappings.setdefault(
+        cm = bucket.concept_mappings.setdefault(
             source_field, ConceptMapping(source_field=source_field)
         )
         if st["kind"] == "dict":
+            # cross-rule-set merge only happens when the EXISTING entry is a
+            # dict (mappingrules.py:334-341 'isinstance(..., dict)'); a
+            # list-kind entry is wholesale-replaced ('just set it'), so an
+            # earlier rule-set's plain dests and scalar terms are dropped
+            if not cm.value_mappings and (
+                cm.original_value_fields or cm.extra_literals
+            ):
+                cm.original_value_fields = []
+                cm.extra_literals = {}
             for v, vd in st["values"].items():
                 dest_map: dict[str, list[int]] = {}
                 for dest, cid in vd["ids"]:
@@ -385,13 +431,28 @@ def _merge_v1_rule(
                 else:
                     cm.value_original_fields.pop(v, None)
         else:
-            for dest in st["plains"]:
-                if dest not in cm.original_value_fields:
-                    cm.original_value_fields.append(dest)
-            for dest, cid in st["lits"]:
+            if cm.value_mappings:
+                # existing dict-kind entry + a list-kind redefinition makes
+                # the reference crash (dict.update over >2-char strings,
+                # ValueError) — the shape cannot run there; leave the dict
+                continue
+            # wholesale replace (same 'just set it' branch): this rule-set's
+            # plains/lits REPLACE whatever earlier rule-sets accumulated
+            cm.original_value_fields = list(dict.fromkeys(st["plains"]))
+            cm.extra_literals = {
                 # unconditional write — core.py's list-kind application has
                 # no valid-value check, so the term lands even on blank cells
-                cm.extra_literals[dest] = str(cid)
+                dest: str(cid)
+                for dest, cid in st["lits"]
+            }
+    # ordered UNION across buckets = the reference's datacol enumeration
+    # (_get_infile_data_fields_v1 iterates outdata keys in creation order,
+    # fields in per-bucket insertion order)
+    union: dict[str, ConceptMapping] = {}
+    for b in tm.v1_person_buckets:
+        for fname, bcm in b.concept_mappings.items():
+            union.setdefault(fname, bcm)
+    tm.concept_mappings = union
     if date_dests_in_rule and tm.date_mapping is not None:
         last = date_dests_in_rule[-1]
         assert tm.date_mapping.companion_dests is not None

@@ -254,6 +254,144 @@ def _gen_case_hetero_dates(seed: int, d: Path) -> tuple[Path, Path]:
     return rules_file, inputs
 
 
+def _gen_case_person_ruleset_redef(seed: int, d: Path) -> tuple[Path, Path]:
+    """v1 person rules where a LATER rule-set redefines a source field an
+    EARLIER rule-set already mapped. The reference's person merge
+    (mappingrules.py:331-341) dict.update()s only when the existing entry is
+    a dict; a list-kind entry is wholesale-REPLACED ('just set it'), so the
+    earlier rule-set's plain dests and scalar terms are dropped. Shapes:
+    list->list replace, list->dict replace, dict->dict value-level merge
+    (control) with an independent list->scalar-term replace on a second
+    field. (dict->list is unrunnable in the reference — dict.update over
+    >2-char strings raises ValueError — so it is never generated.)"""
+    rng = random.Random(777_000 + seed)
+    inputs = d / "inputs"
+    inputs.mkdir()
+    pids = [f"p{i:03d}" for i in range(rng.randint(6, 18))]
+    eths = ["e0", "e1", "zz", ""]
+    person_rows = [
+        (p, rng.choice(_SEXES), rng.choice(eths), rng.choice(_DATES)) for p in pids
+    ]
+    for _ in range(rng.randint(0, 3)):  # duplicate persons
+        p = rng.choice(pids)
+        person_rows.append((p, rng.choice(_SEXES), rng.choice(eths), rng.choice(_DATES)))
+    (inputs / "demo.csv").write_text(
+        "pid,sex,eth,dob\n" + "\n".join(",".join(r) for r in person_rows) + "\n"
+    )
+
+    base = {"person_id": _src("pid"), "birth_datetime": _src("dob")}
+    shape = seed % 5
+    if shape == 3:
+        # scalar bucket WITHOUT a date mapping, created FIRST so its key
+        # field is the first datacol: its record skips core.py's date
+        # handling entirely — written even when the dict bucket's record is
+        # strict-date-rejected — with blank birth fields
+        alpha = {
+            "person_id": _src("pid"),
+            "gender_concept_id": _src("sex", mapping=8507),
+        }
+        beta = dict(
+            base,
+            gender_concept_id=_src("sex", mapping={"M": 8507, "F": 8532}),
+            gender_source_value=_src("sex"),
+        )
+    elif shape == 4:
+        # scalar bucket WITHOUT a person-id mapping: its record carries a
+        # blank person id, fails the person lookup, and counts
+        # invalid_person_ids — while the dict bucket's record is written
+        alpha = {
+            "birth_datetime": _src("dob"),
+            "race_concept_id": _src("eth", mapping=38003599),
+        }
+        beta = dict(
+            base,
+            gender_concept_id=_src("sex", mapping={"M": 8507, "F": 8532}),
+        )
+    elif shape == 0:
+        # list -> list: beta's single plain dest replaces alpha's plain AND
+        # scalar term on 'sex'
+        alpha = dict(
+            base,
+            gender_source_value=_src("sex"),
+            gender_concept_id=_src("sex", mapping=8507),
+        )
+        beta = dict(base, person_source_value=_src("sex"))
+    elif shape == 1:
+        # list -> dict: beta's dict term map replaces alpha's plains/lits
+        alpha = dict(
+            base,
+            gender_source_value=_src("sex"),
+            gender_source_concept_id=_src("sex", mapping=8599),
+        )
+        beta = dict(
+            base,
+            gender_concept_id=_src("sex", mapping={"M": 8507, "F": 8532}),
+            gender_source_concept_id=_src("sex", mapping={"M": 8507, "F": 8532}),
+        )
+    else:
+        # dict -> dict control on 'sex' (value-level merge must KEEP working)
+        # + list -> scalar-term replace on 'eth'
+        alpha = dict(
+            base,
+            gender_concept_id=_src("sex", mapping={"M": 8507}),
+            gender_source_value=_src("sex"),
+            race_source_value=_src("eth"),
+        )
+        beta = dict(
+            base,
+            gender_concept_id=_src("sex", mapping={"F": 8532, "M": 8599}),
+            race_concept_id=_src("eth", mapping=38003599),
+        )
+    cdm = {"person": {"alpha": alpha, "beta": beta}}
+    rules_file = d / "rules.json"
+    rules_file.write_text(
+        json.dumps(
+            {
+                "metadata": {"date_created": "2026-01-01T00:00:00", "dataset": f"rr{seed}"},
+                "cdm": cdm,
+            },
+            indent=1,
+        )
+    )
+    return rules_file, inputs
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_differential_person_ruleset_redef(spark, tmp_path, seed):
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_case_person_ruleset_redef(seed, tmp_path)
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    run_reference_mapstream(rules_file, inputs, ref_out, "demo")
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark, rules_file=rules_file, inputs=inputs, output_dir=our_out, person_table="demo"
+    )
+    problems = compare_table(
+        "person",
+        our_out / "person.tsv",
+        ref_out / "person.tsv",
+        our_out / "person_ids.tsv",
+        ref_out / "person_ids.tsv",
+    )
+    assert not problems, f"seed={seed}:\n" + "\n".join(problems[:20])
+
+    from tests.carrot_compare import read_tsv
+
+    h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
+    h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
+    assert h1 == h2
+    ours = {tuple(r[:6]): tuple(r[6:]) for r in r1}
+    gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
+    bad = {
+        k: (gold.get(k), ours.get(k))
+        for k in set(gold) | set(ours)
+        if gold.get(k) != ours.get(k)
+    }
+    assert not bad, f"seed={seed} summary rows diverge: {dict(list(bad.items())[:8])}"
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_differential_hetero_dates(spark, tmp_path, seed):
     from carrot_transform_spark.pipeline import run_transform

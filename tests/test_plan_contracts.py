@@ -50,6 +50,25 @@ def test_q3_broadcasts_customer(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_maybe_broadcast_honours_disabled_threshold(spark, sf_dir):
+    # autoBroadcastJoinThreshold=-1 is Spark's DISABLE sentinel (sessions
+    # force sort-merge joins that way at scale) — maybe_broadcast must
+    # return the frame un-hinted, not treat it as 'unlimited'
+    from carrot_transform_spark.queries import load, maybe_broadcast
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = load(spark, sf_dir, "nation")
+        hinted = maybe_broadcast(df)
+        assert "UnresolvedHint" not in hinted._jdf.queryExecution().logical().toString()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        hinted2 = maybe_broadcast(df)
+        assert "UnresolvedHint" in hinted2._jdf.queryExecution().logical().toString() or             "ResolvedHint" in hinted2._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_omop_observation_broadcasts_person_map(spark, sf_dir):
     # fresh memo key per sf_dir; the person-map join must be broadcast and
     # nothing in the ETL plan may fall back to a cartesian product

@@ -176,6 +176,18 @@ def test_pnm_crlf_after_maxval():
     assert (decode_pnm(payload) == px).all()
 
 
+def test_pnm_lone_cr_separator_keeps_0x0a_pixel():
+    # spec-valid file: the single separator is '\r' and the FIRST RASTER
+    # BYTE is 0x0A — the CRLF tolerance must not eat the pixel (it only
+    # applies when the strict read would not yield an exact-length raster)
+    import numpy as np
+
+    px = _pattern(2, 2, 1)
+    px[0, 0, 0] = 0x0A
+    payload = b"P5\n2 2\n255\r" + px.tobytes()
+    assert (decode_pnm(payload) == px).all()
+
+
 def test_bmp_indexed_palette_maps_to_rgb():
     # 2x2 8-bit BMP with a non-gray palette: indices must map THROUGH the
     # BGRX color table, not decode as luminance
@@ -280,3 +292,182 @@ def test_resize_images_real_codec_spark(spark):
     expect = resize_nearest(decode_image(payload), 4, 4)
     assert sniff_format(bytes(out["payload"])) == "png"  # same format back
     assert (resized == expect).all()
+
+
+# ------------------------------------------------------------- WAV codec
+
+
+def _wav_mod():
+    from carrot_transform_spark.operators import codecs as C
+
+    return C
+
+
+def test_wav_roundtrip_dtypes():
+    C = _wav_mod()
+    rng = np.random.RandomState(7)
+    for dt, channels in ((np.uint8, 1), (np.int16, 2), (np.int32, 3), (np.float32, 2)):
+        if dt == np.float32:
+            s = rng.randn(120, channels).astype(np.float32)
+        else:
+            info = np.iinfo(dt)
+            s = rng.randint(info.min, info.max, (120, channels)).astype(dt)
+        payload = C.encode_wav(s, 44100)
+        assert C.sniff_format(payload) == "wav"
+        d, sr = C.decode_wav(payload)
+        assert sr == 44100 and d.dtype == dt and (d == s).all()
+
+
+def test_wav_chunk_walk_skips_unknown_and_odd_sizes():
+    C = _wav_mod()
+    s = (np.arange(10, dtype=np.int16) * 100).reshape(-1, 1)
+    base = C.encode_wav(s, 8000)
+    # splice an ODD-sized LIST chunk (with its pad byte) between fmt and data
+    fmt_end = 12 + 8 + 16
+    alien = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"  # 5 odd -> pad
+    payload = base[:fmt_end] + alien + base[fmt_end:]
+    payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+    d, sr = C.decode_wav(payload)
+    assert sr == 8000 and (d == s).all()
+
+
+def test_wav_24bit_sign_extension():
+    C = _wav_mod()
+    vals = [0x000001, 0x7FFFFF, 0x800000, 0xFFFFFF]  # +1, max, min, -1
+    body = b"".join(struct.pack("<I", v)[:3] for v in vals)
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    chunks = b"fmt " + struct.pack("<I", 16) + fmt_body
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    d, sr = C.decode_wav(payload)
+    assert d[:, 0].tolist() == [1, 0x7FFFFF, -0x800000, -1]
+
+
+def test_wav_extensible_header_maps_to_pcm():
+    C = _wav_mod()
+    s = (np.arange(6, dtype=np.int16)).reshape(-1, 2)
+    body = s.astype("<i2").tobytes()
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE) with PCM subformat tag in cbSize area
+    fmt_body = struct.pack("<HHIIHH", 0xFFFE, 2, 16000, 16000 * 4, 4, 16)
+    # cbSize=22, validBits=16, channelMask=3, then the SubFormat GUID whose
+    # first 2 bytes are the real format tag (1 = PCM)
+    fmt_body += struct.pack("<HHI", 22, 16, 3) + struct.pack("<H", 1) + b"\0" * 14
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    d, sr = C.decode_wav(payload)
+    assert sr == 16000 and (d == s).all()
+
+
+# ------------------------------------------------------------- Y4M codec
+
+
+def test_y4m_roundtrip_444_and_mono():
+    C = _wav_mod()
+    fr = _pattern(6, 8, 3)[None].repeat(4, axis=0)
+    fr = (fr + np.arange(4)[:, None, None, None] * 5).astype(np.uint8)
+    payload = C.encode_y4m(fr, fps=(30, 1))
+    assert C.sniff_format(payload) == "y4m"
+    dec, meta = C.decode_y4m(payload)
+    assert meta["fps"] == (30, 1) and meta["subsampling"] == "444"
+    assert (dec == fr).all()
+    mono = fr[:, :, :, :1]
+    dm, mm = C.decode_y4m(C.encode_y4m(mono))
+    assert mm["subsampling"] == "mono" and (dm == mono).all()
+
+
+def test_y4m_420_constant_blocks_exact_and_frame_slicing():
+    C = _wav_mod()
+    rng = np.random.RandomState(3)
+    fr = rng.randint(0, 255, (5, 4, 6, 3), dtype=np.uint8)
+    # make chroma constant over 2x2 blocks so 420 is lossless
+    for ch in (1, 2):
+        half = fr[:, ::2, ::2, ch]
+        fr[:, :, :, ch] = np.repeat(np.repeat(half, 2, axis=1), 2, axis=2)
+    payload = C.encode_y4m(fr, subsampling="420")
+    dec, meta = C.decode_y4m(payload)
+    assert meta["subsampling"] == "420" and (dec == fr).all()
+    assert C.y4m_frame_count(payload) == 5
+    for i in (0, 2, 4):
+        assert (C.decode_y4m_frame(payload, i) == fr[i]).all()
+    with pytest.raises(IndexError):
+        C.decode_y4m_frame(payload, 5)
+
+
+def test_y4m_header_params_and_frame_params_tolerated():
+    C = _wav_mod()
+    y = bytes(range(12)) * 2  # 24 bytes = 6x4 mono
+    payload = (
+        b"YUV4MPEG2 W6 H4 F25:1 Ip A128:117 Cmono XYSCSS=MONO\n"
+        + b"FRAME Xsome=param\n"
+        + y
+    )
+    dec, meta = C.decode_y4m(payload)
+    assert meta["width"] == 6 and meta["height"] == 4
+    assert dec.shape == (1, 4, 6, 1)
+    assert dec[0, :, :, 0].tobytes() == y
+
+
+# ------------------------------------------- audio/video through multimodal
+
+
+def test_real_decode_wav_stats():
+    from carrot_transform_spark.operators.multimodal import real_decode
+
+    C = _wav_mod()
+    s = (np.arange(400, dtype=np.int16)).reshape(-1, 2)
+    d = real_decode(C.encode_wav(s, 22050), "wav")
+    assert d["n_frames"] == 200  # WAV frames = per-channel sample groups
+    assert d["width"] == 2 and d["height"] == 22050
+    assert (d["samples"] == s).all()
+
+
+def test_real_decode_y4m_frame_at():
+    from carrot_transform_spark.operators.multimodal import real_decode
+
+    C = _wav_mod()
+    fr = _pattern(4, 4, 3)[None].repeat(6, axis=0)
+    fr = (fr + np.arange(6)[:, None, None, None] * 3).astype(np.uint8)
+    d = real_decode(C.encode_y4m(fr), "y4m")
+    assert d["n_frames"] == 6 and d["width"] == 4 and d["height"] == 4
+    assert (d["pixels"] == fr[0]).all()
+    one = d["frame_at"](3)
+    dec1, meta1 = C.decode_y4m(one)
+    assert dec1.shape[0] == 1 and (dec1[0] == fr[3]).all()
+
+
+def test_sample_frames_real_codec_spark(spark):
+    from carrot_transform_spark.operators.multimodal import (
+        attach_payload_meta,
+        real_decode,
+        sample_frames,
+    )
+
+    C = _wav_mod()
+    fr = _pattern(4, 6, 3)[None].repeat(7, axis=0)
+    fr = (fr + np.arange(7)[:, None, None, None] * 2).astype(np.uint8)
+    payload = C.encode_y4m(fr, fps=(24, 1))
+    df = spark.createDataFrame([(1, payload)], "id long, raw binary")
+    df = attach_payload_meta(df, "raw", "video", "y4m")
+    out = sample_frames(df, every_n=3, decoder=real_decode).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 3, 6]
+    for r in out:
+        dec, _ = C.decode_y4m(bytes(r["payload"]))
+        assert dec.shape[0] == 1 and (dec[0] == fr[r["frame_idx"]]).all()
+
+
+def test_decode_stats_audio_video_spark(spark):
+    from carrot_transform_spark.operators.multimodal import (
+        attach_payload_meta,
+        decode_stats,
+        real_decode,
+    )
+
+    C = _wav_mod()
+    wav = C.encode_wav((np.arange(600, dtype=np.int16)).reshape(-1, 3), 16000)
+    y4m = C.encode_y4m(_pattern(5, 7, 3)[None].repeat(2, axis=0))
+    df = spark.createDataFrame([(1, wav), (2, y4m)], "id long, raw binary")
+    df = attach_payload_meta(df, "raw", "av", "mixed")
+    got = {r["id"]: r for r in decode_stats(df, decoder=real_decode).collect()}
+    assert got[1]["n_frames"] == 200 and got[1]["width"] == 3
+    assert got[2]["n_frames"] == 2 and (got[2]["width"], got[2]["height"]) == (7, 5)
