@@ -8,9 +8,15 @@ lookup dicts) is converted block-faithfully for non-person targets (one
 ConceptMapping per rule block, keyed on the block's single emission
 trigger — see _merge_v1_block; uniform same-shape blocks fold back into
 multi-value CMs so large generated rule files keep the merged fast paths),
-while person rule-sets merge into one record shape exactly as the
-reference's file~person data dict does (_merge_v1_rule). Person-id and
-date dests register at TableMapping level for every target.
+while person rule-sets partition into process_rules KEY BUCKETS
+(_merge_v1_rule): rule-sets with any dict term merge under '<file>~person',
+scalar-only rule-sets under '<file>~<last-scalar-field>~person' (merging =
+dict.update at value level for dict-kind fields, wholesale replace for
+list-kind ones, mappingrules.py:331-341), and rule-sets with no
+term_mapping at all are dropped before the merge. Record build emits one
+record per consulted bucket (ir.PersonBucket). Person-id and date dests
+register at TableMapping level for every target, with per-bucket presence
+flags for the person table.
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ def main() -> int:
     from tests.test_connector_fuzz import (
         run_csv_source_seed,
         run_jdbc_seed,
+        run_jsonl_seed,
         run_tsv_sink_seed,
     )
 
@@ -34,6 +35,7 @@ def main() -> int:
         ("csv", run_csv_source_seed),
         ("tsv", run_tsv_sink_seed),
         ("jdbc", run_jdbc_seed),
+        ("jsonl", run_jsonl_seed),
     ]
     failures: list[str] = []
     t0 = time.time()

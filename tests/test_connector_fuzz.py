@@ -192,3 +192,31 @@ def test_tsv_sink_fuzz(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", range(3))
 def test_jdbc_fuzz(spark, tmp_path, seed):
     run_jdbc_seed(spark, tmp_path, seed)
+
+
+def run_jsonl_seed(spark, d: Path, seed: int) -> None:
+    """Leg D: JSONL sink -> source round trip (beyond-reference surface, so
+    this is a self-consistency leg, not a reference diff): adversarial
+    strings written through the distributed json writer must come back
+    value-identical through JsonlDirSource (order-free multiset compare —
+    part files don't preserve row order)."""
+    from carrot_transform_spark.sinks.tsv import make_sink
+    from carrot_transform_spark.sources.registry import make_source
+
+    headers, rows, excel = gen_table(seed + 50_000, newlines=True)
+    if excel:  # the Excel trailing-comma quirk is a CSV-only surface
+        headers, rows = headers[:-1], [r[:-1] for r in rows]
+    sink = make_sink(spark, f"jsonl:{d}")
+    sink.write_rows("t", headers, rows, spark=spark)
+    back = make_source(spark, f"jsonl:{d}").read("t")
+    got = sorted(
+        tuple("" if v is None else v for v in r)
+        for r in back.select(*headers).collect()
+    )
+    want = sorted(tuple(r) for r in rows)
+    assert got == want, f"jsonl round trip diverged: {got[:3]} vs {want[:3]}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_jsonl_roundtrip_fuzz(spark, tmp_path, seed):
+    run_jsonl_seed(spark, tmp_path, seed)

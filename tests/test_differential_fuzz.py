@@ -356,6 +356,211 @@ def _gen_case_person_ruleset_redef(seed: int, d: Path) -> tuple[Path, Path]:
     return rules_file, inputs
 
 
+def _gen_case_person_soup(seed: int, d: Path) -> tuple[Path, Path]:
+    """Randomized multi-rule-set v1 person rules: 2-5 rule-sets over three
+    term fields, each drawing per-field kinds (dict / scalar / plain /
+    absent) and per-rule-set pid/dob presence, exercising every bucket
+    interaction the fixed shapes pin individually. Two reference-crash
+    shapes are avoided (they cannot run there): a plain rule on a field
+    dict-mapped earlier in the SAME rule-set (stale-inputvalue KeyError
+    unless values align), and a list-kind redefinition of a field already
+    dict-kind in the SAME bucket (dict.update(list) ValueError)."""
+    rng = random.Random(888_000 + seed)
+    inputs = d / "inputs"
+    inputs.mkdir()
+    pids = [f"p{i:03d}" for i in range(rng.randint(6, 20))]
+    fields = {
+        "sex": ["M", "F", "X", ""],
+        "eth": ["e0", "e1", "zz", ""],
+        "smk": ["s0", "s1", ""],
+    }
+    person_rows = [
+        (
+            p,
+            rng.choice(fields["sex"]),
+            rng.choice(fields["eth"]),
+            rng.choice(fields["smk"]),
+            rng.choice(_DATES),
+        )
+        for p in pids
+    ]
+    for _ in range(rng.randint(0, 3)):
+        p = rng.choice(pids)
+        person_rows.append(
+            (
+                p,
+                rng.choice(fields["sex"]),
+                rng.choice(fields["eth"]),
+                rng.choice(fields["smk"]),
+                rng.choice(_DATES),
+            )
+        )
+    (inputs / "demo.csv").write_text(
+        "pid,sex,eth,smk,dob\n" + "\n".join(",".join(r) for r in person_rows) + "\n"
+    )
+
+    dest_pool = [
+        "gender_concept_id",
+        "gender_source_concept_id",
+        "race_concept_id",
+        "race_source_concept_id",
+        "ethnicity_concept_id",
+        "location_id",
+        "provider_id",
+        "care_site_id",
+    ]
+    plain_pool = [
+        "gender_source_value",
+        "race_source_value",
+        "ethnicity_source_value",
+        "person_source_value",
+    ]
+    # per-bucket simulated field kinds, to avoid the cross-rule-set
+    # dict.update(list) reference crash: bucket key -> {field: kind}
+    bucket_kinds: dict[object, dict[str, str]] = {}
+    cdm_person: dict[str, dict] = {}
+    next_term = [9500]
+
+    def draw_ruleset(i: int) -> dict | None:
+        rs: dict[str, dict] = {}
+        if rng.random() < 0.85:
+            rs["person_id"] = _src("pid")
+        if rng.random() < 0.85:
+            rs["birth_datetime"] = _src("dob")
+        chosen_fields = rng.sample(list(fields), rng.randint(1, 3))
+        kinds = {}
+        for f in chosen_fields:
+            kinds[f] = rng.choice(["dict", "scalar", "plain"])
+        has_dict = "dict" in kinds.values()
+        has_scalar = "scalar" in kinds.values()
+        if has_dict:
+            bkey = None
+        elif has_scalar:
+            bkey = [f for f in chosen_fields if kinds[f] == "scalar"][-1]
+        else:
+            bkey = "dropped"
+        if bkey != "dropped":
+            sim = bucket_kinds.setdefault(bkey, {})
+            for f, k in list(kinds.items()):
+                prior = sim.get(f)
+                if prior == "dict" and k != "dict":
+                    kinds[f] = "dict"  # avoid dict.update(list) crash
+            for f, k in kinds.items():
+                sim[f] = "dict" if (k == "dict" or sim.get(f) == "dict") else "list"
+        # emit rules: plains first (stale-attach shapes avoided), then
+        # scalars, then dicts
+        order = sorted(kinds, key=lambda f: {"plain": 0, "scalar": 1, "dict": 2}[kinds[f]])
+        used_dests: set[str] = set(rs)
+        for f in order:
+            k = kinds[f]
+            if k == "plain":
+                cands = [p for p in plain_pool if p not in used_dests]
+                if not cands:
+                    continue
+                dst = rng.choice(cands)
+                used_dests.add(dst)
+                rs[dst] = _src(f)
+            elif k == "scalar":
+                cands = [p for p in dest_pool if p not in used_dests]
+                if not cands:
+                    continue
+                dst = rng.choice(cands)
+                used_dests.add(dst)
+                next_term[0] += 1
+                rs[dst] = _src(f, mapping=next_term[0])
+            else:
+                vals = rng.sample(
+                    [v for v in fields[f] if v], rng.randint(1, len(fields[f]) - 1)
+                )
+                n_dests = rng.randint(1, 2)
+                cands = [p for p in dest_pool if p not in used_dests]
+                for dst in rng.sample(cands, min(n_dests, len(cands))):
+                    used_dests.add(dst)
+                    next_term[0] += 1
+                    rs[dst] = _src(f, mapping={v: next_term[0] + j for j, v in enumerate(vals)})
+        return rs
+
+    n_sets = rng.randint(2, 5)
+    for i in range(n_sets):
+        cdm_person[f"rs{i}"] = draw_ruleset(i)
+    # guarantee at least one SURVIVING rule-set with pid+dob+a dict term so
+    # the case is runnable (person lookup + main datetime need a source)
+    cdm_person["rs_anchor"] = {
+        "person_id": _src("pid"),
+        "birth_datetime": _src("dob"),
+        "gender_concept_id": _src("sex", mapping={"M": 8507, "F": 8532}),
+    }
+    # anchor merges into the dict bucket LAST; mark its fields dict-kind
+    sim = bucket_kinds.setdefault(None, {})
+    sim["sex"] = "dict"
+
+    # (person rules sourced from a second file are NOT generated: both
+    # engines reject them at validation — reference run.py:101 'Person
+    # properties ... can only come from the person file', mirrored in
+    # rules/validation.py — so the shape is unrunnable by design)
+    cdm = {
+        "person": cdm_person,
+        "observation": {
+            "obs_demo": {
+                "person_id": _src("pid"),
+                "observation_datetime": _src("dob"),
+                "observation_concept_id": _src("smk", mapping={"s0": 9600, "s1": 9601}),
+                "observation_source_concept_id": _src("smk", mapping={"s0": 9600, "s1": 9601}),
+                "observation_source_value": _src("smk"),
+            }
+        },
+    }
+    rules_file = d / "rules.json"
+    rules_file.write_text(
+        json.dumps(
+            {
+                "metadata": {"date_created": "2026-01-01T00:00:00", "dataset": f"soup{seed}"},
+                "cdm": cdm,
+            },
+            indent=1,
+        )
+    )
+    return rules_file, inputs
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_person_soup(spark, tmp_path, seed):
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_case_person_soup(seed, tmp_path)
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    run_reference_mapstream(rules_file, inputs, ref_out, "demo")
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark, rules_file=rules_file, inputs=inputs, output_dir=our_out, person_table="demo"
+    )
+    problems = []
+    for table in ("person", "observation"):
+        problems += compare_table(
+            table,
+            our_out / f"{table}.tsv",
+            ref_out / f"{table}.tsv",
+            our_out / "person_ids.tsv",
+            ref_out / "person_ids.tsv",
+        )
+    assert not problems, f"seed={seed}:\n" + "\n".join(problems[:20])
+
+    from tests.carrot_compare import read_tsv
+
+    h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
+    h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
+    assert h1 == h2
+    ours = {tuple(r[:6]): tuple(r[6:]) for r in r1}
+    gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
+    bad = {
+        k: (gold.get(k), ours.get(k))
+        for k in set(gold) | set(ours)
+        if gold.get(k) != ours.get(k)
+    }
+    assert not bad, f"seed={seed} summary rows diverge: {dict(list(bad.items())[:8])}"
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_differential_person_ruleset_redef(spark, tmp_path, seed):
     from carrot_transform_spark.pipeline import run_transform
