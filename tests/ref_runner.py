@@ -16,7 +16,12 @@ _REF = "/root/reference"
 
 
 def run_reference_mapstream(
-    rules_file, inputs_dir, out_dir, person: str
+    rules_file,
+    inputs_dir,
+    out_dir,
+    person: str,
+    use_input_person_ids: bool = False,
+    last_used_ids_file=None,
 ) -> None:
     for p in (_REF, _SHIMS):
         if p not in sys.path:
@@ -25,18 +30,19 @@ def run_reference_mapstream(
 
     from carrottransform.cli.subcommands.run import mapstream
 
-    result = CliRunner().invoke(
-        mapstream,
-        [
-            "--rules-file",
-            str(rules_file),
-            "--inputs",
-            str(inputs_dir),
-            "--output",
-            str(out_dir),
-            "--person",
-            person,
-        ],
-        catch_exceptions=False,
-    )
+    args = [
+        "--rules-file",
+        str(rules_file),
+        "--inputs",
+        str(inputs_dir),
+        "--output",
+        str(out_dir),
+        "--person",
+        person,
+    ]
+    if use_input_person_ids:
+        args += ["--use-input-person-ids", "Y"]
+    if last_used_ids_file is not None:
+        args += ["--last-used-ids-file", str(last_used_ids_file)]
+    result = CliRunner().invoke(mapstream, args, catch_exceptions=False)
     assert result.exit_code == 0, f"reference mapstream failed:\n{result.output}"

@@ -677,3 +677,78 @@ def test_differential_case(spark, tmp_path, seed):
     gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
     bad = {k: (gold.get(k), ours.get(k)) for k in set(gold) | set(ours) if gold.get(k) != ours.get(k)}
     assert not bad, f"seed={seed} summary rows diverge: {dict(list(bad.items())[:8])}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_differential_use_input_person_ids(spark, tmp_path, seed):
+    """--use-input-person-ids Y: person ids pass through un-renumbered
+    (person_helpers.read_person_ids:141-149) — the whole W2 surface with
+    the anonymisation join made an identity map."""
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_case(seed, tmp_path)
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    run_reference_mapstream(rules_file, inputs, ref_out, "demo", use_input_person_ids=True)
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark,
+        rules_file=rules_file,
+        inputs=inputs,
+        output_dir=our_out,
+        person_table="demo",
+        use_input_person_ids=True,
+    )
+    problems = []
+    for table in _TABLES:
+        problems += compare_table(
+            table,
+            our_out / f"{table}.tsv",
+            ref_out / f"{table}.tsv",
+            our_out / "person_ids.tsv",
+            ref_out / "person_ids.tsv",
+        )
+    assert not problems, f"seed={seed}:\n" + "\n".join(problems[:20])
+
+    from tests.carrot_compare import read_tsv
+
+    h1, r1 = read_tsv(our_out / "person_ids.tsv")
+    h2, r2 = read_tsv(ref_out / "person_ids.tsv")
+    assert h1 == h2 and sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_differential_last_used_ids(spark, tmp_path, seed):
+    """--last-used-ids-file: auto-number ids continue from per-table
+    offsets (person_helpers.load_last_used_ids stores last+1 as the next
+    id). Compared EXACTLY — ids are part of the byte surface here, so the
+    diff sorts raw rows instead of unmapping through person_ids."""
+    from carrot_transform_spark.cli import _load_last_used_ids
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_case(seed, tmp_path)
+    offsets = tmp_path / "last_used.tsv"
+    offsets.write_text("observation\t5000\ncondition_occurrence\t770\n")
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    run_reference_mapstream(
+        rules_file, inputs, ref_out, "demo", last_used_ids_file=offsets
+    )
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark,
+        rules_file=rules_file,
+        inputs=inputs,
+        output_dir=our_out,
+        person_table="demo",
+        last_used_ids=_load_last_used_ids(str(offsets)),
+    )
+    from tests.carrot_compare import read_tsv
+
+    for table in _TABLES:
+        h1, r1 = read_tsv(our_out / f"{table}.tsv")
+        h2, r2 = read_tsv(ref_out / f"{table}.tsv")
+        assert h1 == h2, table
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2)), (
+            f"seed={seed} {table}: id-bearing rows diverge"
+        )
