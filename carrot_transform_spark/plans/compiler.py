@@ -1464,14 +1464,23 @@ class CarrotPlanner:
             def bucket_common(b) -> dict[str, Column]:
                 # common holds ONLY person-id + date writes; a bucket whose
                 # rule-sets never mapped them leaves the defaults (blank pid
-                # record is later rejected at the person lookup)
+                # record is later rejected at the person lookup). The pid
+                # VALUE comes from the bucket's own last-inserted pid source
+                # field (two rule-sets in one bucket may map person_id from
+                # different columns; the last data-dict entry wins the write)
                 out: dict[str, Column] = {}
                 for k, v in common.items():
-                    if k == pid_key:
-                        if b.maps_person_id:
-                            out[k] = v
-                    elif b.maps_date:
+                    if k != pid_key and b.maps_date:
                         out[k] = v
+                if pid_key is not None and pid_key in schema.columns and b.maps_person_id:
+                    src_f = (
+                        b.pid_fields[-1]
+                        if b.pid_fields
+                        else tm.person_id_mapping.source_field
+                    )
+                    cell = _try_resolve(df, src_f)
+                    if cell is not None:
+                        out[pid_key] = cell
                 return out
 
             recs = [

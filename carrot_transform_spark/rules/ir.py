@@ -97,6 +97,11 @@ class PersonBucket:
     # handling for fields present in the bucket's own data)
     maps_person_id: bool = False
     maps_date: bool = False
+    # the bucket's person-id SOURCE fields in data-dict insertion order —
+    # the LAST one wins the person_id write (each data[field] entry writes
+    # the dest in iteration order; re-mapping an existing field keeps its
+    # original dict position, so insertion order is the write order)
+    pid_fields: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -114,6 +119,13 @@ class TableMapping:
     # creation order, per-bucket field insertion order) — the datacol
     # enumeration the reference derives in _get_infile_data_fields_v1
     v1_person_buckets: list[PersonBucket] | None = None
+    # v1 person ONLY: the LOOKUP-side (dob, pid) source fields. The
+    # reference's _get_person_source_field_info_v1 scans the RAW rules —
+    # including term-less rule-sets that parse_rules_src_to_tgt drops —
+    # last-wins on the literal dest names 'birth_datetime'/'person_id', so
+    # a dropped rule-set can steer which columns read_person_ids keys the
+    # person map on, independently of what the records write
+    person_lookup_sources: tuple[str | None, str | None] | None = None
 
 
 @dataclass
@@ -148,9 +160,14 @@ class RuleSet:
 
     def person_source_info(self, person_target: str = "person") -> tuple[str, str]:
         """(birth_datetime_source_field, person_id_source_field) for the person
-        table rules — reference mappingrules.get_person_source_field_info."""
+        table rules — reference mappingrules.get_person_source_field_info.
+        v1: the raw-rules scan recorded at parse time (includes dropped
+        term-less rule-sets, last-wins); v2: the parsed mappings."""
         per = self.mappings.get(person_target, {})
         for tm in per.values():
+            if tm.person_lookup_sources is not None:
+                date_src, pid_src = tm.person_lookup_sources
+                return date_src or "", pid_src or ""
             date_src = tm.date_mapping.source_field if tm.date_mapping else ""
             pid_src = tm.person_id_mapping.source_field if tm.person_id_mapping else ""
             return date_src, pid_src

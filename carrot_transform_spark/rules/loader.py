@@ -129,6 +129,20 @@ def _parse_v1(data: dict, omop: OmopSchemas) -> dict[str, dict[str, TableMapping
                     # key per block; get_target_records emits one record per
                     # registered block data)
                     _merge_v1_block(tm, rule, src, person_col, dt_fields, d_fields)
+        if target == "person":
+            # LOOKUP-side sources: the reference scans the RAW rules —
+            # term-less (dropped) rule-sets included — last-wins on the
+            # literal 'birth_datetime'/'person_id' dest names
+            # (_get_person_source_field_info_v1, mappingrules.py:293-310)
+            raw_dob: str | None = None
+            raw_pid: str | None = None
+            for rule in rules_set.values():
+                if "birth_datetime" in rule:
+                    raw_dob = rule["birth_datetime"]["source_field"]
+                if "person_id" in rule:
+                    raw_pid = rule["person_id"]["source_field"]
+            for tm in per_source.values():
+                tm.person_lookup_sources = (raw_dob, raw_pid)
         out[target] = per_source
     return out
 
@@ -339,6 +353,7 @@ def _merge_v1_rule(
     stale_value: str | None = None
     rs_maps_pid = False
     rs_maps_date = False
+    rs_pid_field: str | None = None
     for dest_field, si in rule.items():
         if si["source_table"] != src:
             continue
@@ -347,6 +362,7 @@ def _merge_v1_rule(
         if dest_field == person_col and term is None:
             tm.person_id_mapping = PersonIdMapping(source_field=source_field, dest_field=dest_field)
             rs_maps_pid = True
+            rs_pid_field = source_field
         elif term is None and (dest_field in dt_fields or dest_field in d_fields):
             rs_maps_date = True
             if tm.date_mapping is None:
@@ -413,6 +429,8 @@ def _merge_v1_rule(
         tm.v1_person_buckets.append(bucket)
     bucket.maps_person_id = bucket.maps_person_id or rs_maps_pid
     bucket.maps_date = bucket.maps_date or rs_maps_date
+    if rs_pid_field is not None and rs_pid_field not in bucket.pid_fields:
+        bucket.pid_fields.append(rs_pid_field)
     for source_field, st in rs.items():
         cm = bucket.concept_mappings.setdefault(
             source_field, ConceptMapping(source_field=source_field)

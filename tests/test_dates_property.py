@@ -35,7 +35,10 @@ def model_normalise(item: str) -> str | None:
             return None
         d, mo, y = m.group(1), m.group(2), m.group(3)
     value = f"{int(y):04d}-{int(mo):02d}-{int(d):02d} "
-    if len(both) >= 2:
+    # the reference parses the time token ONLY for exactly-two-element
+    # splits (date_helpers.py:57 'if 2 == len(both)'); a third token
+    # forfeits the time entirely
+    if len(both) == 2:
         t = _TIME.match(both[1])
         if t and t.group(1) is not None:
             sec = t.group(4) if t.group(4) is not None else "0"

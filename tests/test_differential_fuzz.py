@@ -33,6 +33,7 @@ _DATES = [
     "31/11/2000",  # invalid day for month
     "2001-02-30",  # invalid
     "1990-1-2",
+    "1993-05-06 07:08:09 tz",  # 3 tokens: time is FORFEITED (2==len split)
 ]
 _SEXES = ["M", "F", "X", ""]
 _CODES = ["v0", "v1", "v2", "v3", "zz", ""]
@@ -395,8 +396,14 @@ def _gen_case_person_soup(seed: int, d: Path) -> tuple[Path, Path]:
                 rng.choice(_DATES),
             )
         )
+    # a second id column: rule-sets may draw their person_id source from
+    # either (lookup = raw last-wins incl. dropped; records = per-bucket)
+    person_rows = [
+        r[:1] + (rng.choice([r[0], f"q{i:03d}", ""]),) + r[1:]
+        for i, r in enumerate(person_rows)
+    ]
     (inputs / "demo.csv").write_text(
-        "pid,sex,eth,smk,dob\n" + "\n".join(",".join(r) for r in person_rows) + "\n"
+        "pid,pid2,sex,eth,smk,dob\n" + "\n".join(",".join(r) for r in person_rows) + "\n"
     )
 
     dest_pool = [
@@ -424,7 +431,7 @@ def _gen_case_person_soup(seed: int, d: Path) -> tuple[Path, Path]:
     def draw_ruleset(i: int) -> dict | None:
         rs: dict[str, dict] = {}
         if rng.random() < 0.85:
-            rs["person_id"] = _src("pid")
+            rs["person_id"] = _src("pid" if rng.random() < 0.75 else "pid2")
         if rng.random() < 0.85:
             rs["birth_datetime"] = _src("dob")
         chosen_fields = rng.sample(list(fields), rng.randint(1, 3))
@@ -752,3 +759,101 @@ def test_differential_last_used_ids(spark, tmp_path, seed):
         assert sorted(map(tuple, r1)) == sorted(map(tuple, r2)), (
             f"seed={seed} {table}: id-bearing rows diverge"
         )
+
+
+def _gen_case_pid_sources(seed: int, d: Path) -> tuple[Path, Path]:
+    """v1 person rules where person_id comes from DIFFERENT source columns:
+    the LOOKUP side scans the raw rules last-wins — a term-less (dropped)
+    rule-set still steers which column read_person_ids keys the person map
+    on (_get_person_source_field_info_v1) — while each bucket's records
+    write person_id from the bucket's own last-inserted pid field."""
+    rng = random.Random(999_000 + seed)
+    inputs = d / "inputs"
+    inputs.mkdir()
+    pids = [f"p{i:03d}" for i in range(rng.randint(6, 14))]
+    alt = [f"q{i:03d}" for i in range(len(pids))]
+    rows = []
+    for i, p in enumerate(pids):
+        # pid2 overlaps pid's value space on some rows, is blank on others
+        p2 = rng.choice([alt[i], rng.choice(pids), ""])
+        rows.append((p, p2, rng.choice(_SEXES), rng.choice(_DATES)))
+    (inputs / "demo.csv").write_text(
+        "pid,pid2,sex,dob\n" + "\n".join(",".join(r) for r in rows) + "\n"
+    )
+
+    base = {"person_id": _src("pid"), "birth_datetime": _src("dob")}
+    if seed % 2 == 0:
+        # shape A: the pid2 rule-set is term-less -> DROPPED from the
+        # record build, but last-wins for the lookup sources
+        cdm_person = {
+            "rs0": dict(
+                base, gender_concept_id=_src("sex", mapping={"M": 8507, "F": 8532})
+            ),
+            "rs_dropped": {
+                "person_id": _src("pid2"),
+                "birth_datetime": _src("dob"),
+                "gender_source_value": _src("sex"),
+            },
+        }
+    else:
+        # shape B: two KEPT rule-sets in different buckets with different
+        # pid sources — the dict bucket's record carries pid, the scalar
+        # bucket's record carries pid2; lookup keys on pid2 (raw last-wins)
+        cdm_person = {
+            "rs0": dict(
+                base, gender_concept_id=_src("sex", mapping={"M": 8507, "F": 8532})
+            ),
+            "rs1": {
+                "person_id": _src("pid2"),
+                "birth_datetime": _src("dob"),
+                "gender_source_concept_id": _src("sex", mapping=8599),
+            },
+        }
+    rules_file = d / "rules.json"
+    rules_file.write_text(
+        json.dumps(
+            {
+                "metadata": {"date_created": "2026-01-01T00:00:00", "dataset": f"pid{seed}"},
+                "cdm": {"person": cdm_person},
+            },
+            indent=1,
+        )
+    )
+    return rules_file, inputs
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_pid_sources(spark, tmp_path, seed):
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_case_pid_sources(seed, tmp_path)
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    run_reference_mapstream(rules_file, inputs, ref_out, "demo")
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark, rules_file=rules_file, inputs=inputs, output_dir=our_out, person_table="demo"
+    )
+    from tests.carrot_compare import read_tsv
+
+    # person ids are part of the surface here — compare BOTH files exactly
+    for table in ("person_ids", "person"):
+        h1, r1 = read_tsv(our_out / f"{table}.tsv")
+        h2, r2 = read_tsv(ref_out / f"{table}.tsv")
+        assert h1 == h2, table
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2)), (
+            f"seed={seed} {table} diverges:\nours={sorted(map(tuple, r1))[:6]}\n"
+            f"gold={sorted(map(tuple, r2))[:6]}"
+        )
+
+    h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
+    h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
+    assert h1 == h2
+    ours = {tuple(r[:6]): tuple(r[6:]) for r in r1}
+    gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
+    bad = {
+        k: (gold.get(k), ours.get(k))
+        for k in set(gold) | set(ours)
+        if gold.get(k) != ours.get(k)
+    }
+    assert not bad, f"seed={seed} summary rows diverge: {dict(list(bad.items())[:8])}"
