@@ -140,10 +140,12 @@ class CarrotPlanner:
         record_builder.apply_date_mappings and core.py read each block's own
         column from the mutated row).
 
-        v1 caveat: within one (target, source) the IR folds all blocks into
-        a single date mapping, so per-BLOCK date-field heterogeneity is not
-        representable — real Carrot-Mapper exports use one date column per
-        file, and the cross-target last-wins order is what this replicates.
+        v1 within-target order: the scan walks outdata entries (person
+        buckets / non-person blocks) in creation order, fields in data-dict
+        insertion order — recorded at parse time as
+        TableMapping.v1_date_sources, whose LAST element is the target's
+        contribution (a single-source target reduces to
+        date_mapping.source_field).
         """
         hit = self._main_fields_memo.get(src_file)
         if hit is not None:
@@ -154,7 +156,9 @@ class CarrotPlanner:
             tm = per_source.get(src_file)
             if tm is None:
                 continue
-            if tm.date_mapping:
+            if tm.v1_date_sources:
+                dt = tm.v1_date_sources[-1]
+            elif tm.date_mapping:
                 dt = tm.date_mapping.source_field
             if tm.person_id_mapping:
                 pid = tm.person_id_mapping.source_field
@@ -549,15 +553,32 @@ class CarrotPlanner:
         # source_date.split(" ")[0]); a secondary column missing from the
         # header writes no dates and can never strict-reject
         # (record_builder.py:74-79 returns True)
-        if raw_date_field is not None:
-            raw_cell = _try_resolve(raw, raw_date_field)
-            strict_ok_col = (
-                strict_date(F.substring_index(raw_cell, " ", 1)).isNotNull()
-                if raw_cell is not None
-                else F.lit(True)
-            )
-        else:
-            strict_ok_col = strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
+        def _strict_for(source_f: str | None) -> Column:
+            # per-source strict component check: the MAIN column was
+            # normalised in place (__ct_norm); any other source is checked
+            # on its RAW cell split at the first space; a source missing
+            # from the header writes no dates and can never strict-reject
+            if source_f is None or source_f == date_field:
+                return strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
+            c = _try_resolve(raw, source_f)
+            if c is None:
+                return F.lit(True)
+            return strict_date(F.substring_index(c, " ", 1)).isNotNull()
+
+        strict_ok_col = _strict_for(raw_date_field)
+
+        def _bucket_date_fields(b) -> list:
+            return list(b.date_fields) if b.date_fields else [raw_date_field]
+
+        def _bucket_strict(b) -> Column:
+            # EVERY date entry in the bucket's data runs the component
+            # check (core.py iterates all of them; valid_data_elem goes
+            # False on any failure) — only the WRITE is last-field-wins
+            cond = None
+            for f in _bucket_date_fields(b):
+                c = _strict_for(f)
+                cond = c if cond is None else (cond & c)
+            return cond if cond is not None else F.lit(True)
 
         # ---- metrics: ONE aggregation job per (file, target) computing all
         # row/blank/date counters (was: one .count() job per counter) -------
@@ -624,20 +645,28 @@ class CarrotPlanner:
                 by_field: dict[str, list] = {}
                 for cm_ in tm.concept_mappings.values():
                     by_field.setdefault(cm_.source_field, []).append(cm_)
-                datebad_mult = 1
+                # v1 person: one increment per consulted BUCKET whose data
+                # maps a date dest, each against ITS OWN date source's
+                # strict check (every bucket's record runs core.py's date
+                # handling on the bucket's own column)
+                bucket_stricts: list[Column] | None = None
                 if is_person and self.rules.dialect == "v1":
-                    # v1 person: record build runs for the FIRST datacol only
-                    # (run.py breaks after person) and proceeds for ANY valid
-                    # value — unmatched terms still reach the component-date
-                    # check (core.py:76-95), so the count has no
-                    # concept-match gate. It increments once per consulted
-                    # BUCKET whose data maps a date dest (each bucket's
-                    # record runs its own core.py date handling)
+                    # record build runs for the FIRST datacol only (run.py
+                    # breaks after person) and proceeds for ANY valid value
+                    # — unmatched terms still reach the component-date check
+                    # (core.py:76-95), so the count has no concept-match gate
                     by_field = dict(list(by_field.items())[:1])
                     chosen_m = _v1_chosen_buckets(tm)
                     if chosen_m is not None:
-                        datebad_mult = sum(1 for b in chosen_m if b.maps_date)
-                        if datebad_mult == 0:
+                        # one increment per FAILING date field per record
+                        # (the check loop has no break)
+                        bucket_stricts = [
+                            _strict_for(f)
+                            for b in chosen_m
+                            if b.maps_date
+                            for f in _bucket_date_fields(b)
+                        ]
+                        if not bucket_stricts:
                             by_field = {}
                 for fname, cms in by_field.items():
                     cell = _try_resolve(raw, fname)
@@ -649,17 +678,15 @@ class CarrotPlanner:
                         match = _concept_match(cell, cms[0])
                         for cm_ in cms[1:]:
                             match = match | _concept_match(cell, cm_)
+                    base_gate = F.coalesce(valid_value(cell), F.lit(False)) & match
+                    stricts = bucket_stricts if bucket_stricts is not None else [strict_ok]
+                    expr = None
+                    for sc in stricts:
+                        piece = F.when(norm_ok & ~sc & base_gate, 1).otherwise(0)
+                        expr = piece if expr is None else expr + piece
                     datebad_keys.append(fname)
                     aggs.append(
-                        F.sum(
-                            F.when(
-                                norm_ok
-                                & ~strict_ok
-                                & F.coalesce(valid_value(cell), F.lit(False))
-                                & match,
-                                datebad_mult,
-                            ).otherwise(0)
-                        ).alias(f"__m{seq}_datebad_{len(datebad_keys) - 1}")
+                        F.sum(expr).alias(f"__m{seq}_datebad_{len(datebad_keys) - 1}")
                     )
 
             def resolve(
@@ -778,15 +805,20 @@ class CarrotPlanner:
             )
             if chosen_f is None:
                 exploded = exploded.filter(strict_ok_col)
-            else:
-                gated = [i for i, b in enumerate(chosen_f) if b.maps_date]
-                if len(gated) == len(chosen_f):
-                    exploded = exploded.filter(strict_ok_col)
-                elif gated:
-                    exploded = exploded.filter(
-                        strict_ok_col
-                        | ~F.col(f"__ct_rec.{COMBO_COL}").isin(gated)
-                    )
+            elif chosen_f:
+                srcs = {
+                    f for b in chosen_f if b.maps_date for f in _bucket_date_fields(b)
+                }
+                if len(srcs) == 1 and all(b.maps_date for b in chosen_f):
+                    # every record gated on the same source: one flat filter
+                    exploded = exploded.filter(_strict_for(next(iter(srcs))))
+                elif srcs:
+                    combo = F.col(f"__ct_rec.{COMBO_COL}")
+                    gate = F.lit(False)
+                    for i, b in enumerate(chosen_f):
+                        g = _bucket_strict(b) if b.maps_date else F.lit(True)
+                        gate = gate | ((combo == i) & g)
+                    exploded = exploded.filter(gate)
 
         cols = [F.col(f"__ct_rec.{c}").alias(c) for c in schema.columns]
         meta = [
@@ -1460,18 +1492,37 @@ class CarrotPlanner:
             pid_key = (
                 tm.person_id_mapping.dest_field if tm.person_id_mapping else None
             )
+            main_dt, _ = self._file_main_fields(tm.source_table)
 
             def bucket_common(b) -> dict[str, Column]:
                 # common holds ONLY person-id + date writes; a bucket whose
                 # rule-sets never mapped them leaves the defaults (blank pid
-                # record is later rejected at the person lookup). The pid
-                # VALUE comes from the bucket's own last-inserted pid source
-                # field (two rule-sets in one bucket may map person_id from
-                # different columns; the last data-dict entry wins the write)
+                # record is later rejected at the person lookup). Both the
+                # pid and date VALUES come from the bucket's own
+                # last-inserted source fields (two rule-sets in one bucket
+                # may map them from different columns; the last data-dict
+                # entry wins the write) — the date normalised in place only
+                # when the bucket's source IS the file's main datetime column
                 out: dict[str, Column] = {}
-                for k, v in common.items():
-                    if k != pid_key and b.maps_date:
-                        out[k] = v
+                if b.maps_date and tm.date_mapping is not None:
+                    if b.date_fields and b.date_fields[-1] != tm.date_mapping.source_field:
+                        import dataclasses
+
+                        f = b.date_fields[-1]
+                        b_tm = dataclasses.replace(
+                            tm,
+                            date_mapping=dataclasses.replace(
+                                tm.date_mapping, source_field=f
+                            ),
+                        )
+                        dates = self._common_column_values(
+                            df, b_tm, schema, None if f == main_dt else f
+                        )
+                    else:
+                        dates = common
+                    for k, v in dates.items():
+                        if k != pid_key:
+                            out[k] = v
                 if pid_key is not None and pid_key in schema.columns and b.maps_person_id:
                     src_f = (
                         b.pid_fields[-1]

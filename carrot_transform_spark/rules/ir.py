@@ -102,6 +102,11 @@ class PersonBucket:
     # the dest in iteration order; re-mapping an existing field keeps its
     # original dict position, so insertion order is the write order)
     pid_fields: list[str] = field(default_factory=list)
+    # same for date SOURCE fields: the bucket's record writes its date
+    # dests from date_fields[-1] — normalised in place when that column is
+    # the file's MAIN datetime column, RAW otherwise (run.py:230-235
+    # mutates only the main column; core.py reads srcdata[infield])
+    date_fields: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -126,6 +131,12 @@ class TableMapping:
     # a dropped rule-set can steer which columns read_person_ids keys the
     # person map on, independently of what the records write
     person_lookup_sources: tuple[str | None, str | None] | None = None
+    # v1 ONLY: every date SOURCE field in outdata scan order (bucket/block
+    # creation order, per-entry field insertion order, duplicates kept,
+    # DROPPED term-less entries excluded). The file's MAIN datetime column
+    # is the LAST element across the file's targets — the reference's
+    # _get_infile_date_person_id_v1 last-wins scan
+    v1_date_sources: list[str] | None = None
 
 
 @dataclass

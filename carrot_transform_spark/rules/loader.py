@@ -182,6 +182,7 @@ def _merge_v1_block(
     (ConceptMapping.source_field keeps the real column; the compiler
     resolves columns from it, never from the key)."""
     date_dests_in_rule: list[str] = []
+    date_srcs_in_rule: list[str] = []  # date SOURCE fields, first-touch order
     trigger_field: str | None = None
     trigger_value: str | None = None  # None => wildcard trigger
     scalar_trigger: str | None = None
@@ -206,6 +207,8 @@ def _merge_v1_block(
             if dest_field not in tm.date_mapping.dest_fields:
                 tm.date_mapping.dest_fields.append(dest_field)
             date_dests_in_rule.append(dest_field)
+            if source_field not in date_srcs_in_rule:
+                date_srcs_in_rule.append(source_field)
         elif term is not None and isinstance(term, dict):
             if not term:
                 continue
@@ -231,6 +234,12 @@ def _merge_v1_block(
         trigger_value = None
     if trigger_field is None:
         return  # no term mapping anywhere: empty key, block emits nothing
+    # this block SURVIVES into outdata: its date sources join the main-
+    # datetime scan sequence (dropped blocks above contribute nothing there)
+    if date_srcs_in_rule:
+        if tm.v1_date_sources is None:
+            tm.v1_date_sources = []
+        tm.v1_date_sources.extend(date_srcs_in_rule)
     if trigger_value is not None:
         # the trigger field's dict may not be the LAST dict field iterated;
         # the key still uses the last dict field's last value
@@ -354,6 +363,7 @@ def _merge_v1_rule(
     rs_maps_pid = False
     rs_maps_date = False
     rs_pid_field: str | None = None
+    rs_date_fields: list[str] = []  # date SOURCE fields, first-touch order
     for dest_field, si in rule.items():
         if si["source_table"] != src:
             continue
@@ -365,6 +375,8 @@ def _merge_v1_rule(
             rs_pid_field = source_field
         elif term is None and (dest_field in dt_fields or dest_field in d_fields):
             rs_maps_date = True
+            if source_field not in rs_date_fields:
+                rs_date_fields.append(source_field)
             if tm.date_mapping is None:
                 tm.date_mapping = DateMapping(
                     source_field=source_field, dest_fields=[], companion_dests=[]
@@ -431,6 +443,9 @@ def _merge_v1_rule(
     bucket.maps_date = bucket.maps_date or rs_maps_date
     if rs_pid_field is not None and rs_pid_field not in bucket.pid_fields:
         bucket.pid_fields.append(rs_pid_field)
+    for f in rs_date_fields:
+        if f not in bucket.date_fields:
+            bucket.date_fields.append(f)
     for source_field, st in rs.items():
         cm = bucket.concept_mappings.setdefault(
             source_field, ConceptMapping(source_field=source_field)
@@ -477,6 +492,10 @@ def _merge_v1_rule(
         for fname, bcm in b.concept_mappings.items():
             union.setdefault(fname, bcm)
     tm.concept_mappings = union
+    # outdata date-source scan sequence (duplicates kept): the LAST element
+    # is what _get_infile_date_person_id_v1 leaves as this target's
+    # contribution to the file's main datetime column
+    tm.v1_date_sources = [f for b in tm.v1_person_buckets for f in b.date_fields]
     if date_dests_in_rule and tm.date_mapping is not None:
         last = date_dests_in_rule[-1]
         assert tm.date_mapping.companion_dests is not None

@@ -396,14 +396,20 @@ def _gen_case_person_soup(seed: int, d: Path) -> tuple[Path, Path]:
                 rng.choice(_DATES),
             )
         )
-    # a second id column: rule-sets may draw their person_id source from
-    # either (lookup = raw last-wins incl. dropped; records = per-bucket)
+    # second id and date columns: rule-sets may draw person_id/date sources
+    # from either (lookup = raw last-wins incl. dropped; main datetime =
+    # outdata scan last-wins; records/gates = per-bucket)
     person_rows = [
-        r[:1] + (rng.choice([r[0], f"q{i:03d}", ""]),) + r[1:]
+        r[:1]
+        + (rng.choice([r[0], f"q{i:03d}", ""]),)
+        + r[1:]
+        + (rng.choice(_DATES),)
         for i, r in enumerate(person_rows)
     ]
     (inputs / "demo.csv").write_text(
-        "pid,pid2,sex,eth,smk,dob\n" + "\n".join(",".join(r) for r in person_rows) + "\n"
+        "pid,pid2,sex,eth,smk,dob,dob2\n"
+        + "\n".join(",".join(r) for r in person_rows)
+        + "\n"
     )
 
     dest_pool = [
@@ -433,7 +439,7 @@ def _gen_case_person_soup(seed: int, d: Path) -> tuple[Path, Path]:
         if rng.random() < 0.85:
             rs["person_id"] = _src("pid" if rng.random() < 0.75 else "pid2")
         if rng.random() < 0.85:
-            rs["birth_datetime"] = _src("dob")
+            rs["birth_datetime"] = _src("dob" if rng.random() < 0.75 else "dob2")
         chosen_fields = rng.sample(list(fields), rng.randint(1, 3))
         kinds = {}
         for f in chosen_fields:
@@ -838,6 +844,129 @@ def test_differential_pid_sources(spark, tmp_path, seed):
 
     # person ids are part of the surface here — compare BOTH files exactly
     for table in ("person_ids", "person"):
+        h1, r1 = read_tsv(our_out / f"{table}.tsv")
+        h2, r2 = read_tsv(ref_out / f"{table}.tsv")
+        assert h1 == h2, table
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2)), (
+            f"seed={seed} {table} diverges:\nours={sorted(map(tuple, r1))[:6]}\n"
+            f"gold={sorted(map(tuple, r2))[:6]}"
+        )
+
+    h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
+    h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
+    assert h1 == h2
+    ours = {tuple(r[:6]): tuple(r[6:]) for r in r1}
+    gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
+    bad = {
+        k: (gold.get(k), ours.get(k))
+        for k in set(gold) | set(ours)
+        if gold.get(k) != ours.get(k)
+    }
+    assert not bad, f"seed={seed} summary rows diverge: {dict(list(bad.items())[:8])}"
+
+
+def _gen_case_date_sources(seed: int, d: Path) -> tuple[Path, Path]:
+    """v1 person rules where buckets read DIFFERENT date columns: the file's
+    MAIN datetime column is the LAST date source in outdata scan order
+    (buckets/blocks in creation order, dropped rule-sets excluded); each
+    bucket's record writes dates from ITS OWN last date field — normalised
+    in place when that is the main column, RAW otherwise — and each record
+    is strict-gated on its own source. The lookup dob comes from the
+    raw-rules scan (dropped rule-sets included)."""
+    rng = random.Random(444_000 + seed)
+    inputs = d / "inputs"
+    inputs.mkdir()
+    pids = [f"p{i:03d}" for i in range(rng.randint(6, 14))]
+    rows = [
+        (p, rng.choice(_SEXES), rng.choice(_DATES), rng.choice(_DATES))
+        for p in pids
+    ]
+    (inputs / "demo.csv").write_text(
+        "pid,sex,dob1,dob2\n" + "\n".join(",".join(r) for r in rows) + "\n"
+    )
+
+    def rs(date_field, kind, concept_dest="gender_concept_id"):
+        out = {"person_id": _src("pid")}
+        if date_field:
+            out["birth_datetime"] = _src(date_field)
+        if kind == "dict":
+            out[concept_dest] = _src("sex", mapping={"M": 8507, "F": 8532})
+        elif kind == "scalar":
+            out[concept_dest] = _src("sex", mapping=8599)
+        else:  # termless -> dropped
+            out["gender_source_value"] = _src("sex")
+        return out
+
+    shape = seed % 4
+    if shape == 0:
+        # dict bucket on dob1, scalar bucket on dob2 -> main = dob2; the
+        # dict record carries RAW dob1 + its own strict gate
+        cdm_person = {
+            "rs0": rs("dob1", "dict"),
+            "rs1": rs("dob2", "scalar", "gender_source_concept_id"),
+        }
+    elif shape == 1:
+        # reversed creation order -> main = dob1; scalar record RAW dob2
+        cdm_person = {
+            "rs0": rs("dob2", "scalar", "gender_source_concept_id"),
+            "rs1": rs("dob1", "dict"),
+        }
+    elif shape == 2:
+        # two rule-sets in the SAME dict bucket: record date = the LAST
+        # inserted date field (dob2), which is also the main column
+        cdm_person = {
+            "rs0": rs("dob1", "dict"),
+            "rs1": rs("dob2", "dict", "gender_source_concept_id"),
+        }
+    else:
+        # dropped rule-set steers the LOOKUP dob to dob2 while main/record
+        # dates stay dob1
+        cdm_person = {
+            "rs0": rs("dob1", "dict"),
+            "rs_dropped": rs("dob2", "none"),
+        }
+    cdm = {"person": cdm_person}
+    if seed % 2 == 1:
+        # a LATER target reading dob2 takes over the main column
+        # (cross-target last-wins) on top of the bucket shapes
+        cdm["observation"] = {
+            "obs0": {
+                "person_id": _src("pid"),
+                "observation_datetime": _src("dob2"),
+                "observation_concept_id": _src("sex", mapping={"X": 9200}),
+                "observation_source_value": _src("sex"),
+            }
+        }
+    rules_file = d / "rules.json"
+    rules_file.write_text(
+        json.dumps(
+            {
+                "metadata": {"date_created": "2026-01-01T00:00:00", "dataset": f"ds{seed}"},
+                "cdm": cdm,
+            },
+            indent=1,
+        )
+    )
+    return rules_file, inputs
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_date_sources(spark, tmp_path, seed):
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_case_date_sources(seed, tmp_path)
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    run_reference_mapstream(rules_file, inputs, ref_out, "demo")
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark, rules_file=rules_file, inputs=inputs, output_dir=our_out, person_table="demo"
+    )
+    from tests.carrot_compare import read_tsv
+
+    for table in ("person_ids", "person", "observation"):
+        if not (ref_out / f"{table}.tsv").exists():
+            continue
         h1, r1 = read_tsv(our_out / f"{table}.tsv")
         h2, r2 = read_tsv(ref_out / f"{table}.tsv")
         assert h1 == h2, table
