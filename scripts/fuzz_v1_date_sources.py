@@ -1,7 +1,7 @@
-"""v1 person pid-source fuzz marathon: N seeds of
-tests/test_differential_fuzz._gen_case_date_sources (dropped-rule-set
-lookup steering / per-bucket person_id source fields) through both
-engines with EXACT person_ids + person + summary compare.
+"""v1 person date-source fuzz marathon: N seeds of
+tests/test_differential_fuzz._gen_case_date_sources (per-bucket date
+columns, outdata-order main-datetime selection, per-entry strict gates,
+cross-target main flips) through both engines with EXACT compares.
 Usage: python scripts/fuzz_v1_date_sources.py [n] [start]
 """
 
