@@ -1064,6 +1064,61 @@ class CarrotPlanner:
         # twin of _empty_like: typed empty array via an always-false filter
         return f"filter(array({template}), __ct_e -> false)"
 
+    def _date_values_sql(
+        self,
+        df: DataFrame,
+        schema: TableSchema,
+        target: str,
+        date_writes: list,
+        main_dt: str | None,
+        companions: set,
+    ) -> dict[str, str]:
+        """SQL fragments for ONE block's own date writes: each (source,
+        dest) pair copies the source cell — the normalised __ct_* columns
+        when the source IS the file's main datetime column, the raw cell
+        otherwise — and the companion dest carries the derived artifacts
+        (linked *_date twin / y-m-d components). A source missing from the
+        header writes nothing (record_builder.py:74-79)."""
+        linked = self.omop.linked_date_fields(target)
+        comp = self.omop.date_components(target)
+        out: dict[str, str] = {}
+        norm_names = {
+            "val": "__ct_norm",
+            "d10": "__ct_d10",
+            "y": "__ct_y",
+            "mo": "__ct_mo",
+            "dd": "__ct_dd",
+        }
+        for src, dest in date_writes:
+            if dest not in schema.columns:
+                continue
+            if main_dt is not None and src == main_dt:
+                names = norm_names
+            else:
+                rn = _try_resolve_name(df, src)
+                if rn is None:
+                    continue
+                val = _sql_ident(rn)
+                sd = strict_date_sql(f"substring_index({val}, ' ', 1)")
+                names = {
+                    "val": val,
+                    "d10": f"substring({val}, 1, 10)",
+                    "y": f"CAST(year({sd}) AS STRING)",
+                    "mo": f"CAST(month({sd}) AS STRING)",
+                    "dd": f"CAST(dayofmonth({sd}) AS STRING)",
+                }
+            out[dest] = names["val"]
+            if dest not in companions:
+                continue
+            if dest in comp:
+                ci = comp[dest]
+                for part, key in (("year", "y"), ("month", "mo"), ("day", "dd")):
+                    if part in ci and ci[part] in schema.columns:
+                        out[ci[part]] = names[key]
+            elif dest in linked and linked[dest] in schema.columns:
+                out[linked[dest]] = names["d10"]
+        return out
+
     def _joined_field_records_sql(
         self,
         cm,
@@ -1206,6 +1261,31 @@ class CarrotPlanner:
         On WIDE targets (see WIDE_PLAN_PAIRS) every field takes the
         per-field builder: |values|x less generated code dominates there."""
         common = self._common_values_sql(df, tm, schema, raw_date_field)
+        # v1 blocks each write ONLY their own date dests from their own
+        # columns (core.py iterates the block's data entries); the shared
+        # TM-level fragments stay for the dominant uniform case, and a
+        # block whose (source, dest) date shape differs gets a per-block
+        # override (cm.date_writes, recorded by the loader)
+        v1_blocks = self.rules.dialect == "v1" and tm.target_table != "person"
+        tm_date_keys: set[str] = set()
+        default_writes: list[tuple[str, str]] = []
+        main_dt_b: str | None = None
+        if v1_blocks and tm.date_mapping:
+            main_dt_b, _ = self._file_main_fields(tm.source_table)
+            linked_b = self.omop.linked_date_fields(tm.target_table)
+            comp_b = self.omop.date_components(tm.target_table)
+            for dest in tm.date_mapping.dest_fields:
+                tm_date_keys.add(dest)
+                if dest in comp_b:
+                    tm_date_keys.update(comp_b[dest].values())
+                if dest in linked_b:
+                    tm_date_keys.add(linked_b[dest])
+            # ORDER-exact default (uniform corpora hit the shared-fragment
+            # fast path; any deviation — different sources, dest order, or
+            # per-field last-dest — takes the per-block override)
+            default_writes = [
+                (tm.date_mapping.source_field, d) for d in tm.date_mapping.dest_fields
+            ]
         per_field: list[str] = []
         # FIELDIDX is field-major (the reference iterates data COLUMNS, and
         # for each column emits its value-triggered blocks before its
@@ -1240,12 +1320,32 @@ class CarrotPlanner:
                 cn = _try_resolve_name(df, fld)
                 if cn is not None:
                     copy_over[d] = _sql_ident(cn)
+            common_cm = common
+            if v1_blocks and tm.date_mapping:
+                dw = getattr(cm, "date_writes", [])
+                if dw != default_writes:
+                    common_cm = {
+                        k: v for k, v in common.items() if k not in tm_date_keys
+                    }
+                    if dw:
+                        # derived artifacts attach to each source FIELD's
+                        # last date dest (core.py's date handling runs once
+                        # per infield on the loop's final element)
+                        last_per_src: dict[str, str] = {}
+                        for src_w, dest_w in dw:
+                            last_per_src[src_w] = dest_w
+                        common_cm.update(
+                            self._date_values_sql(
+                                df, schema, tm.target_table, dw, main_dt_b,
+                                set(last_per_src.values()),
+                            )
+                        )
             if attached and key_name in attached:
                 per_field.append(
                     self._joined_field_records_sql(
                         cm,
                         schema,
-                        common,
+                        common_cm,
                         cell,
                         fname,
                         fidx,
@@ -1285,7 +1385,7 @@ class CarrotPlanner:
                     self._joined_field_records_sql(
                         cm,
                         schema,
-                        common,
+                        common_cm,
                         cell,
                         fname,
                         fidx,
@@ -1310,7 +1410,7 @@ class CarrotPlanner:
                     orig_over = {
                         d: cell for d in cm.original_value_fields if d in schema.columns
                     }
-                    merged = {**concept_over, **lit_over, **orig_over, **copy_over, **common}
+                    merged = {**concept_over, **lit_over, **orig_over, **copy_over, **common_cm}
                     recs.append(self._record_struct_sql(schema, merged, fname, k, fidx))
                 return f"array({', '.join(recs)})" if recs else None
 
@@ -1324,7 +1424,7 @@ class CarrotPlanner:
             if not branches and wild_arr is None:
                 continue
             empty = self._empty_arr_sql(
-                self._record_struct_sql(schema, common, fname, 0, fidx)
+                self._record_struct_sql(schema, common_cm, fname, 0, fidx)
             )
             if not branches:
                 sel = wild_arr
@@ -1622,16 +1722,21 @@ class CarrotPlanner:
                 if matched is None and cm.value_mappings:
                     continue
                 # a field with NO value mappings at all is list-kind in the
-                # reference and its plain copies apply to every row (copying
-                # a blank writes '' ≡ the default, so non-blank gating is
-                # value-equivalent)
-                gate_m = F.lit(True) if matched is None else matched
+                # reference and its plain copies apply to EVERY row
+                # UNCONDITIONALLY — a blank cell writes '' and CLOBBERS an
+                # earlier field's non-blank write on a dest collision
+                # (core.py's list application has no valid-value check;
+                # later data entries simply overwrite tgtarray)
                 for d in cm.original_value_fields:
                     if d not in schema.columns:
                         continue
-                    piece = F.when(
-                        F.coalesce(valid_value(cell), F.lit(False)) & gate_m, cell
-                    )
+                    if matched is None:
+                        piece = F.coalesce(cell, F.lit(""))
+                    else:
+                        piece = F.when(
+                            F.coalesce(valid_value(cell), F.lit(False)) & matched,
+                            cell,
+                        )
                     prev = overrides.get(d)
                     overrides[d] = F.coalesce(piece, prev) if prev is not None else piece
 

@@ -64,6 +64,15 @@ class ConceptMapping:
     # the reference's per-datacol iteration, so blank-cell metrics count
     # them even though no record is keyed on them
     companion_term_fields: list[str] = field(default_factory=list)
+    # v1 NON-person blocks: this block's OWN date writes as ordered
+    # (source_field, dest_field) pairs — each block writes only the date
+    # dests its rule mapped, from its own columns (core.py iterates the
+    # block's data entries; nothing is shared across blocks). The LAST
+    # pair's dest carries the derived artifacts (linked *_date twin),
+    # matching the reference's loop-final date handling. Empty for v2
+    # (single per-target date mapping) and for person buckets (which use
+    # PersonBucket.date_fields).
+    date_writes: list[tuple[str, str]] = field(default_factory=list)
     # v1 PERSON-only: plain copies gated on ONE exact source value — the
     # reference's process_rules attaches a plain dest of a dict-mapped
     # field to data[field][inputvalue], where `inputvalue` is the STALE

@@ -183,6 +183,7 @@ def _merge_v1_block(
     resolves columns from it, never from the key)."""
     date_dests_in_rule: list[str] = []
     date_srcs_in_rule: list[str] = []  # date SOURCE fields, first-touch order
+    date_writes_in_rule: list[tuple[str, str]] = []  # (source, dest) in rule order
     trigger_field: str | None = None
     trigger_value: str | None = None  # None => wildcard trigger
     scalar_trigger: str | None = None
@@ -207,6 +208,7 @@ def _merge_v1_block(
             if dest_field not in tm.date_mapping.dest_fields:
                 tm.date_mapping.dest_fields.append(dest_field)
             date_dests_in_rule.append(dest_field)
+            date_writes_in_rule.append((source_field, dest_field))
             if source_field not in date_srcs_in_rule:
                 date_srcs_in_rule.append(source_field)
         elif term is not None and isinstance(term, dict):
@@ -246,6 +248,7 @@ def _merge_v1_block(
         trigger_value = last_value[trigger_field]
 
     cm = ConceptMapping(source_field=trigger_field)
+    cm.date_writes = list(date_writes_in_rule)
     match_key = trigger_value if trigger_value is not None else "*"
     cm.value_mappings[match_key] = {
         dest: [term] for dest, term in term_writes.get(trigger_field, {}).items()
@@ -282,6 +285,7 @@ def _merge_v1_block(
         tuple(cm.copy_fields),
         tuple(sorted(cm.extra_literals.items())),
         tuple(cm.companion_term_fields),
+        tuple(cm.date_writes),
         dest_set,
     )
     for existing in tm.concept_mappings.values():
@@ -294,7 +298,8 @@ def _merge_v1_block(
             tuple(existing.copy_fields),
             tuple(sorted(existing.extra_literals.items())),
             tuple(existing.companion_term_fields),
-            next(iter(e_dests)) if len(e_dests) == 1 else None,
+            tuple(existing.date_writes),
+            dest_set if {dest_set} == e_dests else None,
         )
         if e_sig != sig:
             continue

@@ -536,7 +536,7 @@ def _gen_case_person_soup(seed: int, d: Path) -> tuple[Path, Path]:
     return rules_file, inputs
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", list(range(8)) + [422])
 def test_differential_person_soup(spark, tmp_path, seed):
     from carrot_transform_spark.pipeline import run_transform
 
@@ -974,6 +974,142 @@ def test_differential_date_sources(spark, tmp_path, seed):
             f"seed={seed} {table} diverges:\nours={sorted(map(tuple, r1))[:6]}\n"
             f"gold={sorted(map(tuple, r2))[:6]}"
         )
+
+    h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
+    h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
+    assert h1 == h2
+    ours = {tuple(r[:6]): tuple(r[6:]) for r in r1}
+    gold = {tuple(r[:6]): tuple(r[6:]) for r in r2}
+    bad = {
+        k: (gold.get(k), ours.get(k))
+        for k in set(gold) | set(ours)
+        if gold.get(k) != ours.get(k)
+    }
+    assert not bad, f"seed={seed} summary rows diverge: {dict(list(bad.items())[:8])}"
+
+
+def _gen_case_block_dates(seed: int, d: Path) -> tuple[Path, Path]:
+    """v1 NON-person blocks with heterogeneous date shapes inside one
+    target: each block writes ONLY its own (source, dest) date pairs —
+    from its own columns, normalised in place only for the file's main
+    datetime column — with derived artifacts on each source field's last
+    date dest; date-less blocks write no dates at all; a term-less block
+    is dropped from the main-datetime scan."""
+    rng = random.Random(333_000 + seed)
+    inputs = d / "inputs"
+    inputs.mkdir()
+    pids = [f"p{i:03d}" for i in range(rng.randint(5, 12))]
+    (inputs / "demo.csv").write_text(
+        "pid,sex,dob\n"
+        + "\n".join(f"{p},{rng.choice(_SEXES)},{rng.choice(_DATES)}" for p in pids)
+        + "\n"
+    )
+    obs_rows = [
+        (
+            rng.choice(pids + ["ghost1"]),
+            rng.choice(_DATES),
+            rng.choice(_DATES),
+            rng.choice(_DATES),
+            rng.choice(_CODES),
+        )
+        for _ in range(rng.randint(8, 30))
+    ]
+    (inputs / "obs.csv").write_text(
+        "pid,when1,when2,when3,code\n"
+        + "\n".join(",".join(r) for r in obs_rows)
+        + "\n"
+    )
+
+    whens = ["when1", "when2", "when3"]
+    observation = {}
+    # 2-3 observation blocks, each with its own date column (or none),
+    # each triggering on distinct code values so records are attributable
+    vals = ["v0", "v1", "v2", "v3"]
+    rng.shuffle(vals)
+    for i in range(rng.randint(2, 3)):
+        w = rng.choice(whens + [None])
+        blk = {
+            "person_id": _src("pid", "obs.csv"),
+            "observation_concept_id": _src("code", "obs.csv", mapping={vals[i]: 9000 + i}),
+            "observation_source_value": _src("code", "obs.csv"),
+        }
+        if w is not None:
+            blk["observation_datetime"] = _src(w, "obs.csv")
+        observation[f"blk{i}"] = blk
+    cdm = {
+        "person": {
+            "p": {
+                "person_id": {"source_table": "demo.csv", "source_field": "pid"},
+                "birth_datetime": {"source_table": "demo.csv", "source_field": "dob"},
+                "gender_concept_id": {
+                    "source_table": "demo.csv",
+                    "source_field": "sex",
+                    "term_mapping": {"M": 8507, "F": 8532},
+                },
+            }
+        },
+        "observation": observation,
+    }
+    if seed % 2 == 1:
+        # a condition block whose start/end read DIFFERENT columns — the
+        # linked *_date twin attaches per source field's last date dest
+        w1, w2 = rng.sample(whens, 2)
+        cdm["condition_occurrence"] = {
+            "c0": {
+                "person_id": _src("pid", "obs.csv"),
+                "condition_start_datetime": _src(w1, "obs.csv"),
+                "condition_end_datetime": _src(w2, "obs.csv"),
+                "condition_concept_id": _src("code", "obs.csv", mapping={vals[3]: 254761}),
+                "condition_source_value": _src("code", "obs.csv"),
+            }
+        }
+    if seed % 3 == 0:
+        # term-less block: dropped from outdata, so its date column must
+        # NOT win the main-datetime scan
+        cdm["observation"]["blk_dropped"] = {
+            "person_id": _src("pid", "obs.csv"),
+            "observation_datetime": _src(rng.choice(whens), "obs.csv"),
+            "observation_source_value": _src("code", "obs.csv"),
+        }
+    rules_file = d / "rules.json"
+    rules_file.write_text(
+        json.dumps(
+            {
+                "metadata": {"date_created": "2026-01-01T00:00:00", "dataset": f"bd{seed}"},
+                "cdm": cdm,
+            },
+            indent=1,
+        )
+    )
+    return rules_file, inputs
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_block_dates(spark, tmp_path, seed):
+    from carrot_transform_spark.pipeline import run_transform
+
+    rules_file, inputs = _gen_case_block_dates(seed, tmp_path)
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    run_reference_mapstream(rules_file, inputs, ref_out, "demo")
+    our_out = tmp_path / "our_out"
+    run_transform(
+        spark, rules_file=rules_file, inputs=inputs, output_dir=our_out, person_table="demo"
+    )
+    problems = []
+    for table in _TABLES:
+        if not (ref_out / f"{table}.tsv").exists():
+            continue
+        problems += compare_table(
+            table,
+            our_out / f"{table}.tsv",
+            ref_out / f"{table}.tsv",
+            our_out / "person_ids.tsv",
+            ref_out / "person_ids.tsv",
+        )
+    assert not problems, f"seed={seed}:\n" + "\n".join(problems[:20])
+
+    from tests.carrot_compare import read_tsv
 
     h1, r1 = read_tsv(our_out / "summary_mapstream.tsv")
     h2, r2 = read_tsv(ref_out / "summary_mapstream.tsv")
