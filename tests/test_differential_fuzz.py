@@ -1026,8 +1026,16 @@ def _gen_case_block_dates(seed: int, d: Path) -> tuple[Path, Path]:
     # each triggering on distinct code values so records are attributable
     vals = ["v0", "v1", "v2", "v3"]
     rng.shuffle(vals)
-    for i in range(rng.randint(2, 3)):
+    n_blocks = rng.randint(2, 3)
+    for i in range(n_blocks):
         w = rng.choice(whens + [None])
+        if i == n_blocks - 1 and not any(
+            "observation_datetime" in b for b in observation.values()
+        ):
+            # at least one dated block per file, or the reference itself
+            # crashes (datetime_source='' -> inputcolmap KeyError): the
+            # all-date-less file is an unrunnable shape, not a semantic
+            w = rng.choice(whens)
         blk = {
             "person_id": _src("pid", "obs.csv"),
             "observation_concept_id": _src("code", "obs.csv", mapping={vals[i]: 9000 + i}),
