@@ -27,7 +27,7 @@ orchestrator.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass, field as dc_field, replace as dc_replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1606,14 +1606,10 @@ class CarrotPlanner:
                 out: dict[str, Column] = {}
                 if b.maps_date and tm.date_mapping is not None:
                     if b.date_fields and b.date_fields[-1] != tm.date_mapping.source_field:
-                        import dataclasses
-
                         f = b.date_fields[-1]
-                        b_tm = dataclasses.replace(
+                        b_tm = dc_replace(
                             tm,
-                            date_mapping=dataclasses.replace(
-                                tm.date_mapping, source_field=f
-                            ),
+                            date_mapping=dc_replace(tm.date_mapping, source_field=f),
                         )
                         dates = self._common_column_values(
                             df, b_tm, schema, None if f == main_dt else f
