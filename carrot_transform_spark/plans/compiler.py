@@ -724,6 +724,15 @@ class CarrotPlanner:
                 self._pending_aggs.setdefault(cache_key, []).append((aggs, resolve))
 
         df = raw.filter(norm_ok) if date_field is not None else raw
+        if date_field is not None:
+            # the reference normalises the MAIN datetime column IN PLACE
+            # (run.py:230-233 / orchestrator.py:141-152) BEFORE record
+            # building, so every later read of that column — plain copies,
+            # original values, term matching — sees the normalised value;
+            # overwrite it with __ct_norm so all builders inherit that
+            mc = _try_resolve_name(df, date_field)
+            if mc is not None:
+                df = df.withColumn(mc, F.col("__ct_norm"))
 
         if is_person and tm.person_id_mapping is not None and self.rules.dialect == "v2":
             # J3: one person record per (source file, person id) — first row
@@ -1323,21 +1332,26 @@ class CarrotPlanner:
             common_cm = common
             if v1_blocks and tm.date_mapping:
                 dw = getattr(cm, "date_writes", [])
-                if dw != default_writes:
+                # derived artifacts attach to each source FIELD's last date
+                # dest, and ONLY when the field's final data entry IS that
+                # date dest (core.py's date handling runs once per infield
+                # on the loop's final element) — tracked by the loader
+                comps_cm = getattr(cm, "date_companions", None)
+                if comps_cm is None:
+                    last_per_src: dict[str, str] = {}
+                    for src_w, dest_w in dw:
+                        last_per_src[src_w] = dest_w
+                    comps_cm = list(last_per_src.values())
+                tm_comps = set(tm.date_mapping.companions()) & {d for _, d in dw}
+                if dw != default_writes or set(comps_cm) != tm_comps:
                     common_cm = {
                         k: v for k, v in common.items() if k not in tm_date_keys
                     }
                     if dw:
-                        # derived artifacts attach to each source FIELD's
-                        # last date dest (core.py's date handling runs once
-                        # per infield on the loop's final element)
-                        last_per_src: dict[str, str] = {}
-                        for src_w, dest_w in dw:
-                            last_per_src[src_w] = dest_w
                         common_cm.update(
                             self._date_values_sql(
                                 df, schema, tm.target_table, dw, main_dt_b,
-                                set(last_per_src.values()),
+                                set(comps_cm),
                             )
                         )
             if attached and key_name in attached:

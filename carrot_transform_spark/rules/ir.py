@@ -73,6 +73,12 @@ class ConceptMapping:
     # (single per-target date mapping) and for person buckets (which use
     # PersonBucket.date_fields).
     date_writes: list[tuple[str, str]] = field(default_factory=list)
+    # the dests that actually receive derived artifacts: core.py runs the
+    # date handling once per source field on the field's FINAL data entry —
+    # so a field whose last entry is a term/plain/person-id write gets NO
+    # twin even though its date dest was written. None = derive as the
+    # last date dest per source field (pre-tracking IR constructions).
+    date_companions: list[str] | None = None
     # v1 PERSON-only: plain copies gated on ONE exact source value — the
     # reference's process_rules attaches a plain dest of a dict-mapped
     # field to data[field][inputvalue], where `inputvalue` is the STALE

@@ -184,6 +184,7 @@ def _merge_v1_block(
     date_dests_in_rule: list[str] = []
     date_srcs_in_rule: list[str] = []  # date SOURCE fields, first-touch order
     date_writes_in_rule: list[tuple[str, str]] = []  # (source, dest) in rule order
+    last_is_date: dict[str, bool] = {}  # per source field: is its FINAL entry a date dest
     trigger_field: str | None = None
     trigger_value: str | None = None  # None => wildcard trigger
     scalar_trigger: str | None = None
@@ -200,7 +201,9 @@ def _merge_v1_block(
             tm.person_id_mapping = PersonIdMapping(
                 source_field=source_field, dest_field=dest_field
             )
+            last_is_date[source_field] = False
         elif term is None and (dest_field in dt_fields or dest_field in d_fields):
+            last_is_date[source_field] = True
             if tm.date_mapping is None:
                 tm.date_mapping = DateMapping(
                     source_field=source_field, dest_fields=[], companion_dests=[]
@@ -219,11 +222,14 @@ def _merge_v1_block(
             term_writes.setdefault(source_field, {})[dest_field] = int(term[list(term)[-1]])
             trigger_field = source_field  # last dict field wins the key
             trigger_value = lv
+            last_is_date[source_field] = False
         elif term is not None:
             term_writes.setdefault(source_field, {})[dest_field] = int(term)
             scalar_trigger = source_field  # last scalar field wins plain_key
+            last_is_date[source_field] = False
         else:
             plain_writes.append((dest_field, source_field))
+            last_is_date[source_field] = False
 
     if date_dests_in_rule and tm.date_mapping is not None:
         last = date_dests_in_rule[-1]
@@ -249,6 +255,13 @@ def _merge_v1_block(
 
     cm = ConceptMapping(source_field=trigger_field)
     cm.date_writes = list(date_writes_in_rule)
+    # derived artifacts only where the field's FINAL entry is a date dest
+    last_date_dest: dict[str, str] = {}
+    for src_w, dest_w in date_writes_in_rule:
+        last_date_dest[src_w] = dest_w
+    cm.date_companions = [
+        dest_w for src_w, dest_w in last_date_dest.items() if last_is_date.get(src_w)
+    ]
     match_key = trigger_value if trigger_value is not None else "*"
     cm.value_mappings[match_key] = {
         dest: [term] for dest, term in term_writes.get(trigger_field, {}).items()
@@ -286,6 +299,7 @@ def _merge_v1_block(
         tuple(sorted(cm.extra_literals.items())),
         tuple(cm.companion_term_fields),
         tuple(cm.date_writes),
+        tuple(cm.date_companions or ()),
         dest_set,
     )
     for existing in tm.concept_mappings.values():
@@ -299,6 +313,7 @@ def _merge_v1_block(
             tuple(sorted(existing.extra_literals.items())),
             tuple(existing.companion_term_fields),
             tuple(existing.date_writes),
+            tuple(existing.date_companions or ()),
             dest_set if {dest_set} == e_dests else None,
         )
         if e_sig != sig:

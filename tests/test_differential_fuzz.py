@@ -1042,7 +1042,19 @@ def _gen_case_block_dates(seed: int, d: Path) -> tuple[Path, Path]:
             "observation_source_value": _src("code", "obs.csv"),
         }
         if w is not None:
-            blk["observation_datetime"] = _src(w, "obs.csv")
+            mix = rng.random()
+            if mix < 0.25:
+                # plain dest on the date field BEFORE the date rule: the
+                # field's final entry stays the date dest -> twin KEPT
+                blk["value_as_number"] = _src(w, "obs.csv")
+                blk["observation_datetime"] = _src(w, "obs.csv")
+            elif mix < 0.5:
+                # plain dest AFTER the date rule: final entry is non-date
+                # -> the derived twin is SKIPPED for this field
+                blk["observation_datetime"] = _src(w, "obs.csv")
+                blk["value_as_string"] = _src(w, "obs.csv")
+            else:
+                blk["observation_datetime"] = _src(w, "obs.csv")
         observation[f"blk{i}"] = blk
     cdm = {
         "person": {
