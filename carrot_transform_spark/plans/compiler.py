@@ -1670,6 +1670,10 @@ class CarrotPlanner:
         overrides: dict[str, Column] = {}
         for fname, cm in fields:  # later fields overwrite on collision
             cell = _try_resolve(df, fname)
+            if cell is not None:
+                # csv.reader yields '' for empty cells (never None): blank
+                # coalesce so ''-keyed dict matches and blank copies behave
+                cell = F.coalesce(cell, F.lit(""))
             if cell is None:
                 # a mapped field missing from the header: the reference
                 # CRASHES here (core.py:105 reads srcdata for the date
@@ -1695,17 +1699,18 @@ class CarrotPlanner:
                     branch = branch.otherwise(wild_val) if branch is not None else wild_val
                 if branch is None:
                     continue
-                piece = F.when(F.coalesce(valid_value(cell), F.lit(False)), branch)
+                # NO validity gate: person dict matching is bare equality
+                # ('if str(input_value) in outfield_list', core.py:80) — a
+                # dict keyed on the EMPTY string matches blank cells; only
+                # the FIRST datacol carries a valid-value requirement
                 prev = overrides.get(d)
-                overrides[d] = F.coalesce(piece, prev) if prev is not None else piece
+                overrides[d] = F.coalesce(branch, prev) if prev is not None else branch
             # value-gated plain copies: a plain dest of a dict-mapped field
             # rides exactly ONE value's entry list in the reference's person
             # data (the stale-inputvalue attach — see ir.ConceptMapping), so
             # it writes only when the row's cell IS that value
             for value, vdests in cm.value_original_fields.items():
-                cond = F.coalesce(valid_value(cell), F.lit(False)) & (
-                    cell == self._lit(value)
-                )
+                cond = cell == self._lit(value)
                 for d in vdests:
                     if d not in schema.columns:
                         continue
@@ -1743,10 +1748,7 @@ class CarrotPlanner:
                     if matched is None:
                         piece = F.coalesce(cell, F.lit(""))
                     else:
-                        piece = F.when(
-                            F.coalesce(valid_value(cell), F.lit(False)) & matched,
-                            cell,
-                        )
+                        piece = F.when(matched, F.coalesce(cell, F.lit("")))
                     prev = overrides.get(d)
                     overrides[d] = F.coalesce(piece, prev) if prev is not None else piece
 

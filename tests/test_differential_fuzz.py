@@ -485,6 +485,10 @@ def _gen_case_person_soup(seed: int, d: Path) -> tuple[Path, Path]:
                 vals = rng.sample(
                     [v for v in fields[f] if v], rng.randint(1, len(fields[f]) - 1)
                 )
+                if rng.random() < 0.2:
+                    # ''-keyed dict entry: bare-equality person matching
+                    # means blank cells DO match it (core.py:80)
+                    vals.append("")
                 n_dests = rng.randint(1, 2)
                 cands = [p for p in dest_pool if p not in used_dests]
                 for dst in rng.sample(cands, min(n_dests, len(cands))):
