@@ -282,9 +282,27 @@ def make_sink(spark, spec, mode: str = "single"):
         return TsvDirSink(s.replace("s3://", "s3a://", 1), mode=mode)
     if s.startswith("jdbc:"):
         return JdbcSink(s)
+    if s.startswith(("postgresql+wire:", "postgres+wire:")):
+        from carrot_transform_spark.sources.pgwire import PgWireSink
+
+        return PgWireSink(s)
     if _URL_RE.match(s) and not s.startswith(("file://", "hdfs://")):
         from carrot_transform_spark.sources.dialects import sqlalchemy_to_jdbc
 
         url, props = sqlalchemy_to_jdbc(s)
+        if url.startswith("jdbc:postgresql:"):
+            from carrot_transform_spark.sources.pgwire import (
+                PgWireSink,
+                jdbc_driver_available,
+            )
+
+            if not jdbc_driver_available(spark, "org.postgresql.Driver"):
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "postgresql JDBC driver not on the classpath; "
+                    "writing %s via the wire-protocol transport", s
+                )
+                return PgWireSink(s)
         return JdbcSink(url, props)
     return TsvDirSink(spec if isinstance(spec, Path) else s, mode=mode)

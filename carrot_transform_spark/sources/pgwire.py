@@ -1,0 +1,552 @@
+"""Pure-stdlib PostgreSQL wire-protocol transport (frontend/backend
+protocol v3, publicly documented in the PostgreSQL manual, "Frontend/
+Backend Protocol").
+
+Why this exists: the reference CLI accepts ``postgresql://`` SQLAlchemy
+URLs for inputs and outputs (reference sources.py:66-67,
+outputs.py:333-334) and its integration suite runs them against a live
+Postgres (reference tests/test_integration.py:105-186). Spark's JDBC
+reader needs the PostgreSQL JDBC driver jar on the classpath; in
+environments without it (this sandbox, minimal images) the ``+wire``
+transport keeps those URLs working with zero dependencies: a ~300-line
+protocol client speaking startup/SCRAM/simple-query/COPY over a TCP
+socket.
+
+Scale posture — this is NOT a driver-side funnel:
+
+* reads split the table into ctid page ranges (TID range scans are
+  O(range) server-side on PG>=14) and each Spark task opens its OWN
+  connection and streams its slice via ``COPY (SELECT ...) TO STDOUT``
+  — the same per-task-connection model as Spark's JDBC partitioned
+  read, so a large table ingests as N parallel streams;
+* writes go through per-partition ``COPY ... FROM STDIN`` (Postgres's
+  bulk path, ~10x INSERT), Arrow-batched via mapInPandas with
+  vectorized text-format escaping;
+* the number of concurrent connections is capped by the source/sink's
+  ``partitions`` knob (server ``max_connections`` is the real budget —
+  default cap 16, override via spec query arg).
+
+Semantics mirror JdbcSource/JdbcSink exactly (identifier lower-folding
+app-side, all-TEXT created columns, stringly values): the live parity
+test asserts wire-vs-JDBC-contract equality so the two transports can't
+drift.
+
+COPY text format (not csv) is used both ways because its NULL marker
+(``\\N``) is unambiguous — csv's default NULL is indistinguishable from
+the empty string without extra options.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import os
+import socket
+import struct
+from base64 import b64decode, b64encode
+from dataclasses import dataclass
+from urllib.parse import parse_qs, unquote, urlparse
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from carrot_transform_spark.sources.registry import Source
+
+
+class PgWireError(RuntimeError):
+    """Server ErrorResponse, with the severity/code/message fields."""
+
+
+@dataclass
+class PgDsn:
+    host: str
+    port: int
+    user: str
+    password: str
+    database: str
+    options: dict
+
+    @classmethod
+    def parse(cls, spec: str) -> "PgDsn":
+        """postgresql[+wire]://user:pass@host:port/db?partitions=N"""
+        u = urlparse(spec)
+        if not u.scheme.split("+", 1)[0] in ("postgresql", "postgres"):
+            raise ValueError(f"not a postgresql DSN: {spec!r}")
+        opts = {k: v[-1] for k, v in parse_qs(u.query).items()}
+        return cls(
+            host=u.hostname or "localhost",
+            port=u.port or 5432,
+            user=unquote(u.username or os.environ.get("PGUSER", "postgres")),
+            password=unquote(u.password or os.environ.get("PGPASSWORD", "")),
+            database=unquote((u.path or "/").lstrip("/"))
+            or os.environ.get("PGDATABASE", "postgres"),
+            options=opts,
+        )
+
+
+# ---------------------------------------------------------------- protocol
+
+
+def _scram_sha256(user: str, password: str, recv, send) -> None:
+    """RFC 7677 SCRAM-SHA-256 client, driven by Postgres's SASL framing:
+    AuthenticationSASL(10) -> SASLInitialResponse, SASLContinue(11) ->
+    SASLResponse, SASLFinal(12). Channel binding not offered ('n,,')."""
+    cnonce = b64encode(os.urandom(18)).decode()
+    first_bare = f"n={user},r={cnonce}"
+    msg = b"SCRAM-SHA-256\x00" + struct.pack("!i", len(first_bare) + 3)
+    msg += b"n,," + first_bare.encode()
+    send(b"p", msg)
+
+    tag, body = recv()
+    if tag != b"R" or struct.unpack("!i", body[:4])[0] != 11:
+        raise PgWireError(f"expected SASLContinue, got {tag!r} {body[:40]!r}")
+    server_first = body[4:].decode()
+    attrs = dict(p.split("=", 1) for p in server_first.split(","))
+    nonce, salt, iters = attrs["r"], b64decode(attrs["s"]), int(attrs["i"])
+    if not nonce.startswith(cnonce):
+        raise PgWireError("SCRAM server nonce does not extend client nonce")
+
+    salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iters)
+    client_key = hmac.digest(salted, b"Client Key", "sha256")
+    stored_key = hashlib.sha256(client_key).digest()
+    final_bare = f"c=biws,r={nonce}"
+    auth_msg = f"{first_bare},{server_first},{final_bare}".encode()
+    proof = bytes(
+        a ^ b for a, b in zip(client_key, hmac.digest(stored_key, auth_msg, "sha256"))
+    )
+    send(b"p", f"{final_bare},p={b64encode(proof).decode()}".encode())
+
+    tag, body = recv()
+    if tag != b"R" or struct.unpack("!i", body[:4])[0] != 12:
+        raise PgWireError(f"SCRAM rejected: {tag!r} {body[:200]!r}")
+    server_sig = dict(
+        p.split("=", 1) for p in body[4:].decode().split(",")
+    ).get("v", "")
+    server_key = hmac.digest(salted, b"Server Key", "sha256")
+    if b64decode(server_sig) != hmac.digest(server_key, auth_msg, "sha256"):
+        raise PgWireError("SCRAM server signature mismatch")
+
+
+class PgWireConnection:
+    """One authenticated protocol-v3 session: simple queries + COPY."""
+
+    def __init__(self, dsn: PgDsn, connect_timeout: float = 10.0):
+        self.dsn = dsn
+        self.sock = socket.create_connection(
+            (dsn.host, dsn.port), timeout=connect_timeout
+        )
+        self.sock.settimeout(600.0)
+        self._buf = b""
+        self._startup()
+
+    # -- framing ------------------------------------------------------
+
+    def _send(self, tag: bytes, payload: bytes) -> None:
+        self.sock.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(max(65536, n - len(self._buf)))
+            if not chunk:
+                raise PgWireError("server closed the connection")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _recv(self) -> tuple[bytes, bytes]:
+        """Next backend message as (tag, body); NoticeResponse and the
+        async ParameterStatus/NotificationResponse messages are skipped."""
+        while True:
+            head = self._read_exact(5)
+            tag = head[:1]
+            (ln,) = struct.unpack("!i", head[1:5])
+            body = self._read_exact(ln - 4)
+            if tag in (b"N", b"S", b"A"):
+                continue
+            if tag == b"E":
+                raise PgWireError(self._error_text(body))
+            return tag, body
+
+    @staticmethod
+    def _error_text(body: bytes) -> str:
+        fields = {}
+        for part in body.split(b"\x00"):
+            if part:
+                fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
+        msg = fields.get("M", repr(body[:200]))
+        return f"{fields.get('S', 'ERROR')} {fields.get('C', '')}: {msg}"
+
+    # -- session ------------------------------------------------------
+
+    def _startup(self) -> None:
+        params = (
+            f"user\x00{self.dsn.user}\x00database\x00{self.dsn.database}\x00"
+            "client_encoding\x00UTF8\x00\x00"
+        ).encode()
+        pkt = struct.pack("!ii", len(params) + 8, 196608) + params  # v3.0
+        self.sock.sendall(pkt)
+        while True:
+            tag, body = self._recv()
+            if tag == b"R":
+                (code,) = struct.unpack("!i", body[:4])
+                if code == 0:  # AuthenticationOk
+                    continue
+                if code == 3:  # CleartextPassword
+                    self._send(b"p", self.dsn.password.encode() + b"\x00")
+                elif code == 5:  # MD5Password
+                    salt = body[4:8]
+                    inner = hashlib.md5(
+                        (self.dsn.password + self.dsn.user).encode()
+                    ).hexdigest()
+                    outer = hashlib.md5(inner.encode() + salt).hexdigest()
+                    self._send(b"p", b"md5" + outer.encode() + b"\x00")
+                elif code == 10:  # SASL
+                    _scram_sha256(
+                        self.dsn.user, self.dsn.password, self._recv, self._send
+                    )
+                else:
+                    raise PgWireError(f"unsupported auth method {code}")
+            elif tag == b"K":  # BackendKeyData
+                continue
+            elif tag == b"Z":  # ReadyForQuery
+                return
+            else:
+                raise PgWireError(f"unexpected startup message {tag!r}")
+
+    def close(self) -> None:
+        try:
+            self._send(b"X", b"")
+        except OSError:
+            pass
+        finally:
+            self.sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- simple query ------------------------------------------------
+
+    def query(self, sql: str) -> tuple[list[str], list[list[str | None]]]:
+        """Run one simple-protocol statement; text-format results."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        cols: list[str] = []
+        rows: list[list[str | None]] = []
+        err: PgWireError | None = None
+        while True:
+            try:
+                tag, body = self._recv()
+            except PgWireError as e:
+                # drain to ReadyForQuery before surfacing, else the session
+                # desynchronizes and every later call misparses
+                err = err or e
+                continue
+            if tag == b"T":
+                cols = self._parse_row_description(body)
+            elif tag == b"D":
+                rows.append(self._parse_data_row(body))
+            elif tag in (b"C", b"I"):  # CommandComplete / EmptyQuery
+                continue
+            elif tag == b"Z":
+                if err is not None:
+                    raise err
+                return cols, rows
+            else:
+                raise PgWireError(f"unexpected message {tag!r} during query")
+
+    @staticmethod
+    def _parse_row_description(body: bytes) -> list[str]:
+        (n,) = struct.unpack("!h", body[:2])
+        cols, off = [], 2
+        for _ in range(n):
+            end = body.index(b"\x00", off)
+            cols.append(body[off:end].decode())
+            off = end + 1 + 18  # tableoid4 attnum2 typoid4 typlen2 typmod4 fmt2
+        return cols
+
+    @staticmethod
+    def _parse_data_row(body: bytes) -> list[str | None]:
+        (n,) = struct.unpack("!h", body[:2])
+        vals: list[str | None] = []
+        off = 2
+        for _ in range(n):
+            (ln,) = struct.unpack("!i", body[off : off + 4])
+            off += 4
+            if ln == -1:
+                vals.append(None)
+            else:
+                vals.append(body[off : off + ln].decode())
+                off += ln
+        return vals
+
+    # -- COPY ---------------------------------------------------------
+
+    def copy_out(self, sql: str):
+        """COPY ... TO STDOUT — yields raw CopyData chunks (text format)."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        tag, _ = self._recv()
+        if tag != b"H":
+            raise PgWireError(f"expected CopyOutResponse, got {tag!r}")
+        while True:
+            tag, body = self._recv()
+            if tag == b"d":
+                yield body
+            elif tag == b"c":  # CopyDone
+                break
+            else:
+                raise PgWireError(f"unexpected message {tag!r} during COPY OUT")
+        while True:  # CommandComplete then ReadyForQuery
+            tag, _ = self._recv()
+            if tag == b"Z":
+                return
+
+    def copy_in(self, sql: str, chunks) -> None:
+        """COPY ... FROM STDIN — sends the byte chunks (text format)."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        tag, _ = self._recv()
+        if tag != b"G":
+            raise PgWireError(f"expected CopyInResponse, got {tag!r}")
+        for chunk in chunks:
+            if chunk:
+                self._send(b"d", chunk)
+        self._send(b"c", b"")  # CopyDone
+        while True:
+            tag, _ = self._recv()
+            if tag == b"Z":
+                return
+
+
+# ------------------------------------------------------- text-format codec
+
+_UNESCAPE = {
+    b"\\b": b"\b", b"\\f": b"\f", b"\\n": b"\n", b"\\r": b"\r",
+    b"\\t": b"\t", b"\\v": b"\v", b"\\\\": b"\\",
+}
+
+
+def decode_copy_text(data: bytes) -> list[list[str | None]]:
+    """Parse COPY text-format payload into rows of str/None (NULL = \\N)."""
+    rows = []
+    for line in data.split(b"\n"):
+        if not line:
+            continue
+        row: list[str | None] = []
+        for fld in line.split(b"\t"):
+            if fld == b"\\N":
+                row.append(None)
+            elif b"\\" in fld:
+                out, i = bytearray(), 0
+                while i < len(fld):
+                    if fld[i : i + 1] == b"\\" and i + 1 < len(fld):
+                        pair = fld[i : i + 2]
+                        out += _UNESCAPE.get(pair, pair[1:])
+                        i += 2
+                    else:
+                        out.append(fld[i])
+                        i += 1
+                row.append(out.decode())
+            else:
+                row.append(fld.decode())
+        rows.append(row)
+    return rows
+
+
+def encode_copy_text(value: str | None) -> str:
+    """One field in COPY text format (NULL = \\N)."""
+    if value is None:
+        return "\\N"
+    return (
+        value.replace("\\", "\\\\")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
+# ------------------------------------------------------------ Spark source
+
+_DEFAULT_PARTITIONS = 16
+_CTID_MAX = "(4294967295,0)"  # covers pages appended after the split probe
+
+
+def _fold_table(table: str) -> str:
+    """Reference semantics: rules name sources by file ('Demographics.csv'),
+    DB tables drop the extension (args.remove_csv_extension) and Postgres
+    folds unquoted identifiers to lower case (dialects.py postgresql)."""
+    if table.lower().endswith(".csv"):
+        table = table[:-4]
+    return table.lower()
+
+
+class PgWireSource(Source):
+    """Partitioned Postgres scan over the wire protocol (S2 twin).
+
+    Each Spark task COPYs its own ctid page range on its own connection:
+    ``COPY (SELECT * FROM ONLY t WHERE ctid >= '(lo,0)' AND ctid < '(hi,0)')
+    TO STDOUT`` — a TID range scan server-side, so N tasks read N disjoint
+    heap slices in parallel with no OFFSET rescans. Matches JdbcSource's
+    contract: app-side lower-cased headers, every value string, _ct_line
+    ordering column appended."""
+
+    pre_spread = True
+
+    def __init__(self, spark: SparkSession, spec: str):
+        self.spark = spark
+        self.dsn = PgDsn.parse(spec)
+        self.partitions = int(
+            self.dsn.options.get("partitions", _DEFAULT_PARTITIONS)
+        )
+
+    def scan_splits(self, table: str) -> int | None:
+        return self.partitions
+
+    def _probe(self, tbl: str) -> tuple[list[str], int]:
+        """(column names as the server reports them, heap page count)."""
+        with PgWireConnection(self.dsn) as c:
+            cols, _ = c.query(f"SELECT * FROM {tbl} LIMIT 0")
+            lit = tbl.replace("'", "''")
+            _, rows = c.query(
+                f"SELECT GREATEST(pg_relation_size('{lit}') / 8192, 1)"
+            )
+        return cols, int(rows[0][0])
+
+    def read(self, table: str) -> DataFrame:
+        tbl = _fold_table(table)
+        server_cols, pages = self._probe(tbl)
+        cols = [c.lower() for c in server_cols]
+        n = max(1, min(self.partitions, pages))
+        step = -(-pages // n)
+        bounds = [(i * step, (i + 1) * step) for i in range(n)]
+
+        dsn, names = self.dsn, list(server_cols)
+        sel = ", ".join('"%s"' % c.replace('"', '""') for c in names)
+
+        def scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for lo, hi, last in zip(pdf["lo"], pdf["hi"], pdf["last"]):
+                    hi_tid = _CTID_MAX if last else f"({int(hi)},0)"
+                    sql = (
+                        f"COPY (SELECT {sel} FROM ONLY {tbl} "
+                        f"WHERE ctid >= '({int(lo)},0)' AND ctid < '{hi_tid}') "
+                        "TO STDOUT"
+                    )
+                    with PgWireConnection(dsn) as c:
+                        buf = bytearray()
+                        for chunk in c.copy_out(sql):
+                            buf += chunk
+                            # flush complete lines per ~8MB to bound memory
+                            if len(buf) > 8 << 20:
+                                cut = buf.rfind(b"\n") + 1
+                                rows = decode_copy_text(bytes(buf[:cut]))
+                                del buf[:cut]
+                                if rows:
+                                    yield pd.DataFrame(rows, columns=names, dtype=object)
+                        rows = decode_copy_text(bytes(buf))
+                    yield pd.DataFrame(
+                        rows if rows else [], columns=names, dtype=object
+                    )
+
+        schema = StructType([StructField(c, StringType()) for c in server_cols])
+        rdf = self.spark.createDataFrame(
+            [(lo, hi, i == n - 1) for i, (lo, hi) in enumerate(bounds)],
+            "lo long, hi long, last boolean",
+        ).repartition(n, "lo")
+        df = rdf.mapInPandas(scan, schema)
+        df = df.toDF(*cols)
+        return self._finalize(df)
+
+
+class PgWireSink:
+    """All-TEXT create + per-partition COPY FROM STDIN (K2 twin over the
+    wire). DDL runs once driver-side; data lands via Postgres's bulk COPY
+    path, one connection per Spark partition, concurrent COPYs into the
+    same table being ordinary MVCC inserts."""
+
+    def __init__(self, spec: str):
+        self.dsn = PgDsn.parse(spec)
+
+    def _ddl(self, name: str, columns: list[str]) -> None:
+        cols_sql = ", ".join(f"{c} TEXT" for c in columns)
+        with PgWireConnection(self.dsn) as c:
+            c.query(f"DROP TABLE IF EXISTS {name}")
+            c.query(f"CREATE TABLE {name} ({cols_sql})")
+
+    def write(self, name: str, df: DataFrame, columns: list[str]) -> None:
+        tbl = _fold_table(name)
+        self._ddl(tbl, columns)
+        sel = df.select(*[F.col(c).cast("string").alias(c) for c in columns])
+        dsn = self.dsn
+        col_list = ", ".join(columns)
+        copy_sql = f"COPY {tbl} ({col_list}) FROM STDIN"
+
+        def write_part(batches):
+            import pandas as pd
+
+            def encode(pdf: pd.DataFrame):
+                # vectorized text-format escape; NULL -> \N
+                parts = []
+                for c in pdf.columns:
+                    s = pdf[c].astype(object)
+                    esc = (
+                        s.fillna("\x00NULL")
+                        .astype(str)
+                        .str.replace("\\", "\\\\", regex=False)
+                        .str.replace("\n", "\\n", regex=False)
+                        .str.replace("\r", "\\r", regex=False)
+                        .str.replace("\t", "\\t", regex=False)
+                        .str.replace("\x00NULL", "\\N", regex=False)
+                    )
+                    parts.append(esc)
+                joined = parts[0]
+                for p in parts[1:]:
+                    joined = joined + "\t" + p
+                return ("\n".join(joined.tolist()) + "\n").encode()
+
+            conn = None
+            n = 0
+            try:
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    if conn is None:
+                        conn = PgWireConnection(dsn)
+                    conn.copy_in(copy_sql, [encode(pdf)])
+                    n += len(pdf)
+            finally:
+                if conn is not None:
+                    conn.close()
+            yield pd.DataFrame({"n": [n]})
+
+        counts = sel.mapInPandas(write_part, "n long")
+        counts.agg(F.sum("n")).collect()  # action: run the writes
+
+    def write_rows(
+        self, name: str, header: list[str], rows: list[list[str]], spark=None
+    ) -> None:
+        """Driver-side summary rows (same shorten quirk as the other sinks)."""
+        shorten = bool(header) and header[-1] == ""
+        if shorten:
+            header = header[:-1]
+            rows = [r[:-1] for r in rows]
+        tbl = _fold_table(name)
+        self._ddl(tbl, header)
+        payload = "".join(
+            "\t".join(encode_copy_text(v) for v in r) + "\n" for r in rows
+        ).encode()
+        with PgWireConnection(self.dsn) as c:
+            c.copy_in(f"COPY {tbl} ({', '.join(header)}) FROM STDIN", [payload])
+
+
+def jdbc_driver_available(spark: SparkSession, klass: str) -> bool:
+    """True when `klass` loads on the JVM classpath (so Spark's JDBC
+    reader would work); the wire transport is the fallback when not."""
+    try:
+        spark._sc._jvm.java.lang.Class.forName(klass)  # noqa: SLF001
+        return True
+    except Exception:
+        return False

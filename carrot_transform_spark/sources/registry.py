@@ -402,11 +402,31 @@ def make_source(spark: SparkSession, spec: str) -> Source:
     if spec.startswith("jdbc:"):
         # JDBC URLs needn't contain '//' (e.g. jdbc:derby:/path/db)
         return JdbcSource(spark, spec)
+    if spec.startswith(("postgresql+wire:", "postgres+wire:")):
+        from carrot_transform_spark.sources.pgwire import PgWireSource
+
+        return PgWireSource(spark, spec)
     if _URL_RE.match(spec):
         # the reference accepts SQLAlchemy engine URLs (sources.py:66-67);
         # translate to JDBC form, credentials moving into properties
         from carrot_transform_spark.sources.dialects import sqlalchemy_to_jdbc
 
         url, props = sqlalchemy_to_jdbc(spec)
+        if url.startswith("jdbc:postgresql:"):
+            # a postgresql:// URL still works without the JDBC driver jar:
+            # fall back to the dependency-free wire-protocol transport
+            from carrot_transform_spark.sources.pgwire import (
+                PgWireSource,
+                jdbc_driver_available,
+            )
+
+            if not jdbc_driver_available(spark, "org.postgresql.Driver"):
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "postgresql JDBC driver not on the classpath; "
+                    "reading %s via the wire-protocol transport", spec
+                )
+                return PgWireSource(spark, spec)
         return JdbcSource(spark, url, props)
     return CsvDirSource(spark, spec)
