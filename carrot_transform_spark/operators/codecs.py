@@ -29,6 +29,9 @@ Audio and video are covered by two more dependency-free formats:
         materialisation) -> (H, W, 1|3) uint8 frames, chroma
         nearest-upsampled to full resolution
 
+- JPEG: baseline sequential (SOF0) via operators/jpeg.py — grayscale /
+        4:4:4 / 4:2:2 / 4:2:0, restart intervals; progressive raises
+
 ``decode_image`` still raises ``NotImplementedError`` for unknown magics;
 compressed video/audio (mp4/mp3/...) is the remaining out-of-scope set.
 """
@@ -50,6 +53,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:2] in (b"P5", b"P6"):
         return "pnm"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
@@ -326,9 +331,14 @@ def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_png(payload)
     if sniffed == "pnm":
         return decode_pnm(payload)
+    if sniffed == "jpeg":
+        from carrot_transform_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for format {fmt or 'unknown'!r}; "
-        "supported: bmp, png (8-bit, non-interlaced), pgm/ppm"
+        "supported: bmp, png (8-bit, non-interlaced), pgm/ppm, "
+        "jpeg (baseline sequential)"
     )
 
 
@@ -339,6 +349,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_png(pixels)
     if fmt in ("pnm", "pgm", "ppm"):
         return encode_pnm(pixels)
+    if fmt in ("jpeg", "jpg"):
+        from carrot_transform_spark.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(pixels)
     raise NotImplementedError(f"no encoder for format {fmt!r}")
 
 

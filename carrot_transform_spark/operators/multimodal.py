@@ -5,11 +5,11 @@ typed metadata struct, exactly how a 100 TB training-data pipeline carries
 them (payload bytes in parquet, decode at the edges). The Spark-side
 plumbing — schemas, Arrow-batched mapInPandas, partition sizing — is real
 and tested, and so are the codecs for the dependency-free formats
-(operators/codecs.py: BMP / 8-bit PNG / PGM-PPM images, PCM+float WAV
-audio, YUV4MPEG2 video). Compressed formats (jpeg/mp3/mp4/...) have no
-dependency-free decoder in this container — ``real_decode`` raises
-``NotImplementedError`` for them; the deterministic ``fake_decode`` keeps
-the plumbing testable for any payload.
+(operators/codecs.py: BMP / 8-bit PNG / PGM-PPM / baseline JPEG images,
+PCM+float WAV audio, YUV4MPEG2 video). Formats still without a
+dependency-free decoder (progressive JPEG, mp3/mp4/...) raise
+``NotImplementedError`` from ``real_decode``; the deterministic
+``fake_decode`` keeps the plumbing testable for any payload.
 
 Operators:
 - ``attach_payload_meta``  : wrap raw bytes + declared modality into the

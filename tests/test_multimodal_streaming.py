@@ -47,7 +47,10 @@ def test_sample_frames_fanout(media_df):
     assert all(1 <= r["count"] <= 4 for r in per_id)  # n_frames in 1..8, step 2
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_unknown_magic_raises():
+    # formats with no dependency-free decoder still raise cleanly; note
+    # baseline JPEG is REAL now (operators/jpeg.py) — b"xx" has no JPEG
+    # magic, so it's the unknown-format path, not the JPEG path
     with pytest.raises(NotImplementedError):
         mm.real_decode(b"xx", "jpeg")
 

@@ -207,6 +207,12 @@ def test_bmp_indexed_palette_maps_to_rgb():
 
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x11GIF-ish unknown magic bytes")
+    # a JPEG magic now dispatches to the real decoder; malformed payloads
+    # raise its typed error (a ValueError), not NotImplementedError
+    from carrot_transform_spark.operators.jpeg import JpegError
+
+    with pytest.raises(JpegError):
         decode_image(b"\xff\xd8\xff\xe0 not really jpeg")
 
 
@@ -240,8 +246,15 @@ def test_committed_golden_decodes(name):
     assert px.shape == (g["height"], g["width"], g["channels"])
     assert hashlib.md5(px.tobytes()).hexdigest() == g["pixel_md5"]
     assert int(px.astype(np.int64).sum()) == g["pixel_sum"]
-    # the committed bytes ARE the deterministic gradient pattern
-    assert (px == _pattern(g["height"], g["width"], g["channels"])).all()
+    pattern = _pattern(g["height"], g["width"], g["channels"])
+    if g.get("lossy"):
+        # JPEG: decode is deterministic (md5 above) but reconstruction is
+        # approximate — bound the distance to the generating pattern
+        err = np.abs(px.astype(np.int64) - pattern.astype(np.int64)).max()
+        assert err <= g["max_err"], f"{name}: err {err} > {g['max_err']}"
+    else:
+        # the committed bytes ARE the deterministic gradient pattern
+        assert (px == pattern).all()
 
 
 # --------------------------------------------------- Spark end-to-end legs
