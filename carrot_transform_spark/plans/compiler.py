@@ -314,7 +314,12 @@ class CarrotPlanner:
         if len(inputs) > 2:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(min(16, len(inputs))) as ex:
+            # pool width 8, not 16: the py4j/analyzer pipeline saturates
+            # around 8 threads and oversubscription costs ~35% (measured
+            # 50-block compile: 16 threads 14.5-15.1 s, 8 threads
+            # 10.7-11.4 s, 4 threads 12.7 s, 1 thread 27.2 s — on a busy
+            # box, scripts/profile_wide_plan.py)
+            with ThreadPoolExecutor(min(8, len(inputs))) as ex:
                 parts = list(ex.map(build, inputs))
         else:
             parts = [build(i) for i in inputs]
@@ -339,7 +344,7 @@ class CarrotPlanner:
             if len(pairs) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(min(16, len(pairs))) as ex:
+                with ThreadPoolExecutor(min(8, len(pairs))) as ex:
                     parts = list(ex.map(union_pair, pairs)) + tail
             else:
                 parts = [union_pair(p) for p in pairs] + tail

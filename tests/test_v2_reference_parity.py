@@ -183,6 +183,28 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
         (orchestrator.py:201-203)
       - empty concept-id lists: the dest is dropped from combos
         (generate_combinations's `if concept_ids` filter)
+
+    Round-12 shapes (each probe-confirmed via scripts/probe_v2_shapes.py
+    before generating):
+      - mapping with NO date_mapping: records emit with empty date fields
+        (record_builder.apply_date_mappings returns True); the per-file
+        MAIN datetime steers to the first cdm-order table that has one
+        (mappingrules._get_infile_date_person_id_v2 partial fills)
+      - mapping with NO person_id_mapping: its records keep an empty pid
+        and are all rejected at write (invalid_person_ids)
+      - a file where NO table maps a date (or no table maps a pid) is
+        skipped wholesale (orchestrator.py:85-87)
+      - the person FILE fanning out to a standard table (v1 multi-target
+        analog; auto-ids run file-major)
+      - date dests that are the date-ONLY columns: the full normalised
+        datetime lands RAW in the *_date column (simple-field branch)
+        and the *_datetime column stays empty
+      - rules field names case-flipped vs the CSV header
+        (CaseInsensitiveDict column maps)
+      - the main datetime source doubling as a concept field: term
+        matching sees the IN-PLACE normalised value
+      - pid source == the datetime field: every record write rejects
+        (normalised datetimes never appear in person_lookup)
     """
     rng = random.Random(31_337 + seed)
     inputs = d / "inputs"
@@ -287,11 +309,36 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
         }
     if rng.random() < 0.3:  # field absent from the CSV header
         obs_cms["nosuch"] = {"*": {"observation_concept_id": [9999]}}
+    if rng.random() < 0.2:  # main datetime source doubling as a concept
+        # field: term matching sees the in-place NORMALISED value, so keys
+        # are normalised forms of the date zoo (plus one raw + wildcard)
+        obs_cms["when"] = {
+            "1990-01-02 00:00:00": {"observation_concept_id": [7100]},
+            "1993-05-06 07:08:09": {"observation_concept_id": [7200]},
+            "1990-01-02": {"observation_concept_id": [7300]},
+            "*": {"observation_concept_id": [7900]},
+            "original_value": ["observation_source_value"],
+        }
+    # date dests: usually the datetime column; sometimes the date-ONLY
+    # column (raw full datetime lands there, datetime col stays empty),
+    # sometimes both
+    obs_dests_roll = rng.random()
+    if obs_dests_roll < 0.70:
+        obs_dests = ["observation_datetime"]
+    elif obs_dests_roll < 0.85:
+        obs_dests = ["observation_date"]
+    else:
+        obs_dests = ["observation_datetime", "observation_date"]
     observation_map = {
-        "person_id_mapping": _pid(),
-        "date_mapping": _date("when", ["observation_datetime"]),
+        "person_id_mapping": _pid("when" if rng.random() < 0.06 else "pid"),
+        "date_mapping": _date("when", obs_dests),
         "concept_mappings": obs_cms,
     }
+    if rng.random() < 0.10:  # observation contributes NO date mapping:
+        # records emit with empty dates; the file's main datetime steers to
+        # whichever other table (cdm order) still maps one, or the whole
+        # file is skipped when none does
+        del observation_map["date_mapping"]
 
     # --- measurement mapping (half the seeds): date source when2 != the
     # file's main datetime -> raw-copy quirk; sometimes the date source is
@@ -313,6 +360,11 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
             "date_mapping": _date(m_date_src, ["measurement_datetime"]),
             "concept_mappings": {"code": m_cm},
         }
+        m_roll = rng.random()
+        if m_roll < 0.20:  # no date mapping at all: empty date fields
+            del measurement_map["date_mapping"]
+        elif m_roll < 0.32:  # no pid mapping: every record write rejects
+            del measurement_map["person_id_mapping"]
 
     # --- condition mapping (60%): multi-dest dates, empty concept lists ---
     condition_map = None
@@ -329,9 +381,18 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
         }
         if rng.random() < 0.3:  # empty list: dest dropped from combos
             c_cm["v0"] = {"condition_concept_id": [], "condition_source_concept_id": [254764]}
+        c_dests = rng.choice(
+            [
+                ["condition_start_datetime", "condition_end_datetime"],
+                ["condition_start_datetime", "condition_end_datetime"],
+                ["condition_start_date"],  # date-only dest: raw datetime
+                ["condition_start_datetime", "condition_end_date"],
+                ["condition_end_date", "condition_start_date"],
+            ]
+        )
         condition_map = {
             "person_id_mapping": _pid(),
-            "date_mapping": _date("when", ["condition_start_datetime", "condition_end_datetime"]),
+            "date_mapping": _date("when", c_dests),
             "concept_mappings": {"code": c_cm},
         }
 
@@ -377,6 +438,58 @@ def _gen_v2_case(seed: int, d: Path) -> tuple[Path, Path]:
         cdm[name] = {"obs.csv": m}
     if obs2_map is not None:
         cdm["observation"]["obs2.csv"] = obs2_map
+
+    # --- person-FILE fan-out (35%): demo.csv also feeds observation (v1
+    # multi-target analog; auto-ids run file-major across files) ---
+    if rng.random() < 0.35:
+        fan_cm: dict = {
+            "eth": {
+                "e0": {"observation_concept_id": [4001]},
+                "e1": {"observation_concept_id": [4002, 4003]},
+                "original_value": ["observation_source_value"],
+            }
+        }
+        if rng.random() < 0.4:  # second fan field -> per-field record sets
+            fan_cm["sex"] = {"M": {"observation_concept_id": [4100]}}
+        cdm.setdefault("observation", {})["demo.csv"] = {
+            "person_id_mapping": _pid(),
+            "date_mapping": _date(
+                "dob",
+                ["observation_datetime"]
+                if rng.random() < 0.7
+                else ["observation_date"],
+            ),
+            "concept_mappings": fan_cm,
+        }
+
+    # --- case-flip post-pass (25% of seeds): rules-side field names are
+    # matched case-insensitively against CSV headers (CaseInsensitiveDict
+    # column maps) — flip random source fields to upper/title case ---
+    if rng.random() < 0.25:
+
+        def _flip(name: str) -> str:
+            r = rng.random()
+            if r < 0.4:
+                return name.upper()
+            if r < 0.6:
+                return name.title()
+            return name
+
+        for table_maps in cdm.values():
+            for m in table_maps.values():
+                if "person_id_mapping" in m:
+                    m["person_id_mapping"] = {
+                        **m["person_id_mapping"],
+                        "source_field": _flip(m["person_id_mapping"]["source_field"]),
+                    }
+                if "date_mapping" in m:
+                    m["date_mapping"] = {
+                        **m["date_mapping"],
+                        "source_field": _flip(m["date_mapping"]["source_field"]),
+                    }
+                m["concept_mappings"] = {
+                    _flip(f): cm for f, cm in m["concept_mappings"].items()
+                }
 
     rules_file = d / "rules_v2.json"
     rules_file.write_text(

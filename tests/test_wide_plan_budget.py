@@ -91,12 +91,14 @@ def test_wide_plan_builds_within_budget(spark):
     # (memoized Column handles), ~20 s at round 9 (the whole record array
     # is ONE parsed SQL string per block + balanced-tree union), ~11 s
     # IDLE at round 10 (per-file construction and union-tree levels run
-    # across a thread pool — py4j clientserver parallelizes JVM
-    # parse/analysis per thread). The bound stays 60 s because inside the
-    # full suite the 16-thread pool contends with everything else
-    # (measured 59 s in-suite vs 11 s idle) — the blow-up class this test
-    # exists to catch is still 4x beyond it
-    assert build_s + analyze_s < 60.0, (
+    # across a thread pool). Round 12: pool width dropped 16 -> 8 — the
+    # py4j/analyzer pipeline saturates at ~8 threads and oversubscription
+    # cost ~35% plus most of the in-suite contention spread (old 59 s
+    # in-suite vs 11 s idle; now ~11-15 s even on a busy box,
+    # scripts/profile_wide_plan.py). Budget 30 s = ~2x the busy-box
+    # measurement; the blow-up class this test exists to catch starts 4x
+    # beyond that
+    assert build_s + analyze_s < 30.0, (
         f"wide plan took {build_s:.1f}s build + {analyze_s:.1f}s analyze "
         f"for {N_BLOCKS} blocks x {N_FIELDS} fields"
     )
