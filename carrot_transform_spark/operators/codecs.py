@@ -57,6 +57,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     return None

@@ -98,6 +98,25 @@ def real_decode(payload: bytes, fmt: str) -> dict:
             "samples": samples,
             "sample_rate": rate,
         }
+    if sniffed == "avi":
+        from carrot_transform_spark.operators import avi as A
+
+        ameta = A.parse_avi(payload)
+        n = len(ameta["frames"])
+
+        # sampled frames come back as REAL standalone JPEG payloads —
+        # directly re-decodable by decode_image (unlike y4m, no
+        # re-containerization is needed; MJPEG frames ARE images)
+        def frame_at(i: int) -> bytes:
+            return A.avi_frame_payload(payload, i, ameta)
+
+        return {
+            "width": ameta["width"],
+            "height": ameta["height"],
+            "n_frames": n,
+            "pixels": A.decode_avi_frame(payload, 0, ameta) if n else None,
+            "frame_at": frame_at,
+        }
     if sniffed == "y4m":
         meta = C.parse_y4m_header(payload)
         n = C.y4m_frame_count(payload, meta)

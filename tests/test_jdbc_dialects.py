@@ -188,24 +188,50 @@ def test_sqlalchemy_to_jdbc_unknown_scheme():
 
 
 def test_make_source_translates_sqlalchemy_urls(spark):
+    from carrot_transform_spark.sources.pgwire import (
+        PgWireSource,
+        jdbc_driver_available,
+    )
     from carrot_transform_spark.sources.registry import JdbcSource, make_source
 
     src = make_source(spark, "postgresql://u:p@h:5432/omop")
-    assert isinstance(src, JdbcSource)
-    assert src.url == "jdbc:postgresql://h:5432/omop"
-    assert src.properties == {"user": "u", "password": "p"}
-    assert src.dialect.name == "postgresql"
+    if jdbc_driver_available(spark, "org.postgresql.Driver"):
+        # with the driver jar present the JDBC reader handles the URL
+        assert isinstance(src, JdbcSource)
+        assert src.url == "jdbc:postgresql://h:5432/omop"
+        assert src.properties == {"user": "u", "password": "p"}
+        assert src.dialect.name == "postgresql"
+    else:
+        # no jar on the classpath: the wire transport takes postgres URLs
+        # (round 12) so they keep working in driverless environments
+        assert isinstance(src, PgWireSource)
+        assert (src.dsn.host, src.dsn.port, src.dsn.user, src.dsn.password,
+                src.dsn.database) == ("h", 5432, "u", "p", "omop")
+    # a dialect the wire transport does NOT cover still translates to JDBC
+    tr = make_source(spark, "trino://u@h:8080/memory/default")
+    assert isinstance(tr, JdbcSource)
+    assert tr.dialect.name == "trino"
 
 
 def test_make_sink_dispatch(spark, tmp_path):
     from carrot_transform_spark.sinks.tsv import JdbcSink, TsvDirSink, make_sink
 
+    from carrot_transform_spark.sources.pgwire import (
+        PgWireSink,
+        jdbc_driver_available,
+    )
+
     assert isinstance(make_sink(spark, tmp_path), TsvDirSink)
     assert isinstance(make_sink(spark, "jdbc:derby:memory:x;create=true"), JdbcSink)
     pg = make_sink(spark, "postgresql://u:p@h/omop")
-    assert isinstance(pg, JdbcSink)
-    assert pg.url == "jdbc:postgresql://h/omop"
-    assert pg.properties == {"user": "u", "password": "p"}
+    if jdbc_driver_available(spark, "org.postgresql.Driver"):
+        assert isinstance(pg, JdbcSink)
+        assert pg.url == "jdbc:postgresql://h/omop"
+        assert pg.properties == {"user": "u", "password": "p"}
+    else:
+        # driverless fallback (round 12): postgres URLs ride the wire sink
+        assert isinstance(pg, PgWireSink)
+        assert (pg.dsn.host, pg.dsn.user, pg.dsn.database) == ("h", "u", "omop")
     s3 = make_sink(spark, "s3a://bucket/out")
     assert isinstance(s3, TsvDirSink) and s3.is_url
 
