@@ -29,8 +29,9 @@ Audio and video are covered by two more dependency-free formats:
         materialisation) -> (H, W, 1|3) uint8 frames, chroma
         nearest-upsampled to full resolution
 
-- JPEG: baseline sequential (SOF0) via operators/jpeg.py — grayscale /
-        4:4:4 / 4:2:2 / 4:2:0, restart intervals; progressive raises
+- JPEG: baseline sequential (SOF0/1) AND progressive (SOF2, spectral
+        selection + successive approximation) via operators/jpeg.py —
+        grayscale / 4:4:4 / 4:2:2 / 4:2:0, restart intervals, EOBRUN
 
 ``decode_image`` still raises ``NotImplementedError`` for unknown magics;
 compressed video/audio (mp4/mp3/...) is the remaining out-of-scope set.

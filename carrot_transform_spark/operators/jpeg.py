@@ -1,13 +1,19 @@
-"""Dependency-free baseline JPEG codec (ITU-T T.81 sequential DCT, 8-bit,
-Huffman) — pure numpy + stdlib.
+"""Dependency-free JPEG codec (ITU-T T.81, 8-bit, Huffman) — pure
+numpy + stdlib.
 
 Closes the compressed-image seam in operators/codecs.py (VERDICT r11
 task 4): the container has no PIL/ffmpeg, so JFIF payloads in multimodal
-columns previously raised NotImplementedError. Supported: baseline SOF0,
-grayscale / YCbCr 4:4:4 / 4:2:2 / 4:2:0, restart intervals, 8- and
-16-bit DQT precision. Progressive (SOF2) and arithmetic coding still
-raise — they are rare in training corpora and decode errors surface
-cleanly in decode-stats error columns.
+columns previously raised NotImplementedError. Decode covers baseline
+sequential (SOF0/1) AND progressive (SOF2, spectral selection +
+successive approximation — the scan scripts libjpeg-style encoders
+emit); grayscale / YCbCr 4:4:4 / 4:2:2 / 4:2:0, restart intervals, 8-
+and 16-bit DQT precision, multi-scan EOBRUN. Lossless/hierarchical and
+arithmetic coding still raise, and errors surface cleanly in
+decode-stats error columns.
+
+Both processes share ONE scan decoder accumulating coefficients per
+component (baseline is the single full-band scan); tests pin the two
+entropy paths bit-identical on the same quantized coefficients.
 
 The encoder exists so tests (and the multimodal sample pipeline) can
 produce real JFIF bytes without external tools: Annex-K example
@@ -222,7 +228,15 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF -> (H, W, C) uint8 (C=1 grayscale, C=3 RGB)."""
+    """Baseline (SOF0) or progressive (SOF2) JFIF -> (H, W, C) uint8
+    (C=1 grayscale, C=3 RGB).
+
+    Both processes run through ONE scan decoder that accumulates
+    dequantization-ready coefficients per component (baseline is simply
+    the single full-band Ah=Al=0 interleaved scan); the IDCT/upsample/
+    color finish happens once at EOI. Progressive covers spectral
+    selection AND successive approximation (T.81 G.2), i.e. the scan
+    scripts libjpeg-style encoders actually emit."""
     if payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
@@ -230,14 +244,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
     restart_interval = 0
+    saw_scan = False
 
-    while pos < len(payload):
+    while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker: re-examine
+            pos += 1
+            continue
         pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        # 0x00 = a stuffed entropy byte the scan decoder left behind
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
@@ -254,9 +273,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     q = np.frombuffer(seg[off : off + 64], dtype=np.uint8).astype(np.int64)
                     off += 64
-                dq = np.zeros(64, dtype=np.int64)
-                dq[ZIGZAG] = q
-                qtables[tq] = dq.reshape(8, 8)
+                qtables[tq] = q.copy()  # zigzag order, matching coef storage
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):
@@ -266,7 +283,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[off + 17 : off + 17 + nv])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise JpegError(f"unsupported sample precision {prec}")
@@ -274,95 +291,223 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]  # padded grid
+                # true per-component block counts (T.81 A.2.2) for
+                # non-interleaved scan traversal
+                comp_w = -(-w * c["h"] // hmax)
+                comp_h = -(-h * c["v"] // vmax)
+                c["nbx"] = -(-comp_w // 8)
+                c["nby"] = -(-comp_h // 8)
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+                c["pred"] = 0
+                c["eobrun"] = 0
+            frame = {
+                "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+                "mcux": mcux, "mcuy": mcuy,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X}); "
-                "only baseline sequential (SOF0) is implemented"
+                "baseline sequential (SOF0/1) and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise JpegError("SOS before SOF0")
+                raise JpegError("SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0xF))
-            pos += seglen
-            return _decode_scan(
-                payload, pos, frame, scan, qtables, htables, restart_interval
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            pos = _decode_scan_coefs(
+                payload, pos + seglen, frame, scan, htables,
+                restart_interval, ss, se, ah, al,
             )
+            saw_scan = True
+            continue
         pos += seglen
-    raise JpegError("no scan data found")
+    if not saw_scan:
+        raise JpegError("no scan data found")
+    return _finish(frame, qtables)
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
-    h, w = frame["h"], frame["w"]
-    comps = [c for c, _, _ in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    planes = []
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
-
+def _decode_scan_coefs(data, pos, frame, scan, htables, ri, ss, se, ah, al):
+    """Decode one entropy-coded scan into the components' coefficient
+    arrays (zigzag order); returns the payload position of the next
+    marker. Handles interleaved and single-component scans, spectral
+    bands [ss, se], and successive approximation (ah=0 first pass /
+    ah>0 refinement)."""
     reader = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.restart()
-                preds = [0] * len(comps)
-            for ci, (comp, td, ta) in enumerate(scan):
-                dc_tab = htables.get((0, td))
-                ac_tab = htables.get((1, ta))
-                if dc_tab is None or ac_tab is None:
-                    raise JpegError("scan references undefined Huffman table")
-                q = qtables[comp["tq"]]
+    for comp, _, _ in scan:
+        comp["pred"] = 0
+        comp["eobrun"] = 0
+
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = frame["mcux"] * frame["mcuy"]
+    else:
+        comp = scan[0][0]
+        units = comp["nbx"] * comp["nby"]
+
+    def block_indices(unit):
+        """(comp, td, ta, flat block index) tuples for one MCU/block unit."""
+        if interleaved:
+            my, mx = divmod(unit, frame["mcux"])
+            for comp, td, ta in scan:
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        coef = np.zeros(64, dtype=np.int64)
-                        t = reader.decode_huffman(dc_tab)
-                        diff = _extend(reader.receive(t), t)
-                        preds[ci] += diff
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huffman(ac_tab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC run past end of block")
-                            coef[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.int64)
-                        blk[ZIGZAG] = coef
-                        spatial = _A.T @ (blk.reshape(8, 8) * q) @ _A
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            mcu_count += 1
+                        row = my * comp["v"] + by
+                        col = mx * comp["h"] + bx
+                        yield comp, td, ta, row * comp["bw"] + col
+        else:
+            comp, td, ta = scan[0]
+            row, col = divmod(unit, comp["nbx"])
+            yield comp, td, ta, row * comp["bw"] + col
 
-    # upsample to full res, crop, level-shift
+    p1 = 1 << al
+
+    for unit in range(units):
+        if ri and unit and unit % ri == 0:
+            reader.restart()
+            for comp, _, _ in scan:
+                comp["pred"] = 0
+                comp["eobrun"] = 0
+        for comp, td, ta, bi in block_indices(unit):
+            coef = comp["coef"][bi]
+            if ss == 0:  # DC (and, for sequential, the full band follows)
+                if ah == 0:
+                    dc_tab = htables.get((0, td))
+                    if dc_tab is None:
+                        raise JpegError("scan references undefined DC table")
+                    t = reader.decode_huffman(dc_tab)
+                    comp["pred"] += _extend(reader.receive(t), t)
+                    coef[0] = comp["pred"] << al
+                else:  # DC refinement: one bit per block
+                    if reader.read_bit():
+                        coef[0] |= p1
+            if se == 0:
+                continue
+            ac_tab = htables.get((1, ta))
+            if ac_tab is None:
+                raise JpegError("scan references undefined AC table")
+            k0 = max(ss, 1)
+            if ah == 0:
+                _ac_first(reader, ac_tab, coef, comp, k0, se, al)
+            else:
+                _ac_refine(reader, ac_tab, coef, comp, k0, se, al)
+    # leave pos at the stopping marker's 0xFF (or end)
+    return reader.pos
+
+
+def _ac_first(reader, ac_tab, coef, comp, k, se, al):
+    """AC first pass for band [k, se] at point transform al, with EOBRUN
+    (T.81 G.2.2; degenerates to the baseline AC loop when the encoder
+    never emits runs > 1)."""
+    if comp["eobrun"] > 0:
+        comp["eobrun"] -= 1
+        return
+    while k <= se:
+        rs = reader.decode_huffman(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            comp["eobrun"] = (1 << r) - 1
+            if r:
+                comp["eobrun"] += reader.receive(r)
+            return
+        k += r
+        if k > se:
+            raise JpegError("AC run past end of band")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, ac_tab, coef, comp, k, se, al):
+    """AC refinement pass (T.81 G.2.3 / libjpeg decode_mcu_AC_refine):
+    newly-nonzero coefficients arrive as (run, 1) symbols; history
+    coefficients get one correction bit each as they are passed."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(idx):
+        if reader.read_bit():
+            if coef[idx] > 0 and not (coef[idx] & p1):
+                coef[idx] += p1
+            elif coef[idx] < 0 and not (-coef[idx] & p1):
+                coef[idx] += m1
+
+    if comp["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_huffman(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise JpegError("AC refinement symbol with size != 1")
+                newval = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    comp["eobrun"] = (1 << r)
+                    if r:
+                        comp["eobrun"] += reader.receive(r)
+                    break
+            # advance over r zero-HISTORY positions, correcting nonzeros
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            coef[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if comp["eobrun"] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        comp["eobrun"] -= 1
+
+
+def _finish(frame, qtables):
+    """Dequantize + IDCT every accumulated block, upsample, color-convert."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
-    for ci, comp in enumerate(comps):
-        p = planes[ci]
+    for comp in frame["comps"]:
+        q = qtables.get(comp["tq"])
+        if q is None:
+            raise JpegError(f"missing quantization table {comp['tq']}")
+        bw, bh = comp["bw"], comp["bh"]
+        # vectorized finish: dequantize all blocks, dezigzag, batched IDCT
+        deq = comp["coef"].astype(np.float64) * q[None, :]
+        blocks = np.zeros((deq.shape[0], 64))
+        blocks[:, ZIGZAG] = deq
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A)
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
         if comp["h"] != hmax or comp["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // comp["v"], 0), hmax // comp["h"], 1)
-        full.append(p[:h, :w] + 128.0)
+            plane = np.repeat(
+                np.repeat(plane, vmax // comp["v"], 0), hmax // comp["h"], 1
+            )
+        full.append(plane[:h, :w] + 128.0)
 
     if len(full) == 1:
         return np.clip(full[0], 0, 255).astype(np.uint8)[..., None]
@@ -373,6 +518,238 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------ progressive encode
+
+
+def _quant_blocks(plane: np.ndarray, q8: np.ndarray) -> np.ndarray:
+    """Centered padded plane -> (n_blocks, 64) quantized coefs in ZIGZAG
+    order (zz[k] = natural[ZIGZAG[k]], mirroring the decoder's storage)."""
+    ph, pw = plane.shape
+    blocks = (
+        plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coef = np.einsum("ij,njk,kl->nil", _A, blocks, _A.T)
+    quant = np.round(coef / q8[None]).astype(np.int64).reshape(-1, 64)
+    return quant[:, ZIGZAG]
+
+
+def _emit_dc_first(bw, coefs, dc_encs, al, mcus, order):
+    preds = [0] * len(coefs)
+    for unit in range(mcus):
+        for ci in order(unit):
+            v = int(coefs[ci][unit][0]) >> al  # arithmetic shift (T.81 DC)
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = abs(diff).bit_length()
+            code, ln = dc_encs[ci][t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+
+def _emit_dc_refine(bw, coefs, al, mcus, order):
+    for unit in range(mcus):
+        for ci in order(unit):
+            bw.write((int(coefs[ci][unit][0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(bw, block, ac_enc, ss, se, al):
+    """One block's AC-first pass; EOBRUN capped at 1 (symbol 0x00 per
+    block) because the Annex-K tables carry no longer-run symbols."""
+    k = ss
+    run = 0
+    mags = [abs(int(block[i])) >> al for i in range(ss, se + 1)]
+    last_nz = -1
+    for i, m in enumerate(mags):
+        if m:
+            last_nz = i
+    if last_nz < 0:
+        code, ln = ac_enc[0x00]
+        bw.write(code, ln)
+        return
+    for i, m in enumerate(mags):
+        if m == 0:
+            run += 1
+            continue
+        if i > last_nz:
+            break
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = m.bit_length()
+        code, ln = ac_enc[(run << 4) | s]
+        bw.write(code, ln)
+        v = m if int(block[ss + i]) > 0 else -m
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < len(mags) - 1:
+        code, ln = ac_enc[0x00]
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, block, ac_enc, ss, se, al):
+    """One block's AC refinement (T.81 G.1.2.3 / jcphuff mirror), EOBRUN
+    capped at 1: history coefficients buffer a correction bit that is
+    flushed after the next emitted symbol."""
+    absv = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, m in enumerate(absv):
+        if m == 1:
+            eob = i
+    r = 0
+    br: list[int] = []
+
+    def flush_br():
+        for bit in br:
+            bw.write(bit, 1)
+        br.clear()
+
+    for i, m in enumerate(absv):
+        if m == 0:
+            r += 1
+            continue
+        if m > 1:  # history coefficient: one correction bit
+            br.append(m & 1)
+            continue
+        # newly significant (m == 1)
+        while r > 15 and i <= eob:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            flush_br()
+        code, ln = ac_enc[(r << 4) | 1]
+        bw.write(code, ln)
+        r = 0
+        bw.write(1 if int(block[ss + i]) > 0 else 0, 1)
+        flush_br()
+    if r > 0 or br:
+        code, ln = ac_enc[0x00]
+        bw.write(code, ln)
+        flush_br()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 1|3) uint8 -> progressive JFIF (SOF2), 4:4:4 / grayscale.
+
+    Scan script (the libjpeg-shaped spectral-selection + successive-
+    approximation progression, bounded to the Annex-K Huffman alphabet by
+    capping EOBRUN at one block): interleaved DC first at Al=1; per
+    component AC first (split bands 1-5 / 6-63 for luma) at Al=1; DC
+    refinement; per component AC refinement to Al=0."""
+    if pixels.ndim == 2:
+        pixels = pixels[..., None]
+    h, w, nc = pixels.shape
+    if nc not in (1, 3):
+        raise JpegError(f"unsupported channel count {nc}")
+    px = pixels.astype(np.float64)
+    if nc == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [px[..., 0]]
+
+    ql = _scale_quant(QUANT_LUMA, quality).reshape(8, 8)
+    qc = _scale_quant(QUANT_CHROMA, quality).reshape(8, 8)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    mcux, mcuy = pw // 8, ph // 8
+    mcus = mcux * mcuy
+
+    coefs = []
+    for ci, p in enumerate(planes):
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        coefs.append(_quant_blocks(pp - 128.0, ql if ci == 0 else qc))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tq, table):
+        zz = table.reshape(-1)[ZIGZAG]
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(int(v) for v in zz)
+
+    out += dqt(0, ql)
+    if nc == 3:
+        out += dqt(1, qc)
+
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)  # SOF2
+    for i in range(nc):
+        out += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+
+    def dht(tc, th, bits, vals):
+        return (
+            b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        )
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if nc == 3:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    dc_encs = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_encs = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if nc == 3:
+        dcc = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        acc = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+        dc_encs += [dcc, dcc]
+        ac_encs += [acc, acc]
+
+    def sos(comp_specs, ss, se, ah, al):
+        seg = bytearray(b"\xff\xda")
+        seg += struct.pack(">HB", 6 + 2 * len(comp_specs), len(comp_specs))
+        for cid, td, ta in comp_specs:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    def tab(ci):
+        return 0 if ci == 0 else 1
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    out += sos([(ci + 1, tab(ci), 0) for ci in range(nc)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    _emit_dc_first(bw, coefs, dc_encs, 1, mcus, lambda u: range(nc))
+    bw.flush()
+    out += bw.out
+
+    # --- AC first scans at Al=1 (luma split into two bands) ---
+    ac_first_scans = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63) for ci in range(1, nc)]
+    for ci, ss_, se_ in ac_first_scans:
+        out += sos([(ci + 1, 0, tab(ci))], ss_, se_, 0, 1)
+        bw = _BitWriter()
+        for u in range(mcus):
+            _emit_ac_first(bw, coefs[ci][u], ac_encs[ci], ss_, se_, 1)
+        bw.flush()
+        out += bw.out
+
+    # --- DC refinement to Al=0, interleaved ---
+    out += sos([(ci + 1, tab(ci), 0) for ci in range(nc)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    _emit_dc_refine(bw, coefs, 0, mcus, lambda u: range(nc))
+    bw.flush()
+    out += bw.out
+
+    # --- AC refinement scans Ah=1 -> Al=0 ---
+    for ci in range(nc):
+        out += sos([(ci + 1, 0, tab(ci))], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for u in range(mcus):
+            _emit_ac_refine(bw, coefs[ci][u], ac_encs[ci], 1, 63, 0)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------- encoding

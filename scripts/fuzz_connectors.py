@@ -22,9 +22,11 @@ def main() -> int:
 
     from carrot_transform_spark.session import get_spark
     from tests.test_connector_fuzz import (
+        _pgwire_up,
         run_csv_source_seed,
         run_jdbc_seed,
         run_jsonl_seed,
+        run_pgwire_seed,
         run_tsv_sink_seed,
     )
 
@@ -37,6 +39,10 @@ def main() -> int:
         ("jdbc", run_jdbc_seed),
         ("jsonl", run_jsonl_seed),
     ]
+    if _pgwire_up():
+        legs.append(("pgwire", run_pgwire_seed))
+    else:
+        print("pgwire leg SKIPPED (no live Postgres)", flush=True)
     failures: list[str] = []
     t0 = time.time()
     for seed in range(start, start + n):

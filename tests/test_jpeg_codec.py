@@ -140,11 +140,17 @@ def test_dri_marker_emitted_only_when_requested():
 # ------------------------------------------------------------ error paths
 
 
-def test_progressive_rejected_cleanly():
-    data = bytearray(encode_jpeg(_smooth(16, 16, 3), 90))
+def test_sof_marker_handling():
+    img = _smooth(16, 16, 3)
+    data = bytearray(encode_jpeg(img, 90))
     sof = data.index(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(JpegError, match="baseline"):
+    # SOF2 (progressive) is a supported process now; a full-band single
+    # scan under the SOF2 marker decodes identically to the SOF0 stream
+    data[sof + 1] = 0xC2
+    assert (decode_jpeg(bytes(data)) == decode_jpeg(bytes(encode_jpeg(img, 90)))).all()
+    # lossless (SOF3) stays cleanly rejected
+    data[sof + 1] = 0xC3
+    with pytest.raises(JpegError, match="unsupported JPEG process"):
         decode_jpeg(bytes(data))
 
 
@@ -203,3 +209,111 @@ def test_jpeg_decode_stats_spark_leg(spark):
     for i, h, w, _c, _ss in specs:
         assert (got[i]["width"], got[i]["height"]) == (w, h)
         assert got[i]["n_frames"] == 1
+
+
+# ---------------------------------------------------------- progressive
+
+
+def _prog_pair(img, q=90):
+    from carrot_transform_spark.operators.jpeg import encode_jpeg_progressive
+
+    return (
+        decode_jpeg(encode_jpeg_progressive(img, q)),
+        decode_jpeg(encode_jpeg(img, q)),
+    )
+
+
+@pytest.mark.parametrize(
+    "shape", [(37, 53, 3), (8, 8, 3), (9, 17, 1), (16, 5, 3)]
+)
+def test_progressive_decode_matches_baseline_exactly(shape):
+    """The strongest check available without an external codec: the
+    progressive scan script (SA Al=1->0 + spectral splits) and the
+    baseline single scan carry the SAME quantized coefficients, so the
+    two decodes must be bit-identical."""
+    h, w, c = shape
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(x * 7 + y * 3) % 256, (y * 5) % 256, ((x + y) * 11) % 256][:c], axis=-1
+    ).astype(np.uint8)
+    prog, base = _prog_pair(img)
+    assert (prog == base).all()
+
+
+def test_progressive_noise_and_sparse_exact():
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    prog, base = _prog_pair(noise, 92)
+    assert (prog == base).all()  # heavy correction-bit + ZRL traffic
+    sparse = np.zeros((32, 32, 3), np.uint8)
+    sparse[5, 7] = 255
+    sparse[20, 25] = 128
+    prog, base = _prog_pair(sparse, 85)
+    assert (prog == base).all()  # long zero runs: ZRL + per-block EOB
+
+
+def test_progressive_reconstruction_quality():
+    img = _smooth(37, 53, 3)
+    from carrot_transform_spark.operators.jpeg import encode_jpeg_progressive
+
+    out = decode_jpeg(encode_jpeg_progressive(img, 90))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_progressive_eobrun_multiblock():
+    """EOBRUN > 1 decoding (our encoder caps runs at one block because
+    the Annex-K tables lack the run symbols, so this path needs a
+    hand-crafted scan): a custom AC table with the 0x20 symbol encodes
+    'four blocks end-of-band' in one token; all four blocks of the
+    16x16 gray image must come back DC-only."""
+    from carrot_transform_spark.operators.jpeg import (
+        _BitWriter,
+        _build_encode_table,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+    )
+
+    # custom AC table: symbols 0x20 (EOBRUN, r=2) and 0x01 at short codes
+    ac_bits = [0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x20, 0x01]
+    dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_enc = _build_encode_table(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    q = bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 16, 16, 1) + bytes([1, 0x11, 0])
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(DC_LUMA_VALS)) + b"\x00"
+        + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    )
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 19 + len(ac_vals)) + b"\x10"
+        + bytes(ac_bits) + bytes(ac_vals)
+    )
+    # scan 1: DC first Al=0 — DC diffs 40, 0, 0, 0 (pred carries)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0x00])
+    bw = _BitWriter()
+    for diff in (40, 0, 0, 0):
+        t = abs(diff).bit_length()
+        code, ln = dc_enc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.out
+    # scan 2: AC first band 1..63 — ONE token: EOBRUN r=2 + 2 extension
+    # bits (0b11) = (1<<2) + 3 = 7 >= 4 blocks, all end-of-band
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0x00])
+    bw = _BitWriter()
+    code, ln = ac_enc[0x20]
+    bw.write(code, ln)
+    bw.write(0b11, 2)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+
+    px = decode_jpeg(bytes(out))
+    assert px.shape == (16, 16, 1)
+    # DC 40 with q=1: spatial value = 40/8 + 128 = 133 everywhere
+    assert (px == 133).all()
