@@ -32,6 +32,8 @@ Audio and video are covered by two more dependency-free formats:
 - JPEG: baseline sequential (SOF0/1) AND progressive (SOF2, spectral
         selection + successive approximation) via operators/jpeg.py —
         grayscale / 4:4:4 / 4:2:2 / 4:2:0, restart intervals, EOBRUN
+- GIF : 87a/89a via operators/gif.py — LZW, global/local color tables,
+        interlace, transparency, animation with frame compositing
 
 ``decode_image`` still raises ``NotImplementedError`` for unknown magics;
 compressed video/audio (mp4/mp3/...) is the remaining out-of-scope set.
@@ -56,6 +58,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "pnm"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -338,6 +342,10 @@ def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
         from carrot_transform_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if sniffed == "gif":
+        from carrot_transform_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for format {fmt or 'unknown'!r}; "
         "supported: bmp, png (8-bit, non-interlaced), pgm/ppm, "

@@ -5,11 +5,12 @@ typed metadata struct, exactly how a 100 TB training-data pipeline carries
 them (payload bytes in parquet, decode at the edges). The Spark-side
 plumbing — schemas, Arrow-batched mapInPandas, partition sizing — is real
 and tested, and so are the codecs for the dependency-free formats
-(operators/codecs.py: BMP / 8-bit PNG / PGM-PPM / baseline JPEG images,
-PCM+float WAV audio, YUV4MPEG2 video). Formats still without a
-dependency-free decoder (progressive JPEG, mp3/mp4/...) raise
-``NotImplementedError`` from ``real_decode``; the deterministic
-``fake_decode`` keeps the plumbing testable for any payload.
+(operators/codecs.py: BMP / 8-bit PNG / PGM-PPM / JPEG incl. progressive
+/ GIF incl. animation, PCM+float WAV audio, YUV4MPEG2 + MJPEG-AVI
+video). Formats still without a dependency-free decoder (mp3/mp4/webp/
+...) raise ``NotImplementedError`` from ``real_decode``; the
+deterministic ``fake_decode`` keeps the plumbing testable for any
+payload.
 
 Operators:
 - ``attach_payload_meta``  : wrap raw bytes + declared modality into the
@@ -97,6 +98,25 @@ def real_decode(payload: bytes, fmt: str) -> dict:
             "n_frames": int(samples.shape[0]),
             "samples": samples,
             "sample_rate": rate,
+        }
+    if sniffed == "gif":
+        from carrot_transform_spark.operators import codecs as CC
+        from carrot_transform_spark.operators import gif as G
+
+        gmeta = G.parse_gif(payload)
+        gframes = G.decode_gif_frames(payload, gmeta)
+
+        # animated GIFs behave like video: sampled frames come back as
+        # standalone PNG payloads (lossless, dependency-free re-encode)
+        def frame_at(i: int) -> bytes:
+            return CC.encode_png(gframes[i])
+
+        return {
+            "width": gmeta["width"],
+            "height": gmeta["height"],
+            "n_frames": len(gframes),
+            "pixels": gframes[0],
+            "frame_at": frame_at,
         }
     if sniffed == "avi":
         from carrot_transform_spark.operators import avi as A
