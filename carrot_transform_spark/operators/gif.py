@@ -4,8 +4,9 @@
 Rounds out the image formats a web-scraped training corpus actually
 contains (operators/codecs.py: BMP/PNG/netpbm/JPEG + this). Decode
 covers global/local color tables, interlacing, transparency indices,
-multi-frame animations with disposal methods 0/1 (draw-over) and 2
-(restore to background); frames composite onto the logical screen the
+multi-frame animations with disposal methods 0/1 (draw-over), 2
+(restore to background) and 3 (restore to previous — the pre-draw
+screen is snapshotted and reinstated); frames composite onto the logical screen the
 way a viewer would, so ``decode_gif_frames(payload)[i]`` is the i-th
 DISPLAYED frame, not the raw sub-rectangle. LZW is the GIF variant
 (LSB-first bit packing, variable 3..12-bit codes, clear/end codes,
@@ -245,12 +246,15 @@ def decode_gif_frames(payload: bytes, meta: dict | None = None) -> list[np.ndarr
         if tr is not None:
             mask = (idx != tr)[..., None]
             region = np.where(mask, region, target)
+        prev = screen if fr["disposal"] == 3 else None  # pre-draw snapshot
         screen = screen.copy()
         screen[top : top + fh, left : left + fw] = region
         out.append(screen.copy())
         if fr["disposal"] == 2:  # restore to background
             fill = gct[bg] if (gct is not None and bg < len(gct)) else 0
             screen[top : top + fh, left : left + fw] = fill
+        elif fr["disposal"] == 3:  # restore to previous
+            screen = prev
     return out
 
 

@@ -120,6 +120,16 @@ class JpegError(ValueError):
     """Malformed or unsupported JPEG payload."""
 
 
+def _unpack(fmt: str, buf: bytes) -> tuple:
+    """struct.unpack that keeps the module's error contract: a truncated
+    marker segment raises JpegError (what decode-stats error columns
+    classify on), never a bare struct.error."""
+    try:
+        return struct.unpack(fmt, buf)
+    except struct.error:
+        raise JpegError("truncated JPEG marker segment") from None
+
+
 def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """Canonical Huffman: {(length, code) -> symbol}."""
     table: dict[tuple[int, int], int] = {}
@@ -260,7 +270,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
-        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        (seglen,) = _unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             off = 0
@@ -284,7 +294,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 off += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
-            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if len(seg) < 6:
+                raise JpegError("truncated SOF segment")
+            prec, h, w, nc = seg[0], *_unpack(">HH", seg[1:5]), seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise JpegError("truncated SOF component list")
             if prec != 8:
                 raise JpegError(f"unsupported sample precision {prec}")
             comps = []
@@ -316,15 +330,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "baseline sequential (SOF0/1) and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", seg[:2])
+            (restart_interval,) = _unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
+            if not seg or len(seg) < 4 + 2 * seg[0]:
+                raise JpegError("truncated SOS segment")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise JpegError(
+                        f"scan references undefined component id {cs}"
+                    )
                 scan.append((comp, tdta >> 4, tdta & 0xF))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF

@@ -58,6 +58,16 @@ class PgWireError(RuntimeError):
     """Server ErrorResponse, with the severity/code/message fields."""
 
 
+class PgTransportError(PgWireError):
+    """Connection-level failure (EOF mid-message, dead socket).
+
+    Distinct from a server ErrorResponse: after an ErrorResponse the
+    session is still alive and must be drained to ReadyForQuery, but a
+    transport failure means no further message will ever arrive — loops
+    that drain-after-error must re-raise this immediately or they spin
+    forever on a dead socket."""
+
+
 @dataclass
 class PgDsn:
     host: str
@@ -149,7 +159,7 @@ class PgWireConnection:
         while len(self._buf) < n:
             chunk = self.sock.recv(max(65536, n - len(self._buf)))
             if not chunk:
-                raise PgWireError("server closed the connection")
+                raise PgTransportError("server closed the connection")
             self._buf += chunk
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
@@ -239,9 +249,16 @@ class PgWireConnection:
         while True:
             try:
                 tag, body = self._recv()
+            except PgTransportError:
+                # dead socket: nothing left to drain — surface the first
+                # server error if one arrived, else the transport failure
+                if err is not None:
+                    raise err
+                raise
             except PgWireError as e:
-                # drain to ReadyForQuery before surfacing, else the session
-                # desynchronizes and every later call misparses
+                # server ErrorResponse: drain to ReadyForQuery before
+                # surfacing, else the session desynchronizes and every
+                # later call misparses
                 err = err or e
                 continue
             if tag == b"T":
@@ -381,6 +398,26 @@ def _fold_table(table: str) -> str:
     return table.lower()
 
 
+def _quote_ident(name: str) -> str:
+    """Double-quote an SQL identifier so reserved words, spaces and mixed
+    case survive — the same quoting Spark's JDBC writer applies, keeping
+    the wire sink's DDL/COPY consistent with the source's SELECT list."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _bounds_frame(spark: SparkSession, bounds: list[tuple[int, int]]):
+    """One ctid page range per Spark partition, exactly.
+
+    ``repartition(n, col)`` hash-partitions n rows into n partitions, so
+    by balls-in-bins some tasks carry 2-3 ranges while others sit idle
+    (~2-3x read straggler). ``parallelize`` with numSlices=len(bounds)
+    slices the list evenly — a deterministic 1-range-per-task layout."""
+    n = len(bounds)
+    rows = [(lo, hi, i == n - 1) for i, (lo, hi) in enumerate(bounds)]
+    rdd = spark.sparkContext.parallelize(rows, n)
+    return spark.createDataFrame(rdd, "lo long, hi long, last boolean")
+
+
 class PgWireSource(Source):
     """Partitioned Postgres scan over the wire protocol (S2 twin).
 
@@ -399,15 +436,45 @@ class PgWireSource(Source):
         self.partitions = int(
             self.dsn.options.get("partitions", _DEFAULT_PARTITIONS)
         )
+        self.snapshot = self.dsn.options.get("snapshot", "").lower() in (
+            "1", "true", "yes",
+        )
+        # exporting transactions kept open while their snapshot is in use
+        # (a pg_export_snapshot() id is only valid while the exporting
+        # transaction is; the connection lives on the source object and
+        # is released by close() or interpreter exit)
+        self._snapshot_conns: list[PgWireConnection] = []
 
     def scan_splits(self, table: str) -> int | None:
         return self.partitions
 
+    def close(self) -> None:
+        """Release snapshot-exporting transactions (rollback via terminate)."""
+        while self._snapshot_conns:
+            self._snapshot_conns.pop().close()
+
+    def _export_snapshot(self) -> str:
+        """Open a REPEATABLE READ transaction, export its snapshot, and keep
+        the connection alive so every task can `SET TRANSACTION SNAPSHOT` to
+        the same MVCC view — consistent parallel reads under concurrent
+        writes (Spark's JDBC partitioned read offers no such mode; each task
+        otherwise sees its own snapshot, the documented JDBC contract)."""
+        c = PgWireConnection(self.dsn)
+        try:
+            c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+            _, rows = c.query("SELECT pg_export_snapshot()")
+        except Exception:
+            c.close()
+            raise
+        self._snapshot_conns.append(c)
+        return rows[0][0]
+
     def _probe(self, tbl: str) -> tuple[list[str], int]:
         """(column names as the server reports them, heap page count)."""
+        q = _quote_ident(tbl)
         with PgWireConnection(self.dsn) as c:
-            cols, _ = c.query(f"SELECT * FROM {tbl} LIMIT 0")
-            lit = tbl.replace("'", "''")
+            cols, _ = c.query(f"SELECT * FROM {q} LIMIT 0")
+            lit = q.replace("'", "''")
             _, rows = c.query(
                 f"SELECT GREATEST(pg_relation_size('{lit}') / 8192, 1)"
             )
@@ -420,9 +487,10 @@ class PgWireSource(Source):
         n = max(1, min(self.partitions, pages))
         step = -(-pages // n)
         bounds = [(i * step, (i + 1) * step) for i in range(n)]
+        snap = self._export_snapshot() if self.snapshot else None
 
-        dsn, names = self.dsn, list(server_cols)
-        sel = ", ".join('"%s"' % c.replace('"', '""') for c in names)
+        dsn, names, qtbl = self.dsn, list(server_cols), _quote_ident(tbl)
+        sel = ", ".join(_quote_ident(c) for c in names)
 
         def scan(batches):
             import pandas as pd
@@ -431,11 +499,17 @@ class PgWireSource(Source):
                 for lo, hi, last in zip(pdf["lo"], pdf["hi"], pdf["last"]):
                     hi_tid = _CTID_MAX if last else f"({int(hi)},0)"
                     sql = (
-                        f"COPY (SELECT {sel} FROM ONLY {tbl} "
+                        f"COPY (SELECT {sel} FROM ONLY {qtbl} "
                         f"WHERE ctid >= '({int(lo)},0)' AND ctid < '{hi_tid}') "
                         "TO STDOUT"
                     )
                     with PgWireConnection(dsn) as c:
+                        if snap is not None:
+                            c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+                            c.query(
+                                "SET TRANSACTION SNAPSHOT '%s'"
+                                % snap.replace("'", "''")
+                            )
                         buf = bytearray()
                         for chunk in c.copy_out(sql):
                             buf += chunk
@@ -452,11 +526,7 @@ class PgWireSource(Source):
                     )
 
         schema = StructType([StructField(c, StringType()) for c in server_cols])
-        rdf = self.spark.createDataFrame(
-            [(lo, hi, i == n - 1) for i, (lo, hi) in enumerate(bounds)],
-            "lo long, hi long, last boolean",
-        ).repartition(n, "lo")
-        df = rdf.mapInPandas(scan, schema)
+        df = _bounds_frame(self.spark, bounds).mapInPandas(scan, schema)
         df = df.toDF(*cols)
         return self._finalize(df)
 
@@ -471,18 +541,21 @@ class PgWireSink:
         self.dsn = PgDsn.parse(spec)
 
     def _ddl(self, name: str, columns: list[str]) -> None:
-        cols_sql = ", ".join(f"{c} TEXT" for c in columns)
+        # identifiers quoted like the source's SELECT list (and like
+        # Spark's JDBC writer), so reserved words / spaces / case survive
+        cols_sql = ", ".join(f"{_quote_ident(c)} TEXT" for c in columns)
+        q = _quote_ident(name)
         with PgWireConnection(self.dsn) as c:
-            c.query(f"DROP TABLE IF EXISTS {name}")
-            c.query(f"CREATE TABLE {name} ({cols_sql})")
+            c.query(f"DROP TABLE IF EXISTS {q}")
+            c.query(f"CREATE TABLE {q} ({cols_sql})")
 
     def write(self, name: str, df: DataFrame, columns: list[str]) -> None:
         tbl = _fold_table(name)
         self._ddl(tbl, columns)
         sel = df.select(*[F.col(c).cast("string").alias(c) for c in columns])
         dsn = self.dsn
-        col_list = ", ".join(columns)
-        copy_sql = f"COPY {tbl} ({col_list}) FROM STDIN"
+        col_list = ", ".join(_quote_ident(c) for c in columns)
+        copy_sql = f"COPY {_quote_ident(tbl)} ({col_list}) FROM STDIN"
 
         def write_part(batches):
             import pandas as pd
@@ -538,8 +611,9 @@ class PgWireSink:
         payload = "".join(
             "\t".join(encode_copy_text(v) for v in r) + "\n" for r in rows
         ).encode()
+        cols = ", ".join(_quote_ident(h) for h in header)
         with PgWireConnection(self.dsn) as c:
-            c.copy_in(f"COPY {tbl} ({', '.join(header)}) FROM STDIN", [payload])
+            c.copy_in(f"COPY {_quote_ident(tbl)} ({cols}) FROM STDIN", [payload])
 
 
 def jdbc_driver_available(spark: SparkSession, klass: str) -> bool:

@@ -100,6 +100,39 @@ def test_local_color_table_and_transparency():
     assert (frames[1] == frames[0]).all()
 
 
+def test_disposal_restore_to_previous():
+    """Disposal 3: the screen reverts to its PRE-DRAW state before the next
+    frame composites — a later frame must not see the disposed frame's
+    pixels (regression: disposal 3 was silently treated as draw-over)."""
+    gct = np.array(
+        [[9, 9, 9], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 2, 2) + bytes([0x81, 0, 0])  # GCT, 4 entries
+    out += gct.tobytes()
+
+    def image(rect, idx_bytes, disposal=None):
+        blk = bytearray()
+        if disposal is not None:
+            blk += b"\x21\xf9\x04" + bytes([disposal << 2, 0, 0, 0]) + b"\x00"
+        blk += b"\x2c" + struct.pack("<HHHH", *rect) + bytes([0x00])  # no LCT
+        data = _lzw_encode(idx_bytes, 2)
+        blk += bytes([2, len(data)]) + data + b"\x00"
+        return blk
+
+    out += image((0, 0, 2, 2), b"\x00\x00\x00\x00")            # f0: all c0
+    out += image((0, 0, 1, 1), b"\x01", disposal=3)             # f1: c1, restore-prev
+    out += image((1, 1, 1, 1), b"\x02")                         # f2: c2 bottom-right
+    out += b"\x3b"
+
+    d = decode_gif_frames(bytes(out))
+    assert (d[0] == gct[0]).all()
+    assert (d[1][0, 0] == gct[1]).all() and (d[1][1, 1] == gct[0]).all()
+    # f1's pixel is GONE in d2 (restored), f2's pixel present
+    assert (d[2][0, 0] == gct[0]).all(), "disposal 3 leaked the disposed frame"
+    assert (d[2][1, 1] == gct[2]).all()
+
+
 def test_error_paths():
     with pytest.raises(GifError):
         parse_gif(b"NOTGIF" + b"\x00" * 10)

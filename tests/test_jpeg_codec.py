@@ -162,6 +162,35 @@ def test_garbage_and_truncation_rejected():
         decode_jpeg(data[:20])  # headers cut off -> no scan
 
 
+def test_malformed_segments_raise_jpegerror():
+    """Every malformed-payload path raises JpegError — the type the
+    decode-stats error columns classify on — never a bare StopIteration
+    or struct.error (ADVICE r12)."""
+    data = bytearray(encode_jpeg(_smooth(16, 16, 3), 90))
+
+    # SOS referencing an undefined component id
+    sos = bytes(data).index(b"\xff\xda")
+    bad = bytearray(data)
+    bad[sos + 5] = 0x77  # first scan component id -> unknown
+    with pytest.raises(JpegError, match="undefined component id"):
+        decode_jpeg(bytes(bad))
+
+    # truncated SOF segment (length claims more than present)
+    sof = bytes(data).index(b"\xff\xc0")
+    bad = bytearray(data[: sof + 7])  # cut inside the SOF body
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(bad))
+
+    # DRI with an empty body
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\xff\xd8" + b"\xff\xdd\x00\x02" + b"\xff\xd9")
+
+    # SOS segment shorter than its component list claims
+    bad = b"\xff\xd8" + bytes(data[sof : sos + 4]) + b"\x03" + b"\xff\xd9"
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(bad))
+
+
 def test_unsupported_inputs_rejected():
     with pytest.raises(JpegError):
         encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))

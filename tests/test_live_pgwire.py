@@ -27,9 +27,13 @@ import pytest
 
 from carrot_transform_spark.sources.pgwire import (
     PgDsn,
+    PgTransportError,
     PgWireConnection,
+    PgWireError,
     PgWireSink,
     PgWireSource,
+    _bounds_frame,
+    _quote_ident,
     decode_copy_text,
     encode_copy_text,
 )
@@ -78,6 +82,111 @@ def test_copy_text_null_vs_empty():
     assert decode_copy_text(b"\\N\t\n") == [[None, ""]]
     assert encode_copy_text(None) == "\\N"
     assert encode_copy_text("") == ""
+
+
+def test_quote_ident():
+    assert _quote_ident("plain") == '"plain"'
+    assert _quote_ident("with space") == '"with space"'
+    assert _quote_ident('has"quote') == '"has""quote"'
+    assert _quote_ident("select") == '"select"'
+
+
+def test_bounds_frame_one_range_per_task(spark):
+    """Exactly one ctid range per Spark partition at n=16 — the promised
+    N-way parallel scan, not a hash-partitioned balls-in-bins layout."""
+    bounds = [(i * 10, (i + 1) * 10) for i in range(16)]
+    df = _bounds_frame(spark, bounds)
+    assert df.rdd.getNumPartitions() == 16
+    assert df.rdd.glom().map(len).collect() == [1] * 16
+    rows = sorted(df.collect(), key=lambda r: r["lo"])
+    assert [(r["lo"], r["hi"]) for r in rows] == bounds
+    assert [r["last"] for r in rows] == [False] * 15 + [True]
+
+
+# ----------------------------------------------------- fake-server failures
+
+
+def _fake_pg_server(after_query: bytes):
+    """Minimal backend: completes startup (AuthenticationOk+ReadyForQuery),
+    then on the first Query message sends `after_query` raw and closes the
+    socket — simulating a server death mid-query."""
+    import struct
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+
+    def run():
+        conn, _ = srv.accept()
+        try:
+            # startup packet: int32 len, then len-4 bytes
+            head = conn.recv(4)
+            (ln,) = struct.unpack("!i", head)
+            need = ln - 4
+            while need > 0:
+                need -= len(conn.recv(need))
+            conn.sendall(b"R" + struct.pack("!ii", 8, 0))  # AuthenticationOk
+            conn.sendall(b"Z" + struct.pack("!i", 5) + b"I")  # ReadyForQuery
+            conn.recv(65536)  # the Query message
+            if after_query:
+                conn.sendall(after_query)
+        finally:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            conn.close()
+            srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    return srv.getsockname()
+
+
+def _query_in_thread(port: int, results: dict):
+    dsn = PgDsn.parse(f"postgresql+wire://u:p@127.0.0.1:{port}/db")
+    try:
+        c = PgWireConnection(dsn)
+        c.query("SELECT 1")
+        results["outcome"] = "returned"
+    except Exception as e:  # noqa: BLE001
+        results["outcome"] = e
+
+
+def test_query_raises_on_connection_drop():
+    """A server that dies mid-query must raise PgTransportError promptly —
+    the drain-to-ReadyForQuery loop must never spin on a dead socket
+    (regression: it caught every PgWireError and continued forever)."""
+    import struct
+    import threading
+
+    # partial RowDescription header then EOF: drain loop has nothing to read
+    _, port = _fake_pg_server(b"T" + struct.pack("!i", 100))
+    results: dict = {}
+    t = threading.Thread(target=_query_in_thread, args=(port, results), daemon=True)
+    t.start()
+    t.join(15)
+    assert not t.is_alive(), "query() hung on a dead connection"
+    assert isinstance(results["outcome"], PgTransportError)
+
+
+def test_query_surfaces_server_error_when_drop_follows():
+    """ErrorResponse then EOF (no ReadyForQuery): the SERVER error is the
+    one surfaced, not the secondary transport failure."""
+    import struct
+    import threading
+
+    err_body = b"SERROR\x00C57P01\x00Mterminating connection\x00\x00"
+    msg = b"E" + struct.pack("!i", len(err_body) + 4) + err_body
+    _, port = _fake_pg_server(msg)
+    results: dict = {}
+    t = threading.Thread(target=_query_in_thread, args=(port, results), daemon=True)
+    t.start()
+    t.join(15)
+    assert not t.is_alive(), "query() hung after ErrorResponse + EOF"
+    out = results["outcome"]
+    assert isinstance(out, PgWireError) and not isinstance(out, PgTransportError)
+    assert "57P01" in str(out)
 
 
 # ------------------------------------------------------------- live gate
@@ -176,6 +285,52 @@ def test_make_source_make_sink_dispatch(spark, pgw):
         plain = pgw.replace("postgresql+wire:", "postgresql:")
         assert isinstance(make_source(spark, plain), PgWireSource)
         assert isinstance(make_sink(spark, plain), PgWireSink)
+
+
+def test_snapshot_consistent_partitioned_read(spark, pgw):
+    """?snapshot=true: the driver exports a REPEATABLE READ snapshot at
+    read() time and every task SETs it, so rows committed AFTER read() but
+    BEFORE the action are invisible — consistent parallel reads. (Default
+    mode is Spark-JDBC-equivalent: each task its own MVCC snapshot.)"""
+    dsn = PgDsn.parse(pgw)
+    with PgWireConnection(dsn) as c:
+        c.query("DROP TABLE IF EXISTS wire_snap")
+        c.query("CREATE TABLE wire_snap (id TEXT)")
+        c.copy_in("COPY wire_snap FROM STDIN", [b"1\n2\n3\n"])
+    src = PgWireSource(spark, pgw.split("?")[0] + "?snapshot=true&partitions=4")
+    try:
+        df = src.read("wire_snap")  # snapshot exported here
+        with PgWireConnection(dsn) as c:  # concurrent committed write
+            c.copy_in("COPY wire_snap FROM STDIN", [b"98\n99\n"])
+        got = sorted(r["id"] for r in df.select("id").collect())
+        assert got == ["1", "2", "3"], "snapshot read saw a later commit"
+    finally:
+        src.close()
+    # a fresh default-mode read does see the new rows
+    assert PgWireSource(spark, pgw).read("wire_snap").count() == 5
+
+
+def test_sink_quoted_identifiers_roundtrip(spark, pgw):
+    """Reserved words, spaces and mixed case in column names survive the
+    sink's DDL+COPY and the source's SELECT (both sides quote)."""
+    df = spark.createDataFrame([("a", "b", "c"), ("d", "e", "f")]).toDF(
+        "select", "Order", "with space"
+    )
+    sink = PgWireSink(pgw)
+    sink.write("wire_quoted", df, ["select", "Order", "with space"])
+    out = PgWireSource(spark, pgw).read("wire_quoted")
+    # source lower-folds headers app-side (JdbcSource contract)
+    assert [c for c in out.columns if c != "__ct_line"] == [
+        "select", "order", "with space",
+    ]
+    rows = sorted(
+        (r["select"], r["order"], r["with space"]) for r in out.collect()
+    )
+    assert rows == [("a", "b", "c"), ("d", "e", "f")]
+    # driver-side write_rows path quotes too
+    sink.write_rows("wire_quoted2", ["select", "with space"], [["x", "y"]])
+    got = PgWireSource(spark, pgw).read("wire_quoted2")
+    assert [(r["select"], r["with space"]) for r in got.collect()] == [("x", "y")]
 
 
 # ------------------------------------------------ full-pipeline permutations
