@@ -1,5 +1,9 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with twenty-three oracle-checked sub-checks, including:
+CORRECTNESS entry with twenty-four oracle-checked sub-checks, including:
+
+- txt_bpe_train: distributed BPE merge-training (operators/bpe.py) —
+  merge sequence + induced vocab + per-word token-id encodings, with a
+  generated chained-CTE DuckDB twin re-running every training round.
 
 - ds_stratified_sample: deterministic language-stratified corpus rebalance
   (queries/sampling.py; operators/sampling.stratified_sample).
@@ -28,6 +32,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from carrot_transform_spark.operators.bpe import (
+    bpe_train_docs,
+    bpe_train_sql,
+    bpe_vocab,
+    encode_words,
+)
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
     chunk_token_windows_sql,
@@ -774,6 +784,40 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 10
+
+
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-training over the documents corpus
+    (operators/bpe.py): word-dedup pass, then _BPE_MERGES rounds of
+    pair-count -> deterministic argmax -> replace re-segment. Emits the
+    merge sequence, the induced (sym, id) vocabulary, and every distinct
+    word's final token-id encoding — all hash-matched against the
+    generated pure-SQL DuckDB twin (bpe_train_sql)."""
+    d = load(spark, sf_dir, "documents")
+    merges, words = bpe_train_docs(d, _BPE_MERGES)
+    vocab = bpe_vocab(words, merges)
+    merge_rows = spark.createDataFrame(
+        [("merge", i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "kind string, k long, a string, b string, n long",
+    )
+    sym_rows = vocab.select(
+        F.lit("sym").alias("kind"),
+        F.col("id").alias("k"),
+        F.col("sym").alias("a"),
+        F.lit("").alias("b"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    word_rows = encode_words(words, vocab).select(
+        F.lit("word").alias("kind"),
+        F.col("n_tokens").cast("long").alias("k"),
+        F.col("word").alias("a"),
+        F.col("ids_csv").alias("b"),
+        F.col("cnt").cast("long").alias("n"),
+    )
+    return merge_rows.unionByName(sym_rows).unionByName(word_rows)
+
+
 _TRI_SQL = f"""
     WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_PR_M}),
     raw AS (
@@ -964,6 +1008,12 @@ register_suite(
             _table_profile_sql(),
             [("col_name", "s"), ("n_rows", "i"), ("n_nulls", "i"), ("n_distinct", "i"),
              ("min_s", "s"), ("max_s", "s")],
+        ),
+        (
+            "txt_bpe_train",
+            txt_bpe_train,
+            bpe_train_sql(_BPE_MERGES),
+            [("kind", "s"), ("k", "i"), ("a", "s"), ("b", "s"), ("n", "i")],
         ),
     ],
     tags=("pipeline", "suite"),
