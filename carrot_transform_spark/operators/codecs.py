@@ -35,8 +35,12 @@ Audio and video are covered by two more dependency-free formats:
 - GIF : 87a/89a via operators/gif.py — LZW, global/local color tables,
         interlace, transparency, animation with frame compositing
 
-``decode_image`` still raises ``NotImplementedError`` for unknown magics;
-compressed video/audio (mp4/mp3/...) is the remaining out-of-scope set.
+``decode_image`` still raises ``NotImplementedError`` for unknown magics.
+MP4 (ISO-BMFF walk, operators/mp4.py) and MP3 (frame-header walk,
+operators/mp3.py) are metadata/container-level: duration, frame counts,
+bitrates, and real MJPEG sample extraction from MP4 — but AVC/HEVC and
+mp3 PCM pixel/sample decode raise NotImplementedError (the remaining
+out-of-scope set: formats needing a full entropy/DSP stack).
 """
 
 from __future__ import annotations
@@ -66,6 +70,14 @@ def sniff_format(payload: bytes) -> str | None:
         return "avi"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:3] == b"ID3":
+        return "mp3"
+    if len(payload) >= 4 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        # MPEG audio frame sync (11 set bits) with a valid layer field
+        if (payload[1] >> 1) & 3 != 0:
+            return "mp3"
     return None
 
 

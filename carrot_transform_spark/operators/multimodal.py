@@ -137,6 +137,44 @@ def real_decode(payload: bytes, fmt: str) -> dict:
             "pixels": A.decode_avi_frame(payload, 0, ameta) if n else None,
             "frame_at": frame_at,
         }
+    if sniffed == "mp4":
+        from carrot_transform_spark.operators import mp4 as M
+
+        mmeta = M.parse_mp4(payload)
+        n = mmeta["n_frames"]
+        mjpeg = mmeta["codec"] in ("jpeg", "mjpa", "mjpb")
+
+        # MJPEG tracks: sampled frames are REAL standalone JPEGs (same
+        # contract as AVI); compressed codecs keep metadata + raw sample
+        # extraction but pixel access is the documented NotImplemented seam
+        def frame_at(i: int) -> bytes:
+            return M.mp4_frame_payload(payload, i, mmeta)
+
+        return {
+            "width": mmeta["width"],
+            "height": mmeta["height"],
+            "n_frames": n,
+            "pixels": M.decode_mp4_frame(payload, 0, mmeta) if (n and mjpeg) else None,
+            "frame_at": frame_at,
+            "codec": mmeta["codec"],
+            "duration_s": mmeta["duration_s"],
+            "fps": mmeta["fps"],
+        }
+    if sniffed == "mp3":
+        from carrot_transform_spark.operators import mp3 as A3
+
+        ameta = A3.parse_mp3(payload)
+        # WAV convention: n_frames = per-channel PCM sample count,
+        # width = channels, height = sample rate; no 'samples' key — PCM
+        # decode is the documented NotImplemented seam
+        return {
+            "width": ameta["channels"],
+            "height": ameta["samplerate"],
+            "n_frames": ameta["n_samples"],
+            "duration_s": ameta["duration_s"],
+            "bitrate_kbps": ameta["bitrate_kbps"],
+            "vbr": ameta["vbr"],
+        }
     if sniffed == "y4m":
         meta = C.parse_y4m_header(payload)
         n = C.y4m_frame_count(payload, meta)

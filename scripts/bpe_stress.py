@@ -65,6 +65,26 @@ def main() -> int:
     small = run(docs, n_merges)
     large = run(big, n_merges)
 
+    # second leg: a SYNTHETIC 100k-word vocabulary (md5-derived pseudo-words,
+    # 8 per doc) so per-round cost reflects |vocab| work, not bare job
+    # latency; corpus again replicated 10x with the vocabulary held fixed
+    n_src = 12_500
+    syn = spark.range(n_src).select(
+        F.concat_ws(
+            " ",
+            *[
+                F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_{k}"))), 1, 9)
+                for k in range(8)
+            ],
+        ).alias("text")
+    )
+    syn_big = syn.select(
+        "text",
+        F.explode(F.array(*[F.lit(i) for i in range(repl)])).alias("r"),
+    ).drop("r")
+    syn_small = run(syn, n_merges)
+    syn_large = run(syn_big, n_merges)
+
     merges_equal = [(a, b, n * repl) for a, b, n in small["merges"]] == large["merges"]
     out = {
         "sf_dir": sf_dir,
@@ -80,9 +100,26 @@ def main() -> int:
             large["per_round_s"] / max(small["per_round_s"], 1e-9), 3
         ),
         "merges_equal": merges_equal,
+        "syn_vocab": syn_small["n_vocab"],
+        "syn_dedup_s_small": syn_small["dedup_s"],
+        "syn_dedup_s_large": syn_large["dedup_s"],
+        "syn_per_round_s_small": syn_small["per_round_s"],
+        "syn_per_round_s_large": syn_large["per_round_s"],
+        "syn_per_round_ratio": round(
+            syn_large["per_round_s"] / max(syn_small["per_round_s"], 1e-9), 3
+        ),
+        "syn_merges_equal": [
+            (a, b, n * repl) for a, b, n in syn_small["merges"]
+        ] == syn_large["merges"],
     }
     print(json.dumps(out))
-    return 0 if merges_equal and small["n_vocab"] == large["n_vocab"] else 1
+    ok = (
+        merges_equal
+        and out["syn_merges_equal"]
+        and small["n_vocab"] == large["n_vocab"]
+        and syn_small["n_vocab"] == syn_large["n_vocab"]
+    )
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
