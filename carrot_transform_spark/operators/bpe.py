@@ -205,6 +205,38 @@ def encode_words(words: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- persistence
+
+
+def save_tokenizer(
+    path: str, merges: list[tuple[str, str, int]], vocab: DataFrame
+) -> None:
+    """Persist a trained tokenizer as two parquet tables: <path>/merges
+    (rank, a, b, n) and <path>/vocab (sym, id). Both are bounded by
+    |alphabet| + n_merges — single-file artifacts, the train-once /
+    encode-everywhere hand-off (same plain-parquet artifact style as the
+    PQ codebooks, not the incremental UnitStore: a tokenizer is immutable
+    once trained)."""
+    spark = vocab.sparkSession
+    mdf = spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank long, a string, b string, n long",
+    )
+    mdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    vocab.coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def load_tokenizer(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[str, str, int]], dict[str, int]]:
+    """(merges in rank order, sym -> id dict) from a saved tokenizer."""
+    mdf = spark.read.parquet(f"{path}/merges").orderBy("rank")
+    merges = [(r["a"], r["b"], int(r["n"])) for r in mdf.collect()]
+    vdf = spark.read.parquet(f"{path}/vocab")
+    ids = {r["sym"]: int(r["id"]) for r in vdf.collect()}
+    return merges, ids
+
+
 # ------------------------------------------------------------------ encoding
 
 

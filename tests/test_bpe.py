@@ -181,6 +181,28 @@ def test_encode_oov_symbol_is_minus_one(spark):
     assert -1 in list(row["ids"])
 
 
+def test_tokenizer_save_load_roundtrip(spark, tmp_path):
+    """Train -> save -> load -> encode must equal encoding with the
+    in-memory tokenizer (the train-once / encode-everywhere hand-off)."""
+    from carrot_transform_spark.operators.bpe import load_tokenizer, save_tokenizer
+
+    docs = _random_corpus(5, alphabet="abc")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    merges, words = bpe_train(word_counts(df), n_merges=8)
+    vocab_df = bpe_vocab(words, merges)
+    vocab = {r["sym"]: r["id"] for r in vocab_df.collect()}
+
+    save_tokenizer(str(tmp_path / "tok"), merges, vocab_df)
+    merges2, vocab2 = load_tokenizer(spark, str(tmp_path / "tok"))
+    assert merges2 == merges
+    assert vocab2 == vocab
+    want = {r["doc_id"]: list(r["ids"]) for r in bpe_encode(df, merges, vocab).collect()}
+    got = {r["doc_id"]: list(r["ids"]) for r in bpe_encode(df, merges2, vocab2).collect()}
+    assert got == want
+
+
 def test_sql_twin_matches_spark_rows(spark):
     """Row-for-row equality of the assembled sub-check output vs the
     generated DuckDB SQL on the same corpus (the oracle contract, checked
