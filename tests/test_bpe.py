@@ -181,6 +181,51 @@ def test_encode_oov_symbol_is_minus_one(spark):
     assert -1 in list(row["ids"])
 
 
+def test_batched_merges_equal_exact_on_independent_pairs(spark):
+    """merges_per_round>1 is exact when the top pairs don't interact: a
+    corpus of disjoint 2-char words has independent pair counts, so the
+    batched and sequential trainers must produce identical merge lists."""
+    docs = [" ".join(["ab"] * 9 + ["cd"] * 7 + ["ef"] * 5 + ["gh"] * 3)]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    exact, _ = bpe_train(word_counts(df), n_merges=4)
+    batched, words_b = bpe_train(word_counts(df), n_merges=4, merges_per_round=4)
+    assert exact == batched == [
+        ("a", "b", 9), ("c", "d", 7), ("e", "f", 5), ("g", "h", 3),
+    ]
+    assert _spark_segs(words_b) == {"ab": ["ab"], "cd": ["cd"], "ef": ["ef"], "gh": ["gh"]}
+
+
+def test_batched_merges_skip_interacting_pairs_within_round(spark):
+    """Pairs sharing a symbol must not land in the same round: with only
+    'aaa' words, round-start pairs are (a,a) — after picking it, (a,a)'s
+    symbols are used, so the round picks exactly one merge even at k=8."""
+    df = spark.createDataFrame([("aaa aaa aaa",)], "text string")
+    merges, words = bpe_train(word_counts(df), n_merges=2, merges_per_round=8)
+    # round 1: (a,a) (2 adjacencies x 3 words); round 2: (aa,a) — never
+    # both in one round
+    assert merges == [("a", "a", 6), ("aa", "a", 3)]
+    assert _spark_segs(words) == {"aaa": ["aaa"]}
+
+
+@pytest.mark.parametrize("seed", [4])
+def test_batched_merges_are_valid_tokenizer(spark, seed):
+    """General corpus: the batched mode's merges still train a coherent
+    tokenizer — encode(rank-greedy) reproduces the trainer's own final
+    segmentation for every training word."""
+    docs = _random_corpus(seed, alphabet="abc")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    merges, words = bpe_train(word_counts(df), n_merges=12, merges_per_round=4)
+    assert len(merges) == 12
+    vocab = {r["sym"]: r["id"] for r in bpe_vocab(words, merges).collect()}
+    segs = _spark_segs(words)
+    got = {r["doc_id"]: list(r["ids"]) for r in bpe_encode(df, merges, vocab).collect()}
+    for i, t in enumerate(docs):
+        want = [vocab[s] for w in t.split() for s in segs[w]]
+        assert got[i] == want
+
+
 def test_tokenizer_save_load_roundtrip(spark, tmp_path):
     """Train -> save -> load -> encode must equal encoding with the
     in-memory tokenizer (the train-once / encode-everywhere hand-off)."""
