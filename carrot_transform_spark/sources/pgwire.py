@@ -24,7 +24,23 @@ Scale posture — this is NOT a driver-side funnel:
   vectorized text-format escaping;
 * the number of concurrent connections is capped by the source/sink's
   ``partitions`` knob (server ``max_connections`` is the real budget —
-  default cap 16, override via spec query arg).
+  default cap 16, override via spec query arg);
+* ctid ranges are distributed exactly one per Spark task (parallelize
+  with numSlices, not a hash repartition that leaves ~1/3 of tasks idle
+  by balls-in-bins);
+* ``?snapshot=true`` upgrades a partitioned read to a single MVCC view:
+  the driver opens REPEATABLE READ + ``pg_export_snapshot()`` (the
+  exporting transaction is held on the source object until close()),
+  and every task ``SET TRANSACTION SNAPSHOT`` before its COPY. The
+  default mode matches Spark's JDBC contract: one snapshot per task.
+
+Error contract: a server ErrorResponse leaves the session alive, so
+``query()`` drains to ReadyForQuery before surfacing it; a transport
+failure (EOF, dead socket) raises ``PgTransportError`` IMMEDIATELY —
+there is nothing left to drain, and looping would spin forever.
+Identifiers are double-quoted on BOTH sides (source SELECT list and
+sink DDL/COPY), matching Spark's JDBC writer, so reserved words,
+spaces and mixed case round-trip.
 
 Semantics mirror JdbcSource/JdbcSink exactly (identifier lower-folding
 app-side, all-TEXT created columns, stringly values): the live parity
