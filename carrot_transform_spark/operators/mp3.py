@@ -99,6 +99,9 @@ def parse_mp3(payload: bytes) -> dict:
     total_bits = 0
     first: dict | None = None
     has_xing = False
+    xing_vbr = False
+    declared_frames: int | None = None
+    declared_bytes: int | None = None
     while pos + 4 <= end:
         fh = _frame_header(payload, pos)
         if fh is None:
@@ -108,12 +111,29 @@ def parse_mp3(payload: bytes) -> dict:
             break
         if first is None:
             first = fh
-            # Xing/Info tag sits after the side-info of the first frame
+            # Xing/Info tag sits after the side-info of the first frame;
+            # VBRI sits at a fixed 32-byte offset (Fraunhofer layout)
             side = 32 if fh["channels"] == 2 else 17
             if fh["version"] != "1":
                 side = 17 if fh["channels"] == 2 else 9
-            tag = payload[pos + 4 + side : pos + 4 + side + 4]
-            has_xing = tag in (b"Xing", b"Info")
+            p = pos + 4 + side
+            tag = payload[p : p + 4]
+            if tag in (b"Xing", b"Info"):
+                has_xing = True
+                xing_vbr = tag == b"Xing"  # 'Info' is the CBR variant
+                (flags,) = struct.unpack(">I", payload[p + 4 : p + 8])
+                q = p + 8
+                if flags & 1:  # declared frame count
+                    (declared_frames,) = struct.unpack(">I", payload[q : q + 4])
+                    q += 4
+                if flags & 2:  # declared byte length
+                    (declared_bytes,) = struct.unpack(">I", payload[q : q + 4])
+            elif payload[pos + 4 + 32 : pos + 4 + 36] == b"VBRI":
+                has_xing = True
+                xing_vbr = True
+                v = pos + 4 + 32
+                (declared_bytes,) = struct.unpack(">I", payload[v + 10 : v + 14])
+                (declared_frames,) = struct.unpack(">I", payload[v + 14 : v + 18])
         frames += 1
         n_samples += fh["samples_per_frame"]
         bitrates.add(fh["bitrate"])
@@ -134,8 +154,13 @@ def parse_mp3(payload: bytes) -> dict:
         "bitrate_kbps": round(total_bits / dur / 1000, 3) if dur else 0.0,
         "bitrate_min_kbps": min(bitrates) // 1000,
         "bitrate_max_kbps": max(bitrates) // 1000,
-        "vbr": len(bitrates) > 1 or has_xing,
+        "vbr": len(bitrates) > 1 or xing_vbr,
         "has_xing": has_xing,
+        # header-declared totals (Xing/Info/VBRI): a walked count below the
+        # declared one flags a truncated download without any DSP
+        "declared_frames": declared_frames,
+        "declared_bytes": declared_bytes,
+        "truncated": bool(declared_frames is not None and frames < declared_frames),
     }
 
 

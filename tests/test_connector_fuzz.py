@@ -199,11 +199,15 @@ def _pgwire_up() -> bool:
 
 
 def run_pgwire_seed(spark, d: Path, seed: int) -> None:
-    """Leg E (round 12): live-Postgres wire-transport round trip. The
-    adversarial string pools (embedded newlines/tabs/backslashes, unicode,
-    blanks) drive the COPY text-format escaping both directions; Postgres
-    TEXT keeps '' distinct from NULL so the trip is exact. Table names are
-    seed-unique in the shared live DB and dropped afterwards."""
+    """Leg E (round 12, widened round 13): live-Postgres wire-transport
+    round trip. The adversarial string pools (embedded newlines/tabs/
+    backslashes, unicode, blanks) drive the COPY text-format escaping both
+    directions; since round 13 the COLUMN NAMES are adversarial too
+    (mixed case, spaces, reserved words — both sides quote identifiers)
+    and odd seeds read back under ?snapshot=true (exported-snapshot
+    transaction per task). Postgres TEXT keeps '' distinct from NULL so
+    the trip is exact. Table names are seed-unique in the shared live DB
+    and dropped afterwards."""
     from carrot_transform_spark.sources.pgwire import (
         PgDsn,
         PgWireConnection,
@@ -214,18 +218,26 @@ def run_pgwire_seed(spark, d: Path, seed: int) -> None:
     headers, rows, excel = gen_table(seed + 90_000, newlines=True)
     if excel:
         headers, rows = headers[:-1], [r[:-1] for r in rows]
-    safe_cols = [f"c{i}" for i in range(len(headers))]
+    # adversarial identifiers: gen_table's mixed-case/space headers, plus a
+    # reserved word every third seed; must stay distinct after the source's
+    # app-side lower-fold
+    cols = list(headers)
+    if seed % 3 == 0 and len(cols) > 1:
+        cols[1] = "select"
+    assert len({c.lower() for c in cols}) == len(cols)
     tbl = f"wirefuzz_{seed}"
-    df = spark.createDataFrame(
-        [tuple(r) for r in rows], ", ".join(f"{c} string" for c in safe_cols)
-    )
+    df = spark.createDataFrame([tuple(r) for r in rows]).toDF(*cols)
+    read_dsn = _PGWIRE_DSN + "?partitions=3" + ("&snapshot=true" if seed % 2 else "")
     try:
-        PgWireSink(_PGWIRE_DSN).write(tbl, df, safe_cols)
-        back = PgWireSource(spark, _PGWIRE_DSN + "?partitions=3").read(tbl)
+        PgWireSink(_PGWIRE_DSN).write(tbl, df, cols)
+        src = PgWireSource(spark, read_dsn)
+        back = src.read(tbl)
+        folded = [c.lower() for c in cols]  # JdbcSource contract
         got = sorted(
-            tuple("" if r[c] is None else r[c] for c in safe_cols)
+            tuple("" if r[c] is None else r[c] for c in folded)
             for r in back.drop(LINE_COL).collect()
         )
+        src.close()
         want = sorted(tuple(r) for r in rows)
         assert got == want, f"seed={seed}: pg wire round trip diverges"
     finally:

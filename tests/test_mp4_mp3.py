@@ -154,6 +154,44 @@ def test_mp3_id3_tags_skipped():
     assert p["n_frames"] == 8 and not p["vbr"]
 
 
+def _inject_xing(core: bytes, tag: bytes, frames: int, nbytes: int) -> bytes:
+    """Write a Xing/Info header into frame 0 (V1 stereo side-info = 32)."""
+    buf = bytearray(core)
+    p = 4 + 32
+    buf[p : p + 16] = tag + struct.pack(">III", 3, frames, nbytes)
+    return bytes(buf)
+
+
+def test_mp3_xing_declared_counts_and_truncation():
+    core = encode_mp3_frames(10, 128, 44100, 2)
+    data = _inject_xing(core, b"Xing", 10, len(core))
+    p = parse_mp3(data)
+    assert p["has_xing"] and p["vbr"]  # 'Xing' tag = VBR variant
+    assert (p["declared_frames"], p["declared_bytes"]) == (10, len(core))
+    assert p["n_frames"] == 10 and not p["truncated"]
+    # chop two frames: the walk count drops below the declared count
+    t = parse_mp3(data[: 8 * 417])
+    assert t["n_frames"] == 8 and t["truncated"]
+
+    # 'Info' is the CBR variant: declared counts parse, vbr stays False
+    info = parse_mp3(_inject_xing(core, b"Info", 10, len(core)))
+    assert info["has_xing"] and not info["vbr"]
+    assert info["declared_frames"] == 10
+
+
+def test_mp3_vbri_header():
+    core = encode_mp3_frames(6, 128, 44100, 2)
+    buf = bytearray(core)
+    v = 4 + 32
+    buf[v : v + 18] = b"VBRI" + struct.pack(">HHH", 1, 0, 0) + struct.pack(
+        ">II", len(core), 6
+    )
+    p = parse_mp3(bytes(buf))
+    assert p["has_xing"] and p["vbr"]
+    assert (p["declared_frames"], p["declared_bytes"]) == (6, len(core))
+    assert not p["truncated"]
+
+
 def test_mp3_garbage_and_decode_seam():
     with pytest.raises(Mp3Error):
         parse_mp3(b"\x00" * 64)
