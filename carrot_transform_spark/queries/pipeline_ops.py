@@ -1,9 +1,12 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with twenty-four oracle-checked sub-checks, including:
+CORRECTNESS entry with twenty-seven oracle-checked sub-checks, including:
 
 - txt_bpe_train: distributed BPE merge-training (operators/bpe.py) —
   merge sequence + induced vocab + per-word token-id encodings, with a
   generated chained-CTE DuckDB twin re-running every training round.
+- txt_bigram_nll: CCNet-style bigram-LM perplexity scoring
+  (operators/ngram_lm.py) — add-alpha smoothed, self-trained, per-doc
+  average negative log likelihood.
 
 - ds_stratified_sample: deterministic language-stratified corpus rebalance
   (queries/sampling.py; operators/sampling.stratified_sample).
@@ -38,6 +41,7 @@ from carrot_transform_spark.operators.bpe import (
     bpe_vocab,
     encode_words,
 )
+from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
     chunk_token_windows_sql,
@@ -784,6 +788,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring (operators/ngram_lm.py): add-alpha
+    bigram LM self-trained on the corpus, per-doc average negative log
+    likelihood — the language-model quality ranker next to the rule-based
+    txt_quality_filter. The DuckDB twin re-derives counts, smoothing and
+    ln arithmetic from the same parquet."""
+    from carrot_transform_spark.operators.ngram_lm import bigram_nll_docs
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_nll_docs(d).orderBy("doc_id")
+
+
 _BPE_MERGES = 10
 
 
@@ -1014,6 +1030,12 @@ register_suite(
             txt_bpe_train,
             bpe_train_sql(_BPE_MERGES),
             [("kind", "s"), ("k", "i"), ("a", "s"), ("b", "s"), ("n", "i")],
+        ),
+        (
+            "txt_bigram_nll",
+            txt_bigram_nll,
+            bigram_nll_sql() + " ORDER BY doc_id",
+            [("doc_id", "i"), ("n_bigrams", "i"), ("avg_nll", "f")],
         ),
     ],
     tags=("pipeline", "suite"),
