@@ -1,5 +1,9 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with twenty-seven oracle-checked sub-checks, including:
+CORRECTNESS entry with twenty-eight oracle-checked sub-checks, including:
+
+- ds_dsir_select: DSIR importance resampling (operators/dsir.py,
+  arXiv:2302.03169) — hashed-n-gram log importance weights against a
+  target sub-corpus, deterministic Gumbel top-k selection.
 
 - txt_bpe_train: distributed BPE merge-training (operators/bpe.py) —
   merge sequence + induced vocab + per-word token-id encodings, with a
@@ -41,6 +45,7 @@ from carrot_transform_spark.operators.bpe import (
     bpe_vocab,
     encode_words,
 )
+from carrot_transform_spark.operators.dsir import dsir_sql
 from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
@@ -800,6 +805,25 @@ def txt_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll_docs(d).orderBy("doc_id")
 
 
+_DSIR_TMOD = 7
+_DSIR_K = 100
+
+
+def ds_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py, arXiv:2302.03169):
+    docs with doc_id % 7 == 0 stand in for the curated target corpus (the
+    dd_decontaminate convention); every other doc is scored by the hashed
+    unigram+bigram log importance weight and k=100 are drawn by
+    deterministic Gumbel top-k. The DuckDB twin re-derives the bucket
+    hash, the add-alpha log-ratio, the md5-seeded Gumbel keys and the
+    rank tie-breaks from the same parquet."""
+    from carrot_transform_spark.operators.dsir import dsir_select_docs
+
+    d = load(spark, sf_dir, "documents")
+    is_target = F.col("doc_id") % _DSIR_TMOD == 0
+    return dsir_select_docs(d, is_target, k=_DSIR_K).orderBy("doc_id")
+
+
 _BPE_MERGES = 10
 
 
@@ -1036,6 +1060,19 @@ register_suite(
             txt_bigram_nll,
             bigram_nll_sql() + " ORDER BY doc_id",
             [("doc_id", "i"), ("n_bigrams", "i"), ("avg_nll", "f")],
+        ),
+        (
+            "ds_dsir_select",
+            ds_dsir_select,
+            dsir_sql(target_pred=f"doc_id % {_DSIR_TMOD} = 0", k=_DSIR_K)
+            + " ORDER BY doc_id",
+            [
+                ("doc_id", "i"),
+                ("n_feats", "i"),
+                ("log_w", "f"),
+                ("g_key", "f"),
+                ("sel_rank", "i"),
+            ],
         ),
     ],
     tags=("pipeline", "suite"),
