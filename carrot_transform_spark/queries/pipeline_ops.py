@@ -1,9 +1,11 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with twenty-eight oracle-checked sub-checks, including:
+CORRECTNESS entry with twenty-nine oracle-checked sub-checks, including:
 
 - ds_dsir_select: DSIR importance resampling (operators/dsir.py,
   arXiv:2302.03169) — hashed-n-gram log importance weights against a
   target sub-corpus, deterministic Gumbel top-k selection.
+- sketch_kll_quantiles: mergeable KLL quantile sketch (operators/kll.py)
+  — exact anchors value-hashed, estimate ranks flag-pinned within eps.
 
 - txt_bpe_train: distributed BPE merge-training (operators/bpe.py) —
   merge sequence + induced vocab + per-word token-id encodings, with a
@@ -824,6 +826,52 @@ def ds_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_docs(d, is_target, k=_DSIR_K).orderBy("doc_id")
 
 
+_KLL_QS = [0.1, 0.5, 0.9, 0.99]
+_KLL_EPS = 0.05  # generous vs the ~1% empirical error at k=200
+
+
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketch (operators/kll.py) over events.value
+    per event_type — the sketch-family pattern of sketch_approx_distinct:
+    the sketch values aren't SQL-reproducible, so the emission carries the
+    EXACT aggregates (row counts, min/max — value-hashed by DuckDB) plus a
+    flag pinning each estimate's exact rank within eps of its target
+    quantile. A broken sketch flips flags and hash-mismatches."""
+    from carrot_transform_spark.operators.kll import (
+        kll_quantiles,
+        kll_rank_check,
+        kll_sketch,
+    )
+
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    sk = kll_sketch(e, "value", key_col="event_type")
+    est = kll_quantiles(sk, _KLL_QS)
+    chk = kll_rank_check(e, "value", est, eps=_KLL_EPS, key_col="event_type")
+    ext = e.groupBy(F.col("event_type").alias("key")).agg(
+        F.min("value").alias("min_v"), F.max("value").alias("max_v")
+    )
+    return (
+        chk.join(ext, "key")
+        .select(
+            F.col("key").alias("event_type"),
+            "q",
+            "n_rows",
+            "min_v",
+            "max_v",
+            F.col("in_bound").cast("int").alias("in_bound"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+_KLL_SQL = f"""
+    SELECT event_type, CAST(q AS DOUBLE) AS q, COUNT(*) AS n_rows,
+           MIN(value) AS min_v, MAX(value) AS max_v, 1 AS in_bound
+    FROM events CROSS JOIN (SELECT unnest({_KLL_QS!r}) AS q) qs
+    GROUP BY event_type, q ORDER BY event_type, q
+    """
+
+
 _BPE_MERGES = 10
 
 
@@ -1060,6 +1108,19 @@ register_suite(
             txt_bigram_nll,
             bigram_nll_sql() + " ORDER BY doc_id",
             [("doc_id", "i"), ("n_bigrams", "i"), ("avg_nll", "f")],
+        ),
+        (
+            "sketch_kll_quantiles",
+            sketch_kll_quantiles,
+            _KLL_SQL,
+            [
+                ("event_type", "s"),
+                ("q", "f"),
+                ("n_rows", "i"),
+                ("min_v", "f"),
+                ("max_v", "f"),
+                ("in_bound", "i"),
+            ],
         ),
         (
             "ds_dsir_select",
