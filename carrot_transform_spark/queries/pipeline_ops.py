@@ -1,5 +1,9 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with twenty-nine oracle-checked sub-checks, including:
+CORRECTNESS entry with thirty oracle-checked sub-checks, including:
+
+- txt_logreg_quality: fastText-style trained quality classifier
+  (operators/logreg.py, arXiv:1607.01759) — full-batch GD over hashed
+  presence features, every round re-run by the chained-CTE DuckDB twin.
 
 - ds_dsir_select: DSIR importance resampling (operators/dsir.py,
   arXiv:2302.03169) — hashed-n-gram log importance weights against a
@@ -48,6 +52,7 @@ from carrot_transform_spark.operators.bpe import (
     encode_words,
 )
 from carrot_transform_spark.operators.dsir import dsir_sql
+from carrot_transform_spark.operators.logreg import logreg_sql
 from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
@@ -826,6 +831,22 @@ def ds_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_docs(d, is_target, k=_DSIR_K).orderBy("doc_id")
 
 
+def txt_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style model-based quality filter (operators/logreg.py,
+    arXiv:1607.01759): a logistic-regression classifier over hashed
+    unigram+bigram presence features, trained by deterministic full-batch
+    GD ("contains the token 'spark'" is the stand-in label — learnable
+    from the text, unlike the signal-free synthetic lang column). Emits
+    the final weight table and every doc's score; the DuckDB twin re-runs
+    every training round as a chained CTE with identical quantisation."""
+    from carrot_transform_spark.operators.logreg import logreg_quality_docs
+
+    d = load(spark, sf_dir, "documents")
+    return logreg_quality_docs(d, F.col("text").contains("spark")).orderBy(
+        "kind", "id"
+    )
+
+
 _KLL_QS = [0.1, 0.5, 0.9, 0.99]
 _KLL_EPS = 0.05  # generous vs the ~1% empirical error at k=200
 
@@ -1108,6 +1129,12 @@ register_suite(
             txt_bigram_nll,
             bigram_nll_sql() + " ORDER BY doc_id",
             [("doc_id", "i"), ("n_bigrams", "i"), ("avg_nll", "f")],
+        ),
+        (
+            "txt_logreg_quality",
+            txt_logreg_quality,
+            logreg_sql(label_sql="text LIKE '%spark%'") + " ORDER BY kind, id",
+            [("kind", "s"), ("id", "i"), ("val", "f")],
         ),
         (
             "sketch_kll_quantiles",
