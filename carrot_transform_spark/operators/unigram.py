@@ -1,0 +1,324 @@
+"""SentencePiece-style unigram-LM tokenizer: piece vocabulary induction +
+Viterbi encoding, as distributed DataFrame ops.
+
+The third tokenizer family next to whole-word vocab ids
+(operators/vocab.py) and BPE merge-training (operators/bpe.py): unigram-LM
+tokenizers (Kudo 2018, arXiv:1804.10959; SentencePiece arXiv:1808.06226)
+segment each word into the MINIMUM-COST sequence of subword pieces under a
+piece unigram model — encoding is a per-word Viterbi shortest path over
+the segmentation lattice.
+
+Everything here is corpus-size-independent after the word-dedup pass (the
+operators/bpe.py trick):
+
+1. ``word_counts``: distinct words + frequencies — the ONE corpus-sized
+   aggregation (map-side combined).
+2. ``piece_vocab``: candidate pieces = all substrings of length 1..P of
+   the distinct words, frequency-weighted by word count; pieces below
+   min_count are dropped EXCEPT single characters (the unsegmentable-word
+   fallback, as SentencePiece keeps required characters). Integer costs
+   round(-ln(freq/total) * 1e6) keep the whole DP in BIGINT arithmetic —
+   bit-equal across engines, no float-sum drift.
+3. ``viterbi_segment``: unrolled dynamic programming — one explode+join
+   builds the (word, j, pos, piece, cost) lattice against the broadcast
+   piece table, then L rounds of join + per-word argmin extend the best
+   prefix path position by position. The DP state carries the prefix
+   segmentation STRING, and ties break on (cost, seg) lexicographically —
+   a total order both engines share, so the chosen path is unique and
+   engine-stable. Per-round cost is O(|distinct words| x P), independent
+   of corpus size; L (max word length) bounds the round count.
+
+The DuckDB twin (``unigram_sql``) re-runs the induction and every DP round
+as chained MATERIALIZED CTEs — the generated-twin recipe of
+operators/bpe.bpe_train_sql and operators/logreg.logreg_sql.
+
+At 100 TB: |distinct words| is the working set (Heaps' law, ~1e7-1e8 for
+web corpora) — the lattice is ~L*P rows per word, the piece table is
+broadcast data, and no stage touches corpus-sized row counts after step 1.
+A production variant would additionally cap the piece table to top-K by
+frequency; the induction here keeps every piece above min_count to stay
+exactly reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_WS = "[ \t\r\n]+"
+_US = "\x1f"
+DEFAULT_MAX_WORD = 12  # words longer than this are left unsegmented (skipped)
+DEFAULT_MAX_PIECE = 4
+DEFAULT_MIN_COUNT = 5
+_COST_SCALE = 1_000_000
+
+
+def word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_word: int = DEFAULT_MAX_WORD,
+) -> DataFrame:
+    """(word, cnt): distinct words of length 1..max_word with corpus
+    frequencies — the only corpus-sized job (tokenisation matches
+    operators/bpe.py / ngram_lm.py / dsir.py)."""
+    toks = F.explode(F.split(F.col(text_col), _WS)).alias("word")
+    return (
+        docs.select(toks)
+        .filter((F.col("word") != "") & (F.length("word") <= max_word))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def piece_vocab(
+    words: DataFrame,
+    max_piece: int = DEFAULT_MAX_PIECE,
+    min_count: int = DEFAULT_MIN_COUNT,
+) -> DataFrame:
+    """(piece, freq, cost): substring pieces of the distinct words,
+    frequency = sum of containing-word counts over every occurrence;
+    single characters always survive, longer pieces need freq >= min_count.
+    cost = round(-ln(freq/total) * 1e6) as BIGINT, total over KEPT pieces.
+    """
+    # every (start, length) substring slot of every word, weighted by cnt
+    subs = words.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(word)), i ->
+                    transform(sequence(1, least({int(max_piece)}, length(word) - i + 1)),
+                              l -> substring(word, i, l))))"""
+            )
+        ).alias("piece"),
+        "cnt",
+    )
+    freqs = subs.groupBy("piece").agg(F.sum("cnt").alias("freq"))
+    kept = freqs.filter(
+        (F.length("piece") == 1) | (F.col("freq") >= F.lit(int(min_count)))
+    )
+    total = kept.agg(F.sum("freq").alias("tot"))
+    return kept.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "freq",
+        F.floor(-F.log(F.col("freq") / F.col("tot")) * _COST_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("cost"),
+    )
+
+
+def viterbi_segment(
+    words: DataFrame,
+    pieces: DataFrame,
+    max_word: int = DEFAULT_MAX_WORD,
+    max_piece: int = DEFAULT_MAX_PIECE,
+) -> DataFrame:
+    """(word, cnt, cost, seg, n_tokens): the unique minimum-(cost, seg)
+    segmentation of every word, seg = pieces joined by US.
+
+    One lattice build (explode + broadcast join), then max_word rounds of
+    join + per-word argmin. Every intermediate frame is |words|-sized.
+    """
+    spark = words.sparkSession
+    w = words.persist()
+    # lattice: (word, j, pos, piece-cost) for every in-vocab piece
+    slots = w.select(
+        "word",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(word)), i ->
+                    transform(sequence(1, least({int(max_piece)}, length(word) - i + 1)),
+                              l -> struct(i - 1 AS j, i + l - 1 AS pos,
+                                          substring(word, i, l) AS piece))))"""
+            )
+        ).alias("s"),
+    ).select("word", F.col("s.j").alias("j"), F.col("s.pos").alias("pos"), F.col("s.piece").alias("piece"))
+    lattice = (
+        slots.join(F.broadcast(pieces.select("piece", "cost")), "piece")
+        .select("word", "j", "pos", "piece", "cost")
+        .persist()
+    )
+    lattice.count()
+    # DP: one small frame per settled position, eagerly localCheckpoint-ed
+    # so round r+1 re-plans from a LogicalRDD leaf. Without the cut, each
+    # round's plan embeds the last max_piece rounds' full trees — a
+    # max_piece^max_word node blow-up that OOMs the driver in plan
+    # stringification on a 31-word corpus. Constraint propagation is off
+    # for the loop (the dedup.py CC-fixpoint recipe) so checkpoints of
+    # union-derived frames can't capture dangling attribute constraints.
+    from functools import reduce
+
+    from carrot_transform_spark.operators.dedup import _constraint_propagation_off
+
+    par = spark.sparkContext.defaultParallelism
+    with _constraint_propagation_off(spark):
+        zero = (
+            w.select(
+                "word",
+                F.lit(0).alias("pos"),
+                F.lit(0).cast("long").alias("cost"),
+                F.lit("").alias("seg"),
+            )
+            .repartition(par, "word")
+            .localCheckpoint(eager=True)
+        )
+        rounds: dict[int, DataFrame] = {0: zero}
+        for r in range(1, max_word + 1):
+            lo = max(0, r - max_piece)
+            prev = reduce(
+                DataFrame.unionByName, [rounds[i] for i in range(lo, r)]
+            )
+            cand = (
+                lattice.filter(F.col("pos") == r)
+                .join(
+                    prev.withColumnRenamed("pos", "j").withColumnRenamed("cost", "pc"),
+                    ["word", "j"],
+                )
+                .select(
+                    "word",
+                    (F.col("pc") + F.col("cost")).alias("c"),
+                    F.when(F.col("seg") == "", F.col("piece"))
+                    .otherwise(F.concat_ws(_US, "seg", "piece"))
+                    .alias("s"),
+                )
+            )
+            rounds[r] = (
+                cand.groupBy("word")
+                .agg(F.min(F.struct(F.col("c"), F.col("s"))).alias("b"))
+                .select(
+                    "word",
+                    F.lit(r).alias("pos"),
+                    F.col("b.c").alias("cost"),
+                    F.col("b.s").alias("seg"),
+                )
+                .repartition(par, "word")
+                .localCheckpoint(eager=True)
+            )
+    bests = reduce(
+        DataFrame.unionByName, [rounds[r] for r in range(1, max_word + 1)]
+    )
+    finals = bests.select(
+        F.col("word").alias("bword"), "pos", "cost", "seg"
+    )
+    done = (
+        w.join(
+            finals,
+            (F.col("word") == F.col("bword")) & (F.length("word") == F.col("pos")),
+        )
+        .select("word", "cnt", "cost", "seg")
+        .withColumn("n_tokens", F.size(F.split("seg", _US)))
+    )
+    return done.select("word", "cnt", "cost", "seg", "n_tokens")
+
+
+def unigram_encode_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_word: int = DEFAULT_MAX_WORD,
+    max_piece: int = DEFAULT_MAX_PIECE,
+    min_count: int = DEFAULT_MIN_COUNT,
+) -> DataFrame:
+    """Induce the piece vocab and Viterbi-encode every distinct word (the
+    sub-check shape): kind='piece' rows (piece, freq, cost) + kind='seg'
+    rows (word, cnt, cost, seg)."""
+    wc = word_counts(docs, text_col, max_word)
+    pv = piece_vocab(wc, max_piece, min_count)
+    seg = viterbi_segment(wc, pv, max_word, max_piece)
+    piece_rows = pv.select(
+        F.lit("piece").alias("kind"),
+        F.col("piece").alias("a"),
+        F.col("freq").cast("long").alias("k"),
+        F.col("cost").alias("n"),
+        F.lit("").alias("b"),
+    )
+    seg_rows = seg.select(
+        F.lit("seg").alias("kind"),
+        F.col("word").alias("a"),
+        F.col("n_tokens").cast("long").alias("k"),
+        F.col("cost").alias("n"),
+        F.col("seg").alias("b"),
+    )
+    return piece_rows.unionByName(seg_rows)
+
+
+def unigram_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    max_word: int = DEFAULT_MAX_WORD,
+    max_piece: int = DEFAULT_MAX_PIECE,
+    min_count: int = DEFAULT_MIN_COUNT,
+) -> str:
+    """DuckDB twin of unigram_encode_docs: identical tokenisation, piece
+    induction, integer costs, and every Viterbi round as a chained CTE
+    with the same (cost, seg) tie-break."""
+    P, L = int(max_piece), int(max_word)
+    parts = [
+        f"""wc AS MATERIALIZED (
+        SELECT word, COUNT(*) AS cnt FROM (
+            SELECT unnest(list_filter(regexp_split_to_array({text_col}, '{_WS}'),
+                                      t -> t <> '')) AS word
+            FROM {table}
+        ) WHERE length(word) <= {L}
+        GROUP BY word
+    ),
+    subs AS (
+        SELECT substr(word, i.i, l.l) AS piece, SUM(cnt) AS freq
+        FROM wc,
+             UNNEST(range(1, length(word) + 1)) AS i(i),
+             UNNEST(range(1, least({P}, length(word) - i.i + 1) + 1)) AS l(l)
+        GROUP BY 1
+    ),
+    pieces AS MATERIALIZED (
+        SELECT piece, freq,
+               CAST(floor(-ln(CAST(freq AS DOUBLE) /
+                               (SELECT SUM(freq) FROM subs
+                                WHERE length(piece) = 1 OR freq >= {min_count}))
+                          * {_COST_SCALE} + 0.5) AS BIGINT) AS cost
+        FROM subs WHERE length(piece) = 1 OR freq >= {min_count}
+    ),
+    lattice AS MATERIALIZED (
+        SELECT s.word, s.j, s.pos, s.piece, p.cost
+        FROM (
+            SELECT w.word, i.i - 1 AS j, i.i + l.l - 1 AS pos,
+                   substr(w.word, i.i, l.l) AS piece
+            FROM wc w,
+                 UNNEST(range(1, length(word) + 1)) AS i(i),
+                 UNNEST(range(1, least({P}, length(word) - i.i + 1) + 1)) AS l(l)
+        ) s
+        JOIN pieces p ON p.piece = s.piece
+    ),
+    b0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS seg FROM wc)"""
+    ]
+    prev_union = "SELECT * FROM b0"
+    for r in range(1, L + 1):
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+        SELECT word, {r} AS pos, cost, seg FROM (
+            SELECT m.word,
+                   b.cost + m.cost AS cost,
+                   CASE WHEN b.seg = '' THEN m.piece
+                        ELSE b.seg || chr(31) || m.piece END AS seg,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY m.word
+                       ORDER BY b.cost + m.cost,
+                                CASE WHEN b.seg = '' THEN m.piece
+                                     ELSE b.seg || chr(31) || m.piece END
+                   ) AS rn
+            FROM lattice m
+            JOIN ({prev_union}) b ON b.word = m.word AND b.pos = m.j
+            WHERE m.pos = {r}
+        ) WHERE rn = 1
+    )"""
+        )
+        prev_union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(r + 1))
+    body = ",\n    ".join(parts)
+    final_union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(L + 1))
+    return f"""
+    WITH {body}
+    SELECT 'piece' AS kind, piece AS a, CAST(freq AS BIGINT) AS k, cost AS n, '' AS b
+    FROM pieces
+    UNION ALL
+    SELECT 'seg' AS kind, w.word AS a,
+           CAST(len(string_split(f.seg, chr(31))) AS BIGINT) AS k,
+           f.cost AS n, f.seg AS b
+    FROM wc w
+    JOIN ({final_union}) f ON f.word = w.word AND f.pos = length(w.word)
+    """

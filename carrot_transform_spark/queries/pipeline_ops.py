@@ -1,5 +1,9 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with thirty oracle-checked sub-checks, including:
+CORRECTNESS entry with thirty-one oracle-checked sub-checks, including:
+
+- txt_unigram_encode: SentencePiece-style unigram-LM tokenizer
+  (operators/unigram.py, arXiv:1804.10959) — piece induction + per-word
+  Viterbi DP in integer costs, every round re-run by the DuckDB twin.
 
 - txt_logreg_quality: fastText-style trained quality classifier
   (operators/logreg.py, arXiv:1607.01759) — full-batch GD over hashed
@@ -53,6 +57,7 @@ from carrot_transform_spark.operators.bpe import (
 )
 from carrot_transform_spark.operators.dsir import dsir_sql
 from carrot_transform_spark.operators.logreg import logreg_sql
+from carrot_transform_spark.operators.unigram import unigram_sql
 from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
@@ -831,6 +836,19 @@ def ds_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_docs(d, is_target, k=_DSIR_K).orderBy("doc_id")
 
 
+def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer (operators/unigram.py,
+    arXiv:1804.10959): piece-vocab induction over the deduped words, then
+    per-word Viterbi minimum-cost segmentation as unrolled distributed DP
+    in exact BIGINT cost arithmetic. Emits the piece table and every
+    distinct word's unique (cost, seg)-minimal segmentation; the DuckDB
+    twin re-runs the induction and every DP round as chained CTEs."""
+    from carrot_transform_spark.operators.unigram import unigram_encode_docs
+
+    d = load(spark, sf_dir, "documents")
+    return unigram_encode_docs(d).orderBy("kind", "a")
+
+
 def txt_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style model-based quality filter (operators/logreg.py,
     arXiv:1607.01759): a logistic-regression classifier over hashed
@@ -1129,6 +1147,12 @@ register_suite(
             txt_bigram_nll,
             bigram_nll_sql() + " ORDER BY doc_id",
             [("doc_id", "i"), ("n_bigrams", "i"), ("avg_nll", "f")],
+        ),
+        (
+            "txt_unigram_encode",
+            txt_unigram_encode,
+            unigram_sql() + " ORDER BY kind, a",
+            [("kind", "s"), ("a", "s"), ("k", "i"), ("n", "i"), ("b", "s")],
         ),
         (
             "txt_logreg_quality",
