@@ -322,3 +322,98 @@ def unigram_sql(
     FROM wc w
     JOIN ({final_union}) f ON f.word = w.word AND f.pos = length(w.word)
     """
+
+
+# ------------------------------------------------- persistence + encoding
+
+
+def save_unigram(path: str, pieces: DataFrame) -> None:
+    """Persist a trained unigram tokenizer as one parquet table
+    <path>/pieces (piece, id, freq, cost); ids are assigned by piece sort
+    order so the artifact is deterministic. Same immutable plain-parquet
+    hand-off as operators/bpe.save_tokenizer — train once, encode
+    everywhere."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("piece")
+    out = pieces.select(
+        "piece",
+        (F.row_number().over(w) - 1).cast("long").alias("id"),
+        F.col("freq").cast("long").alias("freq"),
+        "cost",
+    )
+    out.coalesce(1).write.mode("overwrite").parquet(f"{path}/pieces")
+
+
+def load_unigram(spark, path: str) -> dict[str, tuple[int, int]]:
+    """piece -> (id, cost) from a saved tokenizer."""
+    rows = spark.read.parquet(f"{path}/pieces").collect()
+    return {r["piece"]: (int(r["id"]), int(r["cost"])) for r in rows}
+
+
+UNK_ID = -1
+
+
+def unigram_encode(
+    docs: DataFrame,
+    piece_table: dict[str, tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece: int = DEFAULT_MAX_PIECE,
+) -> DataFrame:
+    """Encode NEW text with a trained piece table: per word, the same
+    (cost, seg)-lexicographic Viterbi as training-time viterbi_segment,
+    with a virtual single-char <unk> piece (id -1, cost above every real
+    path) covering characters outside the vocabulary — unsegmentable
+    words encode instead of erroring, exactly like SentencePiece's unk.
+    Arrow-batched mapInPandas, per-batch word memoisation (the
+    bpe_encode recipe)."""
+    import re
+    from typing import Iterator
+
+    ws = re.compile(_WS)
+    # strictly above any real path: (max real cost + 1) per character
+    unk_cost = max((c for _, c in piece_table.values()), default=0) + 1
+
+    def segment(word: str) -> list[int]:
+        best: dict[int, tuple[int, tuple[int, ...], str]] = {0: (0, (), "")}
+        for pos in range(1, len(word) + 1):
+            cands = []
+            for plen in range(1, min(max_piece, pos) + 1):
+                j = pos - plen
+                if j not in best:
+                    continue
+                piece = word[j:pos]
+                hit = piece_table.get(piece)
+                if hit is None and plen > 1:
+                    continue
+                c0, ids0, seg0 = best[j]
+                pid, pc = hit if hit is not None else (UNK_ID, unk_cost)
+                seg = piece if seg0 == "" else seg0 + _US + piece
+                cands.append((c0 + pc, seg, ids0 + (pid,)))
+            if cands:
+                c, s, ids = min(cands)
+                best[pos] = (c, ids, s)
+        return list(best[len(word)][1])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        memo: dict[str, list[int]] = {}
+        for pdf in batches:
+            ids_col = []
+            for text in pdf[text_col].astype(object):
+                ids: list[int] = []
+                for w in ws.split(text or ""):
+                    if not w:
+                        continue
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = segment(w)
+                    ids.extend(got)
+                ids_col.append(ids)
+            yield pd.DataFrame({id_col: pdf[id_col], "ids": ids_col})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, ids array<long>"
+    )

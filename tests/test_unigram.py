@@ -151,3 +151,40 @@ def test_long_words_excluded(spark):
     )
     wc = word_counts(df, max_word=12)
     assert {r["word"] for r in wc.collect()} == {"short"}
+
+
+def test_save_load_encode_roundtrip(spark, tmp_path):
+    """Train -> save -> load -> encode: encoding the training corpus with
+    the loaded artifact reproduces the training-time segmentations
+    (ids map to the same pieces), and OOV characters get UNK_ID."""
+    from carrot_transform_spark.operators.unigram import (
+        UNK_ID,
+        load_unigram,
+        save_unigram,
+        unigram_encode,
+    )
+
+    df, rows = _corpus(spark)
+    wc = word_counts(df, max_word=12)
+    pv = piece_vocab(wc, max_piece=4, min_count=3)
+    save_unigram(str(tmp_path / "tok"), pv)
+    table = load_unigram(spark, str(tmp_path / "tok"))
+    assert len(table) == pv.count()
+
+    # training segmentations, decoded from the encoded ids
+    segs = {
+        r["word"]: r["seg"].split(US)
+        for r in viterbi_segment(wc, pv, 12, 4).collect()
+    }
+    by_id = {i: p for p, (i, _) in table.items()}
+    enc = unigram_encode(df, table)
+    got = {r["doc_id"]: [by_id[i] for i in r["ids"]] for r in enc.collect()}
+    for doc_id, text in rows:
+        want = [p for w in text.split() for p in segs[w]]
+        assert got[doc_id] == want, doc_id
+
+    # OOV: characters absent from the vocabulary encode as UNK_ID
+    new = spark.createDataFrame([(9, "art ZZ")], "doc_id long, text string")
+    (row,) = unigram_encode(new, table).collect()
+    assert row["ids"][-2:] == [UNK_ID, UNK_ID]
+    assert all(i != UNK_ID for i in row["ids"][:-2])
