@@ -249,3 +249,37 @@ def logreg_sql(
     FROM feats f JOIN w{rounds} w USING (bucket)
     GROUP BY f.{id_col}
     """
+
+
+# ------------------------------------------------- persistence + scoring
+
+
+def save_model(path: str, weights: DataFrame) -> None:
+    """Persist trained weights as one parquet table <path>/weights
+    (bucket, w) — the immutable train-once / filter-everywhere artifact,
+    same hand-off style as the saved tokenizers (operators/bpe.py,
+    operators/unigram.py) and PQ codebooks."""
+    weights.coalesce(1).write.mode("overwrite").parquet(f"{path}/weights")
+
+
+def load_model(spark, path: str) -> DataFrame:
+    """The (bucket, w) weight table from a saved model."""
+    return spark.read.parquet(f"{path}/weights")
+
+
+def score_new_docs(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(id, p): score arbitrary new documents under a trained model —
+    hash features with the same bucket count the model was trained with,
+    then one broadcast join + one aggregation. Buckets unseen in training
+    simply have no weight row and contribute nothing (the hashed-feature
+    contract: the model IS the bucket->weight map)."""
+    feats = presence_features(docs, id_col, text_col, buckets)
+    # logreg_score's inner join drops unknown buckets on its own; the bias
+    # feature (always in a trained model) keeps every doc scoreable
+    return logreg_score(feats, weights, id_col)

@@ -158,3 +158,38 @@ def test_cached_matrix_partitioning(spark):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     assert fx.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_save_load_score_new_docs(spark, tmp_path):
+    """Train -> save -> load -> score NEW docs: known vocabulary drives
+    the score, unknown buckets contribute nothing, empty docs still score
+    through the bias feature."""
+    from carrot_transform_spark.operators.logreg import (
+        load_model,
+        save_model,
+        score_new_docs,
+    )
+
+    rng = np.random.default_rng(3)
+    pos_voc, neg_voc = ["alpha", "beta"], ["junk", "spam"]
+    rows = [
+        (i, " ".join(rng.choice(pos_voc if i % 2 == 0 else neg_voc) for _ in range(10)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = presence_features(df, buckets=128)
+    labels = df.select("doc_id", (F.col("doc_id") % 2 == 0).cast("double").alias("y"))
+    w = logreg_train(feats, labels, rounds=10, lr=5.0)
+    save_model(str(tmp_path / "m"), w)
+    w2 = load_model(spark, str(tmp_path / "m"))
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))
+
+    new = spark.createDataFrame(
+        [(0, "alpha alpha beta"), (1, "junk spam"), (2, "zzz qqq"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["p"] for r in score_new_docs(new, w2, buckets=128).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] > 0.9 and got[1] < 0.1
+    # all-unknown text and empty text both collapse to the bias-only score
+    assert got[2] == got[3]
