@@ -140,8 +140,15 @@ def dsir_scores(
 ) -> DataFrame:
     """(id, n_feats, log_w) for every RAW document (target docs are the
     model, not candidates). Docs with no tokens score log_w = 0 with
-    n_feats = 0 — they carry no evidence either way."""
-    feats = hashed_ngram_counts(docs, id_col, text_col, buckets)
+    n_feats = 0 — they carry no evidence either way.
+
+    The feature frame feeds BOTH the bucket model and the scoring branch;
+    it is persisted (and materialized) so the corpus-sized tokenize +
+    explode + hash + groupBy runs once, not once per branch (plan audit:
+    unpersisted, the executedPlan re-derived it from the parquet scan in
+    each branch)."""
+    feats = hashed_ngram_counts(docs, id_col, text_col, buckets).persist()
+    feats.count()
     model = dsir_bucket_model(feats, is_target, id_col, alpha, buckets)
     raw_feats = feats.filter(~is_target)
     scored = (

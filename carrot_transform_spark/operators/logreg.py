@@ -156,8 +156,9 @@ def logreg_quality_docs(
     the final weight table (kind='w') and every doc's score (kind='p').
 
     ``label_expr`` is a Column producing the {0,1} training label (e.g.
-    (lang == 'en').cast)."""
-    feats = presence_features(docs, id_col, text_col, buckets)
+    (lang == 'en').cast). The feature frame feeds both training and the
+    final scoring pass — persisted so the corpus explode runs once."""
+    feats = presence_features(docs, id_col, text_col, buckets).persist()
     labels = docs.select(id_col, label_expr.cast("double").alias("y"))
     w = logreg_train(feats, labels, id_col, rounds, lr)
     scores = logreg_score(feats, w, id_col)
