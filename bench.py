@@ -61,6 +61,45 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action (not timed)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Host-drift calibration (VERDICT r13 task 2): identical trees have
+    # produced 9.2-15.2 s bench totals across host windows with
+    # contended=false — load average misses page-cache and host-speed
+    # drift. Two FIXED-WORK probes, independent of the SF data, let
+    # cross-round medians be normalized: a CPU+shuffle Spark job
+    # (executor-side throughput) and a parse+analyze loop (the driver/
+    # py4j/analyzer pipeline, which drifted 3x on the wide-plan compile
+    # with zero code change). Median of 3 each; ~2 s total.
+    import pyspark.sql.functions as F  # noqa: N812
+
+    def _calib_spark() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 16)
+            .select((F.xxhash64("id") % 997).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.sum(F.col("k") * F.col("n")))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    def _calib_compile() -> float:
+        branches = " ".join(
+            f"WHEN id % 211 = {i} THEN {i * 7}" for i in range(200)
+        )
+        t0 = time.perf_counter()
+        for rep in range(6):
+            df = spark.range(1).select(
+                F.expr(f"CASE {branches} ELSE {rep} END").alias("c")
+            )
+            df.schema  # parse + analyze only; never executed
+        return time.perf_counter() - t0
+
+    _calib_spark(), _calib_compile()  # warm both probe paths (not timed)
+    calib_spark = round(sorted(_calib_spark() for _ in range(3))[1], 3)
+    calib_compile = round(sorted(_calib_compile() for _ in range(3))[1], 3)
+    spark.catalog.clearCache()
+
     # Each query runs REPEATS times (full df.count() materialization each run,
     # cold cache each run) and we report the per-query MEDIAN.  Medians de-noise
     # host contention: a single contended run can otherwise double a query's
@@ -132,6 +171,11 @@ def main() -> None:
                 "load1_end": round(la1_end, 2),
                 "load15_end": round(la15_end, 2),
                 "contended": contended,
+                # fixed-work host-speed probes (see BASELINE.md "Host
+                # calibration"): divide a round's total by the probe ratio
+                # vs the reference window before comparing across rounds
+                "calib_spark_sec": calib_spark,
+                "calib_compile_sec": calib_compile,
             }
         )
     )

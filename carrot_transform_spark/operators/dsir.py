@@ -137,6 +137,7 @@ def dsir_scores(
     text_col: str = "text",
     buckets: int = DEFAULT_BUCKETS,
     alpha: float = DEFAULT_ALPHA,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """(id, n_feats, log_w) for every RAW document (target docs are the
     model, not candidates). Docs with no tokens score log_w = 0 with
@@ -148,6 +149,8 @@ def dsir_scores(
     unpersisted, the executedPlan re-derived it from the parquet scan in
     each branch)."""
     feats = hashed_ngram_counts(docs, id_col, text_col, buckets).persist()
+    if persist_registry is not None:
+        persist_registry.append(feats)
     feats.count()
     model = dsir_bucket_model(feats, is_target, id_col, alpha, buckets)
     raw_feats = feats.filter(~is_target)
@@ -215,10 +218,13 @@ def dsir_select_docs(
     text_col: str = "text",
     buckets: int = DEFAULT_BUCKETS,
     alpha: float = DEFAULT_ALPHA,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """End-to-end DSIR: score every raw doc against the target model and
     Gumbel-top-k resample k of them (sel_rank NULL = not selected)."""
-    scores = dsir_scores(docs, is_target, id_col, text_col, buckets, alpha)
+    scores = dsir_scores(
+        docs, is_target, id_col, text_col, buckets, alpha, persist_registry
+    )
     return dsir_resample(scores, k, id_col)
 
 
@@ -243,7 +249,15 @@ def dsir_sql(
         " 1, {n})) AS UBIGINT) AS BIGINT)"
     ).format(id=id_col, n=_HEX_BITS)
     return f"""
-    WITH toks AS MATERIALIZED (
+    WITH tflag AS MATERIALIZED (
+        -- target membership computed ONCE on the raw table: textual
+        -- predicate rewriting per use-site corrupts any predicate where
+        -- id_col appears as a substring of another identifier or inside
+        -- a string literal
+        SELECT {id_col}, CASE WHEN {target_pred} THEN TRUE ELSE FALSE END AS is_t
+        FROM {table}
+    ),
+    toks AS MATERIALIZED (
         SELECT {id_col},
                list_filter(regexp_split_to_array({text_col}, '{_WS}'),
                            t -> t <> '') AS l
@@ -261,9 +275,9 @@ def dsir_sql(
     ),
     bt AS (
         SELECT bucket,
-               SUM(CASE WHEN {target_pred} THEN c ELSE 0 END) AS t_cnt,
-               SUM(CASE WHEN {target_pred} THEN 0 ELSE c END) AS r_cnt
-        FROM fc GROUP BY bucket
+               SUM(CASE WHEN t.is_t THEN c ELSE 0 END) AS t_cnt,
+               SUM(CASE WHEN t.is_t THEN 0 ELSE c END) AS r_cnt
+        FROM fc JOIN tflag t USING ({id_col}) GROUP BY bucket
     ),
     lam AS (
         SELECT bucket,
@@ -276,16 +290,17 @@ def dsir_sql(
         SELECT f.{id_col},
                SUM(f.c) AS n_feats,
                SUM(f.c * l.lam) AS log_w
-        FROM fc f JOIN lam l USING (bucket)
-        WHERE NOT ({target_pred.replace(id_col, 'f.' + id_col)})
+        FROM fc f JOIN lam l USING (bucket) JOIN tflag t USING ({id_col})
+        WHERE NOT t.is_t
         GROUP BY f.{id_col}
     ),
     base AS (
         SELECT d.{id_col},
                COALESCE(s.n_feats, 0) AS n_feats,
                COALESCE(s.log_w, 0.0) AS log_w
-        FROM {table} d LEFT JOIN scored s USING ({id_col})
-        WHERE NOT ({target_pred.replace(id_col, 'd.' + id_col)})
+        FROM {table} d JOIN tflag t USING ({id_col})
+                       LEFT JOIN scored s USING ({id_col})
+        WHERE NOT t.is_t
     ),
     keyed AS (
         SELECT {id_col}, n_feats, log_w,

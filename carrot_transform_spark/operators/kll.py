@@ -254,7 +254,10 @@ def kll_rank_check(
 ) -> DataFrame:
     """(key, q, n_rows, in_bound): each estimate's EXACT rank, computed in
     one aggregation over the data joined with the broadcast estimates —
-    in_bound pins |rank/n - q| <= eps. NaN estimates (empty keys) fail."""
+    in_bound pins |rank/n - q| <= eps + 1/n. The 1/n term absorbs exact-
+    rank granularity: a key with fewer than ~1/eps rows cannot place ANY
+    value within eps of q (rank steps by 1/n > eps), so the plain bound
+    would flag a perfect sketch on small or skewed keys."""
     key = F.col(key_col) if key_col else F.lit("_all")
     src = df.select(
         key.cast("string").alias("key"),
@@ -272,7 +275,8 @@ def kll_rank_check(
             "q",
             "n_rows",
             (
-                F.abs(F.col("rank") / F.col("n_rows") - F.col("q")) <= F.lit(eps)
+                F.abs(F.col("rank") / F.col("n_rows") - F.col("q"))
+                <= F.lit(eps) + F.lit(1.0) / F.col("n_rows")
             ).alias("in_bound"),
         )
     )

@@ -112,8 +112,11 @@ def logreg_train(
             .agg((F.sum(F.col("tf") * F.col("resid")) / F.lit(float(n))).alias("g"))
         )
         new_w = (
-            F.broadcast(spark.createDataFrame(w_rows, "bucket long, w double"))
-            .join(grad, "bucket", "left")
+            # broadcast the RIGHT (non-preserved) side: Spark cannot
+            # build-left a left-outer join, so a hint on the left side is
+            # silently ignored; grad is <= buckets+1 rows either way
+            spark.createDataFrame(w_rows, "bucket long, w double")
+            .join(F.broadcast(grad), "bucket", "left")
             .select(
                 "bucket",
                 fround(
@@ -151,6 +154,7 @@ def logreg_quality_docs(
     buckets: int = DEFAULT_BUCKETS,
     rounds: int = DEFAULT_ROUNDS,
     lr: float = DEFAULT_LR,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Self-train + score (the sub-check shape): one unified emission of
     the final weight table (kind='w') and every doc's score (kind='p').
@@ -159,6 +163,8 @@ def logreg_quality_docs(
     (lang == 'en').cast). The feature frame feeds both training and the
     final scoring pass — persisted so the corpus explode runs once."""
     feats = presence_features(docs, id_col, text_col, buckets).persist()
+    if persist_registry is not None:
+        persist_registry.append(feats)
     labels = docs.select(id_col, label_expr.cast("double").alias("y"))
     w = logreg_train(feats, labels, id_col, rounds, lr)
     scores = logreg_score(feats, w, id_col)

@@ -45,6 +45,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from carrot_transform_spark.functions.rounding import fround, fround_sql
+
 _WS = "[ \t\r\n]+"
 _US = "\x1f"
 DEFAULT_MAX_WORD = 12  # words longer than this are left unsegmented (skipped)
@@ -99,7 +101,14 @@ def piece_vocab(
     return kept.crossJoin(F.broadcast(total)).select(
         "piece",
         "freq",
-        F.floor(-F.log(F.col("freq") / F.col("tot")) * _COST_SCALE + F.lit(0.5))
+        # the raw -ln is routed through fround at a 1e-9 guard scale first:
+        # both engines then floor the SAME shortest-repr-stable double, so a
+        # 1-ulp libm divergence can no longer flip the integer cost (and
+        # cascade through every Viterbi round)
+        F.floor(
+            fround(-F.log(F.col("freq") / F.col("tot")), 9) * _COST_SCALE
+            + F.lit(0.5)
+        )
         .cast("long")
         .alias("cost"),
     )
@@ -110,6 +119,7 @@ def viterbi_segment(
     pieces: DataFrame,
     max_word: int = DEFAULT_MAX_WORD,
     max_piece: int = DEFAULT_MAX_PIECE,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """(word, cnt, cost, seg, n_tokens): the unique minimum-(cost, seg)
     segmentation of every word, seg = pieces joined by US.
@@ -119,6 +129,8 @@ def viterbi_segment(
     """
     spark = words.sparkSession
     w = words.persist()
+    if persist_registry is not None:
+        persist_registry.append(w)
     # lattice: (word, j, pos, piece-cost) for every in-vocab piece
     slots = w.select(
         "word",
@@ -136,6 +148,8 @@ def viterbi_segment(
         .select("word", "j", "pos", "piece", "cost")
         .persist()
     )
+    if persist_registry is not None:
+        persist_registry.append(lattice)
     lattice.count()
     # DP: one small frame per settled position, eagerly localCheckpoint-ed
     # so round r+1 re-plans from a LogicalRDD leaf. Without the cut, each
@@ -215,13 +229,14 @@ def unigram_encode_docs(
     max_word: int = DEFAULT_MAX_WORD,
     max_piece: int = DEFAULT_MAX_PIECE,
     min_count: int = DEFAULT_MIN_COUNT,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Induce the piece vocab and Viterbi-encode every distinct word (the
     sub-check shape): kind='piece' rows (piece, freq, cost) + kind='seg'
     rows (word, cnt, cost, seg)."""
     wc = word_counts(docs, text_col, max_word)
     pv = piece_vocab(wc, max_piece, min_count)
-    seg = viterbi_segment(wc, pv, max_word, max_piece)
+    seg = viterbi_segment(wc, pv, max_word, max_piece, persist_registry)
     piece_rows = pv.select(
         F.lit("piece").alias("kind"),
         F.col("piece").alias("a"),
@@ -250,6 +265,14 @@ def unigram_sql(
     induction, integer costs, and every Viterbi round as a chained CTE
     with the same (cost, seg) tie-break."""
     P, L = int(max_piece), int(max_word)
+    # the 1e-9 fround guard before the 1e6 scale/floor — see piece_vocab
+    raw_nll = (
+        "-ln(CAST(freq AS DOUBLE) / (SELECT SUM(freq) FROM subs "
+        f"WHERE length(piece) = 1 OR freq >= {min_count}))"
+    )
+    cost_sql = (
+        f"CAST(floor({fround_sql(raw_nll, 9)} * {_COST_SCALE} + 0.5) AS BIGINT)"
+    )
     parts = [
         f"""wc AS MATERIALIZED (
         SELECT word, COUNT(*) AS cnt FROM (
@@ -268,10 +291,7 @@ def unigram_sql(
     ),
     pieces AS MATERIALIZED (
         SELECT piece, freq,
-               CAST(floor(-ln(CAST(freq AS DOUBLE) /
-                               (SELECT SUM(freq) FROM subs
-                                WHERE length(piece) = 1 OR freq >= {min_count}))
-                          * {_COST_SCALE} + 0.5) AS BIGINT) AS cost
+               {cost_sql} AS cost
         FROM subs WHERE length(piece) = 1 OR freq >= {min_count}
     ),
     lattice AS MATERIALIZED (

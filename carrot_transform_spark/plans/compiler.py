@@ -73,12 +73,18 @@ class CarrotPlanner:
         person_table: str,
         use_input_person_ids: bool = False,
         last_used_ids: dict[str, int] | None = None,
+        group_same_shape: bool = True,
     ):
         self.spark = spark
         self.rules = rules
         self.omop = omop
         self.person_table = person_table
         self.use_input_person_ids = use_input_person_ids
+        # WIDE targets: compile ONE record template per same-shape block
+        # GROUP (per-block rule literals hoisted into data columns) instead
+        # of one giant expression per block — driver compile cost O(shapes),
+        # not O(blocks). Disable to force the per-block path (A/B tests).
+        self.group_same_shape = group_same_shape
         self.last_used_ids = last_used_ids or {}
         self._counted_files: set[str] = set()
         # normalized-scan memo: (source file, date source field) -> cached DF,
@@ -95,6 +101,13 @@ class CarrotPlanner:
         # invalid_date over the deduped rows), folded into the same
         # one-collect-per-file flush
         self._pending_df_aggs: dict[str, list[tuple[DataFrame, list[Column], object]]] = {}
+        # grouped-template metrics: (pre-filter union frame, agg columns,
+        # rows-callback) — flushed as ONE groupBy(file ordinal) job per
+        # (group, target) instead of one job per source file
+        self._pending_group_aggs: list[tuple[DataFrame, list[Column], object]] = []
+        # grouped-template norm scans, shared across targets reading the
+        # same file set: (file ordinals, date field) -> persisted union
+        self._group_norm_cache: dict[tuple, DataFrame] = {}
         self._pending_rejects: list[tuple[DataFrame, RejectStats]] = []
         self._metrics_seq = 0
         # plan-construction memos: every Column operation is a synchronous
@@ -189,6 +202,7 @@ class CarrotPlanner:
                 pass
         self._persisted.clear()
         self._norm_cache.clear()
+        self._group_norm_cache.clear()
 
     # ------------------------------------------------------------------
     # person anonymisation map (J2/W2)
@@ -303,6 +317,36 @@ class CarrotPlanner:
                 hint = source.size_hint(tm.source_table)
                 cand_bound = None if hint is None else cand_bound + hint * _records_per_row_bound(tm)
 
+        # same-shape grouping (WIDE targets only — exactly where per-block
+        # compile cost blows up): blocks with equal shape signatures share
+        # ONE compiled record template over the union of their scans. The
+        # rest take the per-block path below.
+        grouped_parts: list[DataFrame] = []
+        if self.group_same_shape and self._wide_target and len(inputs) > 2:
+            sig_groups: dict[object, list[int]] = {}
+            for idx, (src_file, tm, df) in enumerate(inputs):
+                sig = self._group_signature(src_file, tm, df)
+                if sig is not None:
+                    sig_groups.setdefault(sig, []).append(idx)
+            grouped_idx: set[int] = set()
+            for sig, idxs in sig_groups.items():
+                if len(idxs) < 2:
+                    continue
+                gitems = [
+                    (
+                        inputs[i][0],
+                        inputs[i][1],
+                        inputs[i][2],
+                        global_files.index(inputs[i][0]),
+                    )
+                    for i in idxs
+                ]
+                part = self._grouped_file_records(gitems, schema, stats)
+                part.schema
+                grouped_parts.append(part)
+                grouped_idx.update(idxs)
+            inputs = [it for i, it in enumerate(inputs) if i not in grouped_idx]
+
         def build(item: tuple[str, TableMapping, DataFrame]) -> DataFrame:
             src_file, tm, df = item
             part = self._file_records(
@@ -323,6 +367,12 @@ class CarrotPlanner:
                 parts = list(ex.map(build, inputs))
         else:
             parts = [build(i) for i in inputs]
+        parts = grouped_parts + parts
+        if not parts:
+            # every block landed in a group (or there were none): grouped
+            # parts always exist when inputs did, so this is unreachable
+            # unless the target had no mappings at all
+            raise ValueError(f"no mapping blocks for target {target!r}")
 
         # balanced-tree union, levels threaded: a left-deep chain
         # re-resolves the growing left plan on every step (quadratic
@@ -440,6 +490,12 @@ class CarrotPlanner:
                 resolve(row)
         self._pending_aggs.clear()
         self._pending_df_aggs.clear()
+        # grouped-template metrics: one groupBy(file ordinal) job per
+        # (group, target) — each covers what the per-file path counted in
+        # len(group) separate jobs
+        for frame, aggs, resolve_rows in self._pending_group_aggs:
+            resolve_rows(frame.groupBy("__ct_gfidx").agg(*aggs).collect())
+        self._pending_group_aggs.clear()
         by_stats: dict[int, tuple[RejectStats, list[DataFrame]]] = {}
         for frame, stats in self._pending_rejects:
             by_stats.setdefault(id(stats), (stats, []))[1].append(frame)
@@ -847,6 +903,478 @@ class CarrotPlanner:
         ]
         return exploded.select(*cols, *meta)
 
+    # -- same-shape block grouping (WIDE targets) -----------------------
+    #
+    # A wide rules file is usually many SOURCE FILES mapped through the
+    # same record shape with different concept ids (the reference iterates
+    # them one by one — mappingrules.py builds an independent per-file
+    # dict either way). The per-block compile pays one giant record-array
+    # parse + analysis per file: O(blocks) driver time (~0.5 s/block at
+    # 20 fields; minutes at 500 blocks). Blocks whose shape signature
+    # matches compile instead to ONE shared template over the UNION of
+    # their scans, with every per-block literal (value->concept maps,
+    # wildcard maps, file ordinals) hoisted into data columns — O(shapes)
+    # driver time, and the executed plan gains only map lookups that the
+    # per-block plan evaluated as inlined literals anyway.
+
+    def _group_signature(self, src_file: str, tm: TableMapping, df: DataFrame):
+        """Hashable shape key: two blocks with equal signatures compile to
+        the IDENTICAL records template once per-block rule literals are
+        hoisted into data columns. None -> per-block path. Restricted to v2
+        non-person blocks with no v1 block mechanics; everything the
+        template references by NAME (resolved source columns, date shape,
+        person-id shape) or by STRUCTURE (field order, wildcard-only kind,
+        original-value dests) is part of the key."""
+        if self.rules.dialect != "v2" or tm.target_table == "person":
+            return None
+        main_dt, main_pid = self._file_main_fields(src_file)
+        if main_dt is None or main_pid is None or _try_resolve(df, main_dt) is None:
+            return None  # v2 file-skip gate -> cheap per-block empty frame
+        raw_date_field = None
+        if tm.date_mapping and tm.date_mapping.source_field != main_dt:
+            raw_date_field = tm.date_mapping.source_field
+        dt = dict(df.dtypes)
+
+        def _res(name: str | None):
+            # resolved name AND dtype: the grouped union is positional, so a
+            # same-named column with a different type must split the group
+            n = _try_resolve_name(df, name) if name is not None else None
+            return (n, dt.get(n)) if n is not None else None
+
+        rdf_name = _res(raw_date_field) if raw_date_field is not None else None
+        pid_sig = (
+            (
+                tm.person_id_mapping.source_field,
+                tm.person_id_mapping.dest_field,
+                _res(tm.person_id_mapping.source_field),
+            )
+            if tm.person_id_mapping
+            else None
+        )
+        dm_sig = (
+            (
+                tm.date_mapping.source_field,
+                tuple(tm.date_mapping.dest_fields),
+                tuple(tm.date_mapping.companions()),
+            )
+            if tm.date_mapping
+            else None
+        )
+        fields_sig = []
+        for cm in tm.concept_mappings.values():
+            if (
+                cm.copy_fields
+                or cm.extra_literals
+                or cm.companion_term_fields
+                or getattr(cm, "date_writes", None)
+            ):
+                return None
+            fields_sig.append(
+                (
+                    cm.source_field,
+                    _res(cm.source_field),
+                    1 if set(cm.value_mappings) == {"*"} else 0,
+                    tuple(cm.original_value_fields),
+                )
+            )
+        return (
+            tm.target_table,
+            (main_dt, _res(main_dt)),
+            raw_date_field,
+            rdf_name,
+            pid_sig,
+            dm_sig,
+            tuple(fields_sig),
+            dt.get(LINE_COL),
+        )
+
+    def _grouped_file_records(
+        self,
+        items: list[tuple[str, TableMapping, DataFrame, int]],
+        schema: TableSchema,
+        stats: RejectStats | None,
+    ) -> DataFrame:
+        """ONE records template for a same-shape block group.
+
+        Driver cost is O(group) only in cheap string work: each file
+        contributes one tiny raw projection (+ its file ordinal), the
+        projections union, the union is normalised ONCE (one persisted scan
+        for the whole group, shared across targets), per-file rule literals
+        arrive via a single fileidx-keyed broadcast table (plus
+        (fileidx, value)-keyed tables for join-band fields), and the
+        record-array expression is parsed + analyzed ONCE. Metrics run as
+        ONE groupBy(file ordinal) job per (group, target) — the per-file
+        path runs one combined job per file. Ends in the same final select
+        as _file_records, so the caller's positional union and the dense-id
+        ordering (FILEIDX/LINE/FIELDIDX/COMBO — all data columns here) are
+        unchanged."""
+        rep_file, rep_tm, rep_df = items[0][0], items[0][1], items[0][2]
+        target = rep_tm.target_table
+        date_field, _ = self._file_main_fields(rep_file)
+        raw_date_field = None
+        if rep_tm.date_mapping and rep_tm.date_mapping.source_field != date_field:
+            raw_date_field = rep_tm.date_mapping.source_field
+        comp = self.omop.date_components(target)
+        comp_dests = [
+            d
+            for d in (rep_tm.date_mapping.dest_fields if rep_tm.date_mapping else [])
+            if d in comp
+        ]
+        need_gate = stats is not None and bool(comp_dests)
+
+        rep_keys = list(rep_tm.concept_mappings.keys())
+        n_fields = len(rep_keys)
+        # per field position: each block's exact / wildcard rule maps, the
+        # full value set (concept-match gate counts empty-dest values too,
+        # _concept_match), and wildcard PRESENCE (ditto)
+        per_block_exact: list[list[dict]] = [[] for _ in range(n_fields)]
+        per_block_wild: list[list[dict | None]] = [[] for _ in range(n_fields)]
+        per_block_vals: list[list[list[str]]] = [[] for _ in range(n_fields)]
+        per_block_wildp: list[list[bool]] = [[] for _ in range(n_fields)]
+        for _src, tm, _df, _fi in items:
+            for i, cm in enumerate(tm.concept_mappings.values()):
+                exact = {
+                    v: {d: [str(x) for x in ids] for d, ids in m.items() if ids}
+                    for v, m in cm.value_mappings.items()
+                    if v != "*"
+                }
+                per_block_exact[i].append({v: m for v, m in exact.items() if m})
+                w = cm.value_mappings.get("*") or {}
+                w = {d: [str(x) for x in ids] for d, ids in w.items() if ids}
+                per_block_wild[i].append(w or None)
+                per_block_vals[i].append([v for v in cm.value_mappings if v != "*"])
+                per_block_wildp[i].append("*" in cm.value_mappings)
+        any_exact = [any(per_block_exact[i]) for i in range(n_fields)]
+        any_wild = [any(per_block_wild[i]) for i in range(n_fields)]
+        # fields whose largest per-block map crosses the join threshold use
+        # a broadcast rules table keyed on (file ordinal, value) — the
+        # grouped twin of _attach_large_rules' pathological-literal guard
+        large = [
+            max((len(per_block_vals[i][b]) for b in range(len(items))), default=0)
+            >= self.LARGE_TERM_MAP_THRESHOLD
+            for i in range(n_fields)
+        ]
+
+        # ---- raw projections -> union -> ONE norm scan (cached) ----------
+        needed: list[str] = []
+
+        def _need(n: str | None) -> None:
+            if n is not None and n not in needed:
+                needed.append(n)
+
+        mc = _try_resolve_name(rep_df, date_field)
+        _need(mc)  # the norm input; overwritten in place after the filter
+        for cm in rep_tm.concept_mappings.values():
+            _need(_try_resolve_name(rep_df, cm.source_field))
+        if rep_tm.person_id_mapping:
+            _need(_try_resolve_name(rep_df, rep_tm.person_id_mapping.source_field))
+        if raw_date_field is not None:
+            _need(_try_resolve_name(rep_df, raw_date_field))
+        _need(LINE_COL)
+
+        fids = tuple(fi for _s, _t, _d, fi in items)
+        norm_key = (fids, date_field, tuple(needed))
+        u_norm = self._group_norm_cache.get(norm_key)
+        if u_norm is None:
+            parts: list[DataFrame] = []
+            for src_file, tm, df, fi in items:
+                sel = [_sql_ident(c) for c in needed]
+                sel.append(f"CAST({int(fi)} AS INT) AS __ct_gfidx")
+                parts.append(df.selectExpr(*sel))
+            while len(parts) > 1:
+                nxt = [
+                    parts[i].union(parts[i + 1]) for i in range(0, len(parts) - 1, 2)
+                ]
+                if len(parts) % 2:
+                    nxt.append(parts[-1])
+                parts = nxt
+            u0 = parts[0]
+            norm = normalise_to8601(_resolve(u0, date_field)).alias("__ct_norm")
+            d10 = F.substring(F.col("__ct_norm"), 1, 10)
+            sd = strict_date(d10)
+            u_norm = u0.select("*", norm).select(
+                "*",
+                d10.alias("__ct_d10"),
+                F.year(sd).cast("string").alias("__ct_y"),
+                F.month(sd).cast("string").alias("__ct_mo"),
+                F.dayofmonth(sd).cast("string").alias("__ct_dd"),
+            )
+            u_norm = u_norm.persist()
+            self._persisted.append(u_norm)
+            self._group_norm_cache[norm_key] = u_norm
+
+        # ---- per-file rule literals: ONE fileidx-keyed broadcast table ---
+        tab_cols: list[str] = ["__ct_gfidx int"]
+        for i in range(n_fields):
+            if any_exact[i] and not large[i]:
+                tab_cols.append(f"__ct_grules_{i} map<string,map<string,array<string>>>")
+            if any_wild[i]:
+                tab_cols.append(f"__ct_gwild_{i} map<string,array<string>>")
+            if need_gate:
+                if not large[i]:
+                    tab_cols.append(f"__ct_gvals_{i} array<string>")
+                tab_cols.append(f"__ct_gwildp_{i} boolean")
+        rows = []
+        for b, (_s, _t, _d, fi) in enumerate(items):
+            row: list[object] = [int(fi)]
+            for i in range(n_fields):
+                if any_exact[i] and not large[i]:
+                    row.append(per_block_exact[i][b] or None)
+                if any_wild[i]:
+                    row.append(per_block_wild[i][b])
+                if need_gate:
+                    if not large[i]:
+                        row.append(per_block_vals[i][b])
+                    row.append(per_block_wildp[i][b])
+            rows.append(tuple(row))
+        u = u_norm
+        if len(tab_cols) > 1:
+            rtab = self.spark.createDataFrame(rows, ", ".join(tab_cols))
+            u = u.join(F.broadcast(rtab), "__ct_gfidx", "left")
+
+        # join-band fields: broadcast rules on (file ordinal, value); rows
+        # carry ALL values (a match flag for the metrics gate) with NULL
+        # dest maps for empty-dest values, which therefore fall through to
+        # the wildcard exactly like the literal bands
+        for i, key_name in enumerate(rep_keys):
+            if not large[i]:
+                continue
+            cell_name = _try_resolve_name(
+                u, rep_tm.concept_mappings[key_name].source_field
+            )
+            if cell_name is None:
+                continue
+            jrows = []
+            for b in range(len(items)):
+                fi = items[b][3]
+                e = per_block_exact[i][b]
+                for v in per_block_vals[i][b]:
+                    jrows.append((int(fi), v, e.get(v), True))
+            fi_col, val_col = f"__ct_grfi_{i}", f"__ct_grval_{i}"
+            jtab = self.spark.createDataFrame(
+                jrows,
+                f"{fi_col} int, {val_col} string, "
+                f"__ct_grules_{i} map<string,array<string>>, __ct_grmatch_{i} boolean",
+            )
+            u = u.join(
+                F.broadcast(jtab),
+                (F.col("__ct_gfidx") == F.col(fi_col))
+                & (F.col(cell_name) == F.col(val_col)),
+                "left",
+            ).drop(fi_col, val_col)
+
+        norm_ok = F.col("__ct_norm").isNotNull()
+
+        def _strict_for(source_f: str | None) -> Column:
+            if source_f is None or source_f == date_field:
+                return strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
+            c = _try_resolve(u, source_f)
+            if c is None:
+                return F.lit(True)
+            return strict_date(F.substring_index(c, " ", 1)).isNotNull()
+
+        # ---- metrics: ONE groupBy(file ordinal) agg for the whole group --
+        if stats is not None:
+            with self._compile_lock:
+                seq = self._metrics_seq
+                self._metrics_seq += 1
+                counted: dict[int, bool] = {}
+                for src_file, _t, _d, fi in items:
+                    cf = src_file not in self._counted_files
+                    if cf:
+                        self._counted_files.add(src_file)
+                    counted[int(fi)] = cf
+            aggs: list[Column] = [F.count(F.lit(1)).alias(f"__g{seq}_rows")]
+            aggs.append(
+                F.sum(F.when(~norm_ok, 1).otherwise(0)).alias(f"__g{seq}_datebad")
+            )
+            seen_cf: dict[str, None] = {}
+            for cm_ in rep_tm.concept_mappings.values():
+                seen_cf.setdefault(cm_.source_field, None)
+            blank_keys: list[str] = []
+            for fname in seen_cf:
+                cell = _try_resolve(u, fname)
+                if cell is None:
+                    continue
+                blank_keys.append(fname)
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            norm_ok
+                            & ~F.coalesce(valid_value(cell), F.lit(False)),
+                            1,
+                        ).otherwise(0)
+                    ).alias(f"__g{seq}_blank_{len(blank_keys) - 1}")
+                )
+            datebad_keys: list[str] = []
+            if comp_dests:
+                strict_ok_m = _strict_for(raw_date_field)
+                by_field: dict[str, list[int]] = {}
+                for i, cm_ in enumerate(rep_tm.concept_mappings.values()):
+                    by_field.setdefault(cm_.source_field, []).append(i)
+                for fname, idxs in by_field.items():
+                    cell = _try_resolve(u, fname)
+                    if cell is None:
+                        continue
+                    match = F.lit(False)
+                    for i in idxs:
+                        if large[i]:
+                            m_i = F.coalesce(
+                                F.col(f"__ct_grmatch_{i}"), F.lit(False)
+                            )
+                        else:
+                            m_i = F.coalesce(
+                                F.array_contains(F.col(f"__ct_gvals_{i}"), cell),
+                                F.lit(False),
+                            )
+                        match = match | m_i | F.coalesce(
+                            F.col(f"__ct_gwildp_{i}"), F.lit(False)
+                        )
+                    base_gate = F.coalesce(valid_value(cell), F.lit(False)) & match
+                    datebad_keys.append(fname)
+                    aggs.append(
+                        F.sum(
+                            F.when(norm_ok & ~strict_ok_m & base_gate, 1).otherwise(0)
+                        ).alias(f"__g{seq}_datebad_{len(datebad_keys) - 1}")
+                    )
+            fid2file = {int(fi): sf for sf, _t, _d, fi in items}
+
+            def resolve_rows(
+                rws,
+                seq=seq,
+                target=target,
+                blank_keys=tuple(blank_keys),
+                datebad_keys=tuple(datebad_keys),
+                counted=counted,
+                fid2file=fid2file,
+                stats=stats,
+            ) -> None:
+                seen_fids = set()
+                for m in rws:
+                    fi = m["__ct_gfidx"]
+                    seen_fids.add(fi)
+                    sf = fid2file[fi]
+                    if counted.get(fi):
+                        stats.input_rows[sf] = (
+                            stats.input_rows.get(sf, 0) + m[f"__g{seq}_rows"]
+                        )
+                        if m[f"__g{seq}_datebad"]:
+                            stats.date_reject_rows[sf] = (
+                                stats.date_reject_rows.get(sf, 0)
+                                + m[f"__g{seq}_datebad"]
+                            )
+                    for i, fname in enumerate(blank_keys):
+                        n = m[f"__g{seq}_blank_{i}"]
+                        if n:
+                            key = (sf, target, fname)
+                            stats.invalid_source[key] = (
+                                stats.invalid_source.get(key, 0) + n
+                            )
+                    for i, fname in enumerate(datebad_keys):
+                        n = m[f"__g{seq}_datebad_{i}"]
+                        if n:
+                            key = (sf, target, fname)
+                            stats.invalid_date[key] = (
+                                stats.invalid_date.get(key, 0) + n
+                            )
+                # zero-row files produce no groupBy row but the per-file
+                # path still records 0 input rows for them
+                for fi, cf in counted.items():
+                    if cf and fi not in seen_fids:
+                        sf = fid2file[fi]
+                        stats.input_rows.setdefault(sf, stats.input_rows.get(sf, 0))
+
+            with self._compile_lock:
+                self._pending_group_aggs.append((u, aggs, resolve_rows))
+
+        # ---- date row-filter + in-place normalised main column -----------
+        u_cols = u.columns
+        u = u.filter(norm_ok).select(
+            *[
+                F.col("__ct_norm").alias(c) if c == mc else F.col(c)
+                for c in u_cols
+            ]
+        )
+
+        # ---- the shared record template (built and analyzed ONCE) --------
+        from types import SimpleNamespace
+
+        attached: dict[str, str] = {}
+        wild_cols: dict[str, str] = {}
+        syn_cms: dict[str, object] = {}
+        for i, key_name in enumerate(rep_keys):
+            rep_cm = rep_tm.concept_mappings[key_name]
+            if not any_exact[i] and not any_wild[i]:
+                continue
+            cell_name = _try_resolve_name(u, rep_cm.source_field)
+            if cell_name is None:
+                continue
+            # synthetic merged cm: value_mappings (unique synthetic keys,
+            # never "*") give the template its dest-column set and
+            # combination arity = the union across the group; matching is
+            # entirely via the hoisted columns
+            merged: dict[str, dict[str, list[str]]] = {}
+            for b in range(len(items)):
+                for v, m in per_block_exact[i][b].items():
+                    merged[f"__e{b}_{v}"] = m
+                w = per_block_wild[i][b]
+                if w:
+                    merged[f"__w{b}"] = w
+            syn_cms[key_name] = SimpleNamespace(
+                source_field=rep_cm.source_field,
+                value_mappings=merged,
+                original_value_fields=list(rep_cm.original_value_fields),
+                copy_fields=[],
+                extra_literals={},
+                companion_term_fields=[],
+                syn_kind=1 if set(rep_cm.value_mappings) == {"*"} else 0,
+            )
+            cell = _sql_ident(cell_name)
+            exact_expr = None
+            if any_exact[i]:
+                exact_expr = (
+                    _sql_ident(f"__ct_grules_{i}")
+                    if large[i]
+                    else f"element_at({_sql_ident(f'__ct_grules_{i}')}, {cell})"
+                )
+            wild_expr = _sql_ident(f"__ct_gwild_{i}") if any_wild[i] else None
+            if exact_expr is not None and wild_expr is not None:
+                attached[key_name] = exact_expr
+                wild_cols[key_name] = wild_expr
+            elif exact_expr is not None:
+                attached[key_name] = exact_expr
+            else:
+                attached[key_name] = wild_expr  # wild-only: eff = wild map
+
+        syn_tm = dc_replace(rep_tm, concept_mappings=syn_cms)
+        records = self._standard_records_col(
+            u,
+            syn_tm,
+            schema,
+            attached=attached,
+            raw_date_field=raw_date_field,
+            wild_cols=wild_cols,
+        )
+        exploded = u.select("*", F.explode_outer(records).alias("__ct_rec")).filter(
+            F.col("__ct_rec").isNotNull()
+        )
+        if comp_dests:
+            exploded = exploded.filter(_strict_for(raw_date_field))
+
+        file_map = ", ".join(
+            f"{int(fi)}, {_sql_str(sf)}" for sf, _t, _d, fi in items
+        )
+        cols = [F.col(f"__ct_rec.{c}").alias(c) for c in schema.columns]
+        meta = [
+            F.expr(f"element_at(map({file_map}), __ct_gfidx)").alias(SRC_COL),
+            F.col(f"__ct_rec.{FIELD_COL}").alias(FIELD_COL),
+            F.col(f"__ct_rec.{FIELDIDX_COL}").alias(FIELDIDX_COL),
+            F.col(f"__ct_rec.{COMBO_COL}").alias(COMBO_COL),
+            F.col(LINE_COL),
+            F.col("__ct_gfidx").alias(FILEIDX_COL),
+        ]
+        return exploded.select(*cols, *meta)
+
     # -- column-expression record builders ------------------------------
 
     def _common_column_values(
@@ -1144,12 +1672,19 @@ class CarrotPlanner:
         matched: str,
         lit_over: dict[str, str] | None = None,
         copy_over: dict[str, str] | None = None,
+        wild_matched: str | None = None,
     ) -> str:
         """SQL twin of the per-field dest-map record builder: exact match
         beats wildcard, clamped-zip combinations, blank cells never match
-        (formerly _joined_field_records)."""
+        (formerly _joined_field_records).
+
+        ``wild_matched``: grouped-template mode — the wildcard dest map
+        comes from a per-file data COLUMN instead of an inlined literal
+        (exact-beats-wild stays a COALESCE either way)."""
         wild = cm.value_mappings.get("*")
-        if wild:
+        if wild_matched is not None:
+            eff = f"COALESCE({matched}, {wild_matched})"
+        elif wild:
             pairs = [
                 f"{_sql_str(d)}, array({', '.join(_sql_str(str(x)) for x in ids)})"
                 for d, ids in wild.items()
@@ -1243,7 +1778,10 @@ class CarrotPlanner:
                 list(exact.items()), f"{val_col} string, {map_col} map<string,array<string>>"
             )
             df = df.join(F.broadcast(rules_df), cell == F.col(val_col), "left").drop(val_col)
-            attached[fname] = map_col
+            # attached values are ready SQL EXPRESSIONS (the grouped-template
+            # path stores element_at(map-col, cell) probes under the same
+            # contract)
+            attached[fname] = _sql_ident(map_col)
         return df, attached
 
     def _standard_records_col(
@@ -1253,6 +1791,7 @@ class CarrotPlanner:
         schema: TableSchema,
         attached: dict[str, str] | None = None,
         raw_date_field: str | None = None,
+        wild_cols: dict[str, str] | None = None,
     ) -> Column:
         """array<record> for a standard target: per-field fan-out (U1), each
         field contributing its matched value's clamped-zip combinations (X1).
@@ -1311,7 +1850,9 @@ class CarrotPlanner:
         block_seq: dict[tuple[str, int], int] = {}
         for key_name, cm in tm.concept_mappings.items():
             fname = cm.source_field
-            kind = 1 if set(cm.value_mappings) == {"*"} else 0
+            kind = getattr(cm, "syn_kind", None)
+            if kind is None:
+                kind = 1 if set(cm.value_mappings) == {"*"} else 0
             seq = block_seq.get((fname, kind), 0)
             block_seq[(fname, kind)] = seq + 1
             fidx = field_rank[fname] * 10000 + kind * 5000 + seq
@@ -1368,9 +1909,12 @@ class CarrotPlanner:
                         cell,
                         fname,
                         fidx,
-                        _sql_ident(attached[key_name]),
+                        attached[key_name],
                         lit_over=lit_over,
                         copy_over=copy_over,
+                        wild_matched=(
+                            wild_cols.get(key_name) if wild_cols else None
+                        ),
                     )
                 )
                 continue

@@ -833,7 +833,11 @@ def ds_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     is_target = F.col("doc_id") % _DSIR_TMOD == 0
-    return dsir_select_docs(d, is_target, k=_DSIR_K).orderBy("doc_id")
+    from carrot_transform_spark.queries import _QUERY_CACHES
+
+    return dsir_select_docs(
+        d, is_target, k=_DSIR_K, persist_registry=_QUERY_CACHES
+    ).orderBy("doc_id")
 
 
 def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,7 +850,9 @@ def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from carrot_transform_spark.operators.unigram import unigram_encode_docs
 
     d = load(spark, sf_dir, "documents")
-    return unigram_encode_docs(d).orderBy("kind", "a")
+    from carrot_transform_spark.queries import _QUERY_CACHES
+
+    return unigram_encode_docs(d, persist_registry=_QUERY_CACHES).orderBy("kind", "a")
 
 
 def txt_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,8 +865,12 @@ def txt_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     every training round as a chained CTE with identical quantisation."""
     from carrot_transform_spark.operators.logreg import logreg_quality_docs
 
+    from carrot_transform_spark.queries import _QUERY_CACHES
+
     d = load(spark, sf_dir, "documents")
-    return logreg_quality_docs(d, F.col("text").contains("spark")).orderBy(
+    return logreg_quality_docs(
+        d, F.col("text").contains("spark"), persist_registry=_QUERY_CACHES
+    ).orderBy(
         "kind", "id"
     )
 

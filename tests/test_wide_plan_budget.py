@@ -53,9 +53,9 @@ class _MemSource(Source):
         return self._df
 
 
-def _rules():
+def _rules(n_blocks: int = N_BLOCKS):
     cdm_obs = {}
-    for b in range(N_BLOCKS):
+    for b in range(n_blocks):
         concept_mappings = {}
         for j in range(N_FIELDS):
             vmap = {
@@ -77,30 +77,58 @@ def test_wide_plan_builds_within_budget(spark):
     rules = parse_rules(_rules(), omop)
     src = _MemSource(spark)
     src.read("warm")  # warm the JVM so the timing isolates plan construction
-    planner = CarrotPlanner(spark, rules, omop, person_table="src_00.csv")
 
+    # host-calibration unit: a 2-block compile over the SAME shapes on the
+    # per-block path (grouping off). It exercises the same py4j/parse/
+    # analyze pipeline, so host-speed and page-cache drift inflate unit
+    # and full compile together — an absolute wall-clock budget here
+    # bounced between 11 s and 49 s across host windows with ZERO code
+    # change (round-13 verdict), which is exactly what a fixed ratio
+    # doesn't do.
+    unit_rules = parse_rules(_rules(2), omop)
+    for _ in range(2):  # warm the analyzer/JIT before either timing
+        up = CarrotPlanner(
+            spark, unit_rules, omop, person_table="src_00.csv", group_same_shape=False
+        )
+        up.target_candidates(src, "observation", None).schema
+        up.release()
+    t0 = time.perf_counter()
+    up = CarrotPlanner(
+        spark, unit_rules, omop, person_table="src_00.csv", group_same_shape=False
+    )
+    up.target_candidates(src, "observation", None).schema
+    unit_s = time.perf_counter() - t0
+    up.release()
+
+    planner = CarrotPlanner(spark, rules, omop, person_table="src_00.csv")
     t0 = time.perf_counter()
     cand = planner.target_candidates(src, "observation", None)
     build_s = time.perf_counter() - t0
     t1 = time.perf_counter()
     cand.schema  # forces full analysis of the 50-block union
     analyze_s = time.perf_counter() - t1
+    total_s = build_s + analyze_s
 
-    # CI budget — the guarded failure mode is plan-construction blow-up:
-    # ~250 s at round 5 (per-struct py4j fan-out), ~60 s at round 8
-    # (memoized Column handles), ~20 s at round 9 (the whole record array
-    # is ONE parsed SQL string per block + balanced-tree union), ~11 s
-    # IDLE at round 10 (per-file construction and union-tree levels run
-    # across a thread pool). Round 12: pool width dropped 16 -> 8 — the
-    # py4j/analyzer pipeline saturates at ~8 threads and oversubscription
-    # cost ~35% plus most of the in-suite contention spread (old 59 s
-    # in-suite vs 11 s idle; now ~11-15 s even on a busy box,
-    # scripts/profile_wide_plan.py). Budget 30 s = ~2x the busy-box
-    # measurement; the blow-up class this test exists to catch starts 4x
-    # beyond that
-    assert build_s + analyze_s < 30.0, (
+    # Two-part budget (round-14):
+    #  * ratio vs the host-calibrated unit — the 50-block GROUPED compile
+    #    runs ONE template parse+analysis and ~30 ms of string work per
+    #    block (plans/compiler.py _grouped_file_records), measured 5-8 s
+    #    idle ~ 6-8x the ~0.9 s 2-block unit; 20x flags a real structural
+    #    regression (e.g. grouping silently disabled -> per-block compile
+    #    is back at ~25x) while absorbing host-window drift;
+    #  * a generous ABSOLUTE ceiling that still catches the historical
+    #    blow-up class on any host: ~250 s at round 5 (per-struct py4j
+    #    fan-out), ~60 s at round 8, ~20 s at round 9 (one parsed SQL
+    #    string per block + balanced-tree union), ~11-15 s threaded at
+    #    rounds 10-12, ~5 s grouped at round 14.
+    assert total_s < 20.0 * max(unit_s, 0.25), (
         f"wide plan took {build_s:.1f}s build + {analyze_s:.1f}s analyze "
-        f"for {N_BLOCKS} blocks x {N_FIELDS} fields"
+        f"for {N_BLOCKS} blocks x {N_FIELDS} fields "
+        f"(host unit {unit_s:.2f}s -> budget {20.0 * max(unit_s, 0.25):.1f}s)"
+    )
+    assert total_s < 90.0, (
+        f"wide plan took {total_s:.1f}s — the absolute ceiling guards the "
+        f"~250 s expression-blow-up class regardless of host calibration"
     )
 
     # and it must actually execute: every block contributes records
