@@ -43,7 +43,7 @@ exactly reproducible in SQL.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from carrot_transform_spark.functions.rounding import fround, fround_sql
 
@@ -223,6 +223,83 @@ def viterbi_segment(
     return done.select("word", "cnt", "cost", "seg", "n_tokens")
 
 
+DEFAULT_PRUNE_FRAC = 0.2
+
+
+def em_refine(
+    words: DataFrame,
+    pieces: DataFrame,
+    em_rounds: int = 1,
+    prune_frac: float = DEFAULT_PRUNE_FRAC,
+    max_word: int = DEFAULT_MAX_WORD,
+    max_piece: int = DEFAULT_MAX_PIECE,
+    persist_registry: list | None = None,
+) -> DataFrame:
+    """SentencePiece-style EM refinement of the piece vocabulary
+    (Kudo 2018 §3.2): alternate (E) usage re-estimation under the current
+    model with (M) cost re-estimation + pruning of the least-used pieces.
+
+    Hard-EM (Viterbi) variant: the E-step counts piece usages along each
+    word's MINIMUM-cost segmentation — the same distributed lattice DP as
+    encoding (viterbi_segment), so counts come from one explode over the
+    |words|-sized segmentation frame, weighted by word frequency. (Full
+    EM would forward-backward the lattice for marginal expected counts;
+    Viterbi counts are the standard deterministic simplification and keep
+    the whole loop in integer/engine-stable arithmetic.) The M-step:
+
+    - prune the bottom ``prune_frac`` of MULTI-char pieces by
+      (usage, piece) ascending — single chars always survive (the
+      unsegmentable-word fallback), unused multi-char pieces go first;
+    - re-cost kept pieces from their usage counts with the same
+      fround-guarded integer -ln recipe as the base induction; unused
+      single chars count as 1 so their cost stays finite.
+
+    Each round is: one Viterbi DP (|words| x max_piece work), one
+    vocab-sized count aggregate, one vocab-sized re-rank. The rank window
+    is a single-partition sort of the PIECE table only — vocab-scale
+    (Heaps' law), never corpus-scale."""
+    pv = pieces
+    for _ in range(max(0, int(em_rounds))):
+        seg = viterbi_segment(words, pv, max_word, max_piece, persist_registry)
+        used = (
+            seg.select(F.explode(F.split("seg", _US)).alias("piece"), "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("used"))
+        )
+        cnts = (
+            pv.select("piece")
+            .join(used, "piece", "left")
+            .select("piece", F.coalesce("used", F.lit(0)).alias("used"))
+        )
+        multi = cnts.filter(F.length("piece") > 1)
+        n_multi = multi.count()
+        n_prune = int(n_multi * float(prune_frac))
+        if n_prune > 0:
+            rn = F.row_number().over(
+                Window.orderBy(F.asc("used"), F.asc("piece"))
+            )
+            multi = multi.withColumn("rn", rn).filter(F.col("rn") > n_prune)
+        kept = cnts.filter(F.length("piece") == 1).unionByName(
+            multi.select("piece", "used")
+        )
+        # unused single chars keep a finite (max) cost via used -> 1
+        kept = kept.select(
+            "piece", F.greatest(F.col("used"), F.lit(1)).alias("freq")
+        )
+        total = kept.agg(F.sum("freq").alias("tot"))
+        pv = kept.crossJoin(F.broadcast(total)).select(
+            "piece",
+            "freq",
+            F.floor(
+                fround(-F.log(F.col("freq") / F.col("tot")), 9) * _COST_SCALE
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cost"),
+        )
+    return pv
+
+
 def unigram_encode_docs(
     docs: DataFrame,
     text_col: str = "text",
@@ -230,12 +307,22 @@ def unigram_encode_docs(
     max_piece: int = DEFAULT_MAX_PIECE,
     min_count: int = DEFAULT_MIN_COUNT,
     persist_registry: list | None = None,
+    em_rounds: int = 0,
+    prune_frac: float = DEFAULT_PRUNE_FRAC,
 ) -> DataFrame:
     """Induce the piece vocab and Viterbi-encode every distinct word (the
     sub-check shape): kind='piece' rows (piece, freq, cost) + kind='seg'
-    rows (word, cnt, cost, seg)."""
+    rows (word, cnt, cost, seg). ``em_rounds`` > 0 runs the EM-mode
+    refinement (em_refine) between induction and the final encode; the
+    registry sub-check stays at 0 (its DuckDB twin pins the base
+    induction), EM mode is contract-pinned Spark-side
+    (tests/test_unigram_em.py)."""
     wc = word_counts(docs, text_col, max_word)
     pv = piece_vocab(wc, max_piece, min_count)
+    if em_rounds > 0:
+        pv = em_refine(
+            wc, pv, em_rounds, prune_frac, max_word, max_piece, persist_registry
+        )
     seg = viterbi_segment(wc, pv, max_word, max_piece, persist_registry)
     piece_rows = pv.select(
         F.lit("piece").alias("kind"),

@@ -1,5 +1,11 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with thirty-one oracle-checked sub-checks, including:
+CORRECTNESS entry with oracle-checked sub-checks (32 as of round 14),
+including:
+
+- txt_bm25_topk: BM25 ranked retrieval (operators/bm25.py, Robertson &
+  Zaragoza 2009) — the retrieval twin of tfidf for decontamination
+  audits; inverted-index postings join, max_df skew cutoff, top-k per
+  query over qid partitions.
 
 - txt_unigram_encode: SentencePiece-style unigram-LM tokenizer
   (operators/unigram.py, arXiv:1804.10959) — piece induction + per-word
@@ -955,6 +961,46 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rows.unionByName(sym_rows).unionByName(word_rows)
 
 
+_BM25_SLICE = 400  # doc ids present at every SF -> identically sized check
+_BM25_QMOD = 97
+_BM25_TOPK = 10
+
+
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/bm25.py, Robertson & Zaragoza
+    2009) — the retrieval twin of tfidf: inverted-index postings join,
+    ratio-form idf in exact DECIMAL(27,6), length-normalised tf, top-k
+    per query over qid partitions. Queries are the first-3-token prefixes
+    of every 97th document (a decontamination-audit stand-in); corpus is
+    a fixed doc-id slice so the check is identically sized at every SF."""
+    from carrot_transform_spark.operators.bm25 import bm25_rank
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _BM25_SLICE)
+    q = d.filter(F.col("doc_id") % _BM25_QMOD == 3).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias(
+            "qtext"
+        ),
+    )
+    return bm25_rank(d, q, top_k=_BM25_TOPK).orderBy("qid", "rnk")
+
+
+def _bm25_oracle() -> str:
+    from carrot_transform_spark.operators.bm25 import bm25_sql
+
+    docs = f"(SELECT * FROM documents WHERE doc_id < {_BM25_SLICE}) docs"
+    qs = (
+        f"(SELECT doc_id AS qid, "
+        f"array_to_string((string_split(text, ' '))[1:3], ' ') AS qtext "
+        f"FROM documents WHERE doc_id < {_BM25_SLICE} "
+        f"AND doc_id % {_BM25_QMOD} = 3) q"
+    )
+    return (
+        bm25_sql(docs, qs, top_k=_BM25_TOPK)
+        + " ORDER BY qid, rnk"
+    )
+
+
 _TRI_SQL = f"""
     WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_PR_M}),
     raw AS (
@@ -1195,6 +1241,12 @@ register_suite(
                 ("g_key", "f"),
                 ("sel_rank", "i"),
             ],
+        ),
+        (
+            "txt_bm25_topk",
+            txt_bm25_topk,
+            _bm25_oracle(),
+            [("qid", "i"), ("doc", "i"), ("score", "f"), ("rnk", "i")],
         ),
     ],
     tags=("pipeline", "suite"),

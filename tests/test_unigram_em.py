@@ -1,0 +1,132 @@
+"""EM-mode unigram refinement (operators/unigram.em_refine): hard-EM
+(Viterbi) usage re-estimation + pruning. Contract pins (the registry
+sub-check keeps the base induction with its DuckDB twin; EM mode is
+Spark-side):
+
+- brute-force likelihood parity: after EM the Viterbi segmentation of
+  every word still equals the exhaustive-enumeration argmin under the
+  refined costs, and the refined model's total corpus cost is <= the
+  base model's (re-costing to the actually-used pieces can only shrink
+  the Viterbi objective measured under the new model's own normaliser
+  restricted to surviving pieces... pinned empirically on this corpus);
+- pruning: the bottom prune_frac multi-char pieces by usage are gone,
+  single chars all survive;
+- determinism: two runs produce identical vocab + segmentations.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import product
+
+import pyspark.sql.functions as F
+
+from carrot_transform_spark.operators.unigram import (
+    em_refine,
+    piece_vocab,
+    unigram_encode_docs,
+    viterbi_segment,
+    word_counts,
+)
+
+_CORPUS = [
+    "banana bandana ban b anana nabana",
+    "banana banana ban band bandana",
+    "cab cabban bancab ban banana",
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string"
+    )
+
+
+def _brute_best(word: str, costs: dict[str, int], max_piece: int):
+    """Exhaustive minimum-(cost, seg) segmentation via all cut subsets."""
+    n = len(word)
+    best = None
+    for cuts in product([0, 1], repeat=n - 1):
+        bounds = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        pieces = [word[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
+        if any(len(p) > max_piece or p not in costs for p in pieces):
+            continue
+        cand = (sum(costs[p] for p in pieces), "\x1f".join(pieces))
+        if best is None or cand < best:
+            best = cand
+    return best
+
+
+def test_em_viterbi_matches_bruteforce(spark):
+    wc = word_counts(_docs(spark), max_word=8)
+    base = piece_vocab(wc, max_piece=3, min_count=2)
+    refined = em_refine(wc, base, em_rounds=1, prune_frac=0.25, max_word=8, max_piece=3)
+    costs = {r["piece"]: r["cost"] for r in refined.collect()}
+    seg = viterbi_segment(wc, refined, max_word=8, max_piece=3).collect()
+    assert seg, "refined vocab must still segment the corpus"
+    for r in seg:
+        exp = _brute_best(r["word"], costs, max_piece=3)
+        assert exp is not None, f"{r['word']} unsegmentable under refined vocab"
+        assert (r["cost"], r["seg"]) == exp, r["word"]
+
+
+def test_em_prunes_low_usage_and_keeps_chars(spark):
+    wc = word_counts(_docs(spark), max_word=8)
+    base = piece_vocab(wc, max_piece=3, min_count=2)
+    base_rows = base.collect()
+    n_multi = sum(1 for r in base_rows if len(r["piece"]) > 1)
+    refined = em_refine(wc, base, em_rounds=1, prune_frac=0.25, max_word=8, max_piece=3)
+    ref_rows = refined.collect()
+    ref_multi = sum(1 for r in ref_rows if len(r["piece"]) > 1)
+    assert ref_multi == n_multi - int(n_multi * 0.25)
+    base_chars = {r["piece"] for r in base_rows if len(r["piece"]) == 1}
+    ref_chars = {r["piece"] for r in ref_rows if len(r["piece"]) == 1}
+    assert ref_chars == base_chars
+
+    # pruned pieces are exactly the lowest-usage ones: every surviving
+    # multi-char piece's usage >= every pruned piece's usage
+    seg0 = viterbi_segment(wc, base, max_word=8, max_piece=3)
+    used = {
+        r["piece"]: r["u"]
+        for r in seg0.select(
+            F.explode(F.split("seg", "\x1f")).alias("piece"), "cnt"
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("u"))
+        .collect()
+    }
+    surviving = {r["piece"] for r in ref_rows if len(r["piece"]) > 1}
+    pruned = {r["piece"] for r in base_rows if len(r["piece"]) > 1} - surviving
+    if surviving and pruned:
+        assert min(used.get(p, 0) for p in surviving) >= max(
+            used.get(p, 0) for p in pruned
+        )
+
+
+def test_em_total_cost_improves_on_skewed_corpus(spark):
+    # EM concentrates mass on the pieces the model actually uses: the
+    # total Viterbi cost under the refined model (its own normaliser)
+    # drops vs the base model on a corpus with heavy piece reuse
+    wc = word_counts(_docs(spark), max_word=8)
+    base = piece_vocab(wc, max_piece=3, min_count=2)
+
+    def total_cost(pv):
+        seg = viterbi_segment(wc, pv, max_word=8, max_piece=3)
+        return seg.agg(F.sum(F.col("cost") * F.col("cnt"))).collect()[0][0]
+
+    c_base = total_cost(base)
+    c_ref = total_cost(
+        em_refine(wc, base, em_rounds=1, prune_frac=0.25, max_word=8, max_piece=3)
+    )
+    assert c_ref < c_base, (c_ref, c_base)
+
+
+def test_em_mode_flag_and_determinism(spark):
+    d = _docs(spark)
+    a = unigram_encode_docs(d, max_word=8, max_piece=3, min_count=2, em_rounds=1)
+    b = unigram_encode_docs(d, max_word=8, max_piece=3, min_count=2, em_rounds=1)
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b
+    base = unigram_encode_docs(d, max_word=8, max_piece=3, min_count=2)
+    assert rows_a != sorted(tuple(r) for r in base.collect())
