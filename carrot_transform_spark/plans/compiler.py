@@ -1304,15 +1304,13 @@ class CarrotPlanner:
         syn_cms: dict[str, object] = {}
         for i, key_name in enumerate(rep_keys):
             rep_cm = rep_tm.concept_mappings[key_name]
-            if not any_exact[i] and not any_wild[i]:
-                continue
-            cell_name = _try_resolve_name(u, rep_cm.source_field)
-            if cell_name is None:
-                continue
             # synthetic merged cm: value_mappings (unique synthetic keys,
             # never "*") give the template its dest-column set and
             # combination arity = the union across the group; matching is
-            # entirely via the hoisted columns
+            # entirely via the hoisted columns. EVERY rep field gets a syn
+            # entry — even rule-less ones that produce no records — so the
+            # field_rank / block_seq arithmetic behind FIELDIDX matches the
+            # per-block path exactly (it ranks all declared fields)
             merged: dict[str, dict[str, list[str]]] = {}
             for b in range(len(items)):
                 for v, m in per_block_exact[i][b].items():
@@ -1329,6 +1327,11 @@ class CarrotPlanner:
                 companion_term_fields=[],
                 syn_kind=1 if set(rep_cm.value_mappings) == {"*"} else 0,
             )
+            if not any_exact[i] and not any_wild[i]:
+                continue  # rank entry recorded; no rules to attach
+            cell_name = _try_resolve_name(u, rep_cm.source_field)
+            if cell_name is None:
+                continue
             cell = _sql_ident(cell_name)
             exact_expr = None
             if any_exact[i]:

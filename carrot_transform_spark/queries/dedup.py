@@ -44,6 +44,23 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def shingles_sql(pred: str = "") -> str:
+    """The shingle CTE body; ``pred`` is an extra doc-level predicate
+    (the pipe-ops suite bounds its heavy sub-checks to a fixed doc-id
+    slice that is a no-op at the sf0.01 gate)."""
+    where = f"{pred} AND " if pred else ""
+    return f"""
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
+                   i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                        regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                        regexp_split_to_array(trim(text), '\\s+')[i+2])) AS shingles
+        FROM documents
+        WHERE {where}len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+"""
+
+
 _SHINGLES_SQL = """
         SELECT doc_id,
                list_distinct(list_transform(
@@ -71,12 +88,20 @@ def _shingles(col: Column) -> Column:
     )
 
 
-def _exploded_shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
+def _exploded_shingles(
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = False,
+    max_doc_id: int | None = None,
+) -> DataFrame:
     """(doc_id, n, s): one row per distinct shingle per doc. The tokens array
     is materialized once per row (single projection); callers that traverse
     the index several times (signature + candidate + verify stages) pass
-    persist=True so the explosion happens exactly once."""
+    persist=True so the explosion happens exactly once. ``max_doc_id``
+    bounds the corpus BEFORE the shingle transform (suite scale cap)."""
     d = load(spark, sf_dir, "documents")
+    if max_doc_id is not None:
+        d = d.filter(F.col("doc_id") < max_doc_id)
     # the corpus file is small enough to land in one scan partition, but the
     # shingle transform is the expensive (interpreted, HOF) stage — spread it
     # across cores first; at real scale the scan itself is many splits and
@@ -161,11 +186,18 @@ _NGRAM_SQL = f"""
     """
 
 
-def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_sql(pred: str = "") -> str:
+    """_NGRAM_SQL with an extra doc-level predicate on the shingle CTE."""
+    return _NGRAM_SQL.replace(_SHINGLES_SQL, shingles_sql(pred), 1)
+
+
+def dd_ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None = None
+) -> DataFrame:
     """Near-duplicate pairs with 3-gram Jaccard >= 0.8. Candidate pairs come
     from the shingle inverted index (equi-join on shingle), so cost is
     sum-over-shingles(df^2), not |docs|^2."""
-    e = _exploded_shingles(spark, sf_dir)
+    e = _exploded_shingles(spark, sf_dir, max_doc_id=max_doc_id)
     a = e.alias("a")
     b = e.alias("b")
     cand = (
@@ -192,11 +224,12 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_K = 8  # 8 hash functions -> 4 bands x 2 rows
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(pred: str = "") -> str:
     """DuckDB SQL computing the k minhash values per doc (columns mh0..mh7):
     one md5 base hash per shingle, k universal-hash (a*h+b) mod P
     derivations — the exact salt table the Spark plan uses
-    (operators/dedup.minhash_salts)."""
+    (operators/dedup.minhash_salts). ``pred``: extra doc predicate on the
+    shingle CTE (suite scale caps)."""
     from carrot_transform_spark.operators.dedup import MH_PRIME, minhash_salts
 
     parts = [
@@ -205,7 +238,7 @@ def _minhash_sig_sql() -> str:
     ]
     mins = ", ".join(parts)
     return f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH sh AS ({shingles_sql(pred) if pred else _SHINGLES_SQL}),
     eu AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     e AS (SELECT doc_id, {_h32_sql('s')} AS hs FROM eu)
     SELECT doc_id, {mins} FROM e GROUP BY doc_id

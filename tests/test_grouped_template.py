@@ -143,6 +143,37 @@ def test_grouped_template_equivalence(spark):
     assert stats_g.invalid_date == stats_p.invalid_date
 
 
+def test_grouped_metrics_one_action_per_group(spark, monkeypatch):
+    """The grouped path must flush its metrics as ONE groupBy(file
+    ordinal) action for the whole group — plus the per-file action the
+    odd-shaped singleton still needs — not one action per source file."""
+    import pyspark.sql.classic.dataframe as dataframe_mod
+
+    omop = load_schemas(DEFAULT_DDL, DEFAULT_CONFIG)
+    rules = parse_rules(_rules(), omop)
+    src = _MemSource(spark)
+    planner = CarrotPlanner(spark, rules, omop, person_table="grp_00.csv")
+    planner.WIDE_PLAN_PAIRS = 1
+    stats = RejectStats()
+    planner.target_candidates(src, "observation", stats).count()
+    assert len(planner._pending_group_aggs) == 1
+    assert len(planner._pending_aggs) == 1  # odd.csv only
+
+    calls: list[int] = []
+    orig = dataframe_mod.DataFrame.collect
+
+    def counting_collect(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(dataframe_mod.DataFrame, "collect", counting_collect)
+    planner.flush_metrics()
+    monkeypatch.undo()
+    assert len(calls) == 2, f"{len(calls)} actions for 8 grouped files + odd.csv"
+    assert sum(stats.input_rows.values()) > 0
+    planner.release()
+
+
 def test_grouped_path_actually_groups(spark):
     omop = load_schemas(DEFAULT_DDL, DEFAULT_CONFIG)
     rules = parse_rules(_rules(), omop)
