@@ -171,7 +171,7 @@ def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    e AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    e AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
     cand AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
@@ -240,7 +240,7 @@ def _minhash_sig_sql(pred: str = "") -> str:
     return f"""
     WITH sh AS ({shingles_sql(pred) if pred else _SHINGLES_SQL}),
     eu AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    e AS (SELECT doc_id, {_h32_sql('s')} AS hs FROM eu)
+    e AS MATERIALIZED (SELECT doc_id, {_h32_sql('s')} AS hs FROM eu)
     SELECT doc_id, {mins} FROM e GROUP BY doc_id
     """
 
@@ -263,7 +263,7 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_minhash_lsh_pairs",
     oracle=f"""
-    WITH sig AS ({_minhash_sig_sql()}),
+    WITH sig AS MATERIALIZED ({_minhash_sig_sql()}),
     bands AS (
         SELECT doc_id, 0 AS band, CONCAT(mh0, '_', mh1) AS bkey FROM sig
         UNION ALL SELECT doc_id, 1, CONCAT(mh2, '_', mh3) FROM sig
@@ -276,7 +276,7 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
     sh AS ({_SHINGLES_SQL}),
-    e AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    e AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
     verified AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS inter,
                ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
