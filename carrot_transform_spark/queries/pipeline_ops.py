@@ -578,7 +578,7 @@ def _incremental_sql() -> str:
     from carrot_transform_spark.queries.dedup import _minhash_sig_sql
 
     return f"""
-    WITH sig AS ({_minhash_sig_sql(f"doc_id < {_HEAVY_SLICE}")}),
+    WITH sig AS MATERIALIZED ({_minhash_sig_sql(f"doc_id < {_HEAVY_SLICE}")}),
     bands AS (
         SELECT doc_id, 0 AS band, CONCAT(mh0, '_', mh1) AS bkey FROM sig
         UNION ALL SELECT doc_id, 1, CONCAT(mh2, '_', mh3) FROM sig
@@ -592,7 +592,7 @@ def _incremental_sql() -> str:
         WHERE a.doc_id % {_INC_MOD} = 0 OR b.doc_id % {_INC_MOD} = 0
     ),
     sh AS ({shingles_sql(f"doc_id < {_HEAVY_SLICE}")}),
-    e AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    e AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
     verified AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS inter,
                ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
