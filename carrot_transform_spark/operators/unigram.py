@@ -314,9 +314,10 @@ def unigram_encode_docs(
     sub-check shape): kind='piece' rows (piece, freq, cost) + kind='seg'
     rows (word, cnt, cost, seg). ``em_rounds`` > 0 runs the EM-mode
     refinement (em_refine) between induction and the final encode; the
-    registry sub-check stays at 0 (its DuckDB twin pins the base
-    induction), EM mode is contract-pinned Spark-side
-    (tests/test_unigram_em.py)."""
+    registry sub-check stays at 0, and EM mode has its own full DuckDB
+    twin (unigram_sql(em_rounds=k) re-runs every E/M round as chained
+    CTEs — exact-equality-tested at rounds 0/1/2 in
+    tests/test_unigram_em.py) plus Spark-side brute-force pins."""
     wc = word_counts(docs, text_col, max_word)
     pv = piece_vocab(wc, max_piece, min_count)
     if em_rounds > 0:
@@ -341,24 +342,84 @@ def unigram_encode_docs(
     return piece_rows.unionByName(seg_rows)
 
 
+def _dp_sql_blocks(L: int, lattice: str, prefix: str) -> tuple[list[str], str]:
+    """The unrolled Viterbi DP as chained CTEs over ``lattice``: returns
+    (CTE texts, final UNION ALL of every settled position). ``prefix``
+    namespaces the round tables so several DP passes (EM) can chain in
+    one statement."""
+    parts = [
+        f"{prefix}0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS seg FROM wc)"
+    ]
+    prev_union = f"SELECT * FROM {prefix}0"
+    for r in range(1, L + 1):
+        parts.append(
+            f"""{prefix}{r} AS MATERIALIZED (
+        SELECT word, {r} AS pos, cost, seg FROM (
+            SELECT m.word,
+                   b.cost + m.cost AS cost,
+                   CASE WHEN b.seg = '' THEN m.piece
+                        ELSE b.seg || chr(31) || m.piece END AS seg,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY m.word
+                       ORDER BY b.cost + m.cost,
+                                CASE WHEN b.seg = '' THEN m.piece
+                                     ELSE b.seg || chr(31) || m.piece END
+                   ) AS rn
+            FROM {lattice} m
+            JOIN ({prev_union}) b ON b.word = m.word AND b.pos = m.j
+            WHERE m.pos = {r}
+        ) WHERE rn = 1
+    )"""
+        )
+        prev_union = " UNION ALL ".join(
+            f"SELECT * FROM {prefix}{i}" for i in range(r + 1)
+        )
+    final_union = " UNION ALL ".join(
+        f"SELECT * FROM {prefix}{i}" for i in range(L + 1)
+    )
+    return parts, final_union
+
+
+def _lattice_sql(name: str, pieces: str, P: int) -> str:
+    return f"""{name} AS MATERIALIZED (
+        SELECT s.word, s.j, s.pos, s.piece, p.cost
+        FROM (
+            SELECT w.word, i.i - 1 AS j, i.i + l.l - 1 AS pos,
+                   substr(w.word, i.i, l.l) AS piece
+            FROM wc w,
+                 UNNEST(range(1, length(word) + 1)) AS i(i),
+                 UNNEST(range(1, least({P}, length(word) - i.i + 1) + 1)) AS l(l)
+        ) s
+        JOIN {pieces} p ON p.piece = s.piece
+    )"""
+
+
+def _recost_sql(freq_expr: str = "freq", tot_from: str | None = None) -> str:
+    """The shared fround-guarded integer cost: floor(fround(-ln(f/tot),9)*1e6+.5)."""
+    raw = f"-ln(CAST({freq_expr} AS DOUBLE) / ({tot_from}))"
+    return f"CAST(floor({fround_sql(raw, 9)} * {_COST_SCALE} + 0.5) AS BIGINT)"
+
+
 def unigram_sql(
     table: str = "documents",
     text_col: str = "text",
     max_word: int = DEFAULT_MAX_WORD,
     max_piece: int = DEFAULT_MAX_PIECE,
     min_count: int = DEFAULT_MIN_COUNT,
+    em_rounds: int = 0,
+    prune_frac: float = DEFAULT_PRUNE_FRAC,
 ) -> str:
     """DuckDB twin of unigram_encode_docs: identical tokenisation, piece
     induction, integer costs, and every Viterbi round as a chained CTE
-    with the same (cost, seg) tie-break."""
+    with the same (cost, seg) tie-break. ``em_rounds`` > 0 additionally
+    re-runs each hard-EM refinement round (E: Viterbi usage counts; M:
+    bottom-frac prune of multi-char pieces + usage re-cost) before the
+    final encode — the SQL twin of em_refine."""
     P, L = int(max_piece), int(max_word)
     # the 1e-9 fround guard before the 1e6 scale/floor — see piece_vocab
-    raw_nll = (
-        "-ln(CAST(freq AS DOUBLE) / (SELECT SUM(freq) FROM subs "
-        f"WHERE length(piece) = 1 OR freq >= {min_count}))"
-    )
-    cost_sql = (
-        f"CAST(floor({fround_sql(raw_nll, 9)} * {_COST_SCALE} + 0.5) AS BIGINT)"
+    base_tot = (
+        "SELECT SUM(freq) FROM subs "
+        f"WHERE length(piece) = 1 OR freq >= {min_count}"
     )
     parts = [
         f"""wc AS MATERIALIZED (
@@ -376,52 +437,67 @@ def unigram_sql(
              UNNEST(range(1, least({P}, length(word) - i.i + 1) + 1)) AS l(l)
         GROUP BY 1
     ),
-    pieces AS MATERIALIZED (
+    pieces0 AS MATERIALIZED (
         SELECT piece, freq,
-               {cost_sql} AS cost
+               {_recost_sql("freq", base_tot)} AS cost
         FROM subs WHERE length(piece) = 1 OR freq >= {min_count}
-    ),
-    lattice AS MATERIALIZED (
-        SELECT s.word, s.j, s.pos, s.piece, p.cost
-        FROM (
-            SELECT w.word, i.i - 1 AS j, i.i + l.l - 1 AS pos,
-                   substr(w.word, i.i, l.l) AS piece
-            FROM wc w,
-                 UNNEST(range(1, length(word) + 1)) AS i(i),
-                 UNNEST(range(1, least({P}, length(word) - i.i + 1) + 1)) AS l(l)
-        ) s
-        JOIN pieces p ON p.piece = s.piece
-    ),
-    b0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS seg FROM wc)"""
+    )"""
     ]
-    prev_union = "SELECT * FROM b0"
-    for r in range(1, L + 1):
+    cur = "pieces0"
+    for k in range(max(0, int(em_rounds))):
+        lat = f"e{k}lat"
+        parts.append(_lattice_sql(lat, cur, P))
+        dp_parts, dp_union = _dp_sql_blocks(L, lat, f"e{k}b")
+        parts.extend(dp_parts)
+        # E-step: Viterbi usage counts over every word's settled seg,
+        # weighted by word frequency (em_refine's hard-EM counts)
         parts.append(
-            f"""b{r} AS MATERIALIZED (
-        SELECT word, {r} AS pos, cost, seg FROM (
-            SELECT m.word,
-                   b.cost + m.cost AS cost,
-                   CASE WHEN b.seg = '' THEN m.piece
-                        ELSE b.seg || chr(31) || m.piece END AS seg,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY m.word
-                       ORDER BY b.cost + m.cost,
-                                CASE WHEN b.seg = '' THEN m.piece
-                                     ELSE b.seg || chr(31) || m.piece END
-                   ) AS rn
-            FROM lattice m
-            JOIN ({prev_union}) b ON b.word = m.word AND b.pos = m.j
-            WHERE m.pos = {r}
-        ) WHERE rn = 1
+            f"""e{k}used AS (
+        SELECT u.piece, SUM(s.cnt) AS used FROM (
+            SELECT w.word, w.cnt, f.seg
+            FROM wc w JOIN ({dp_union}) f
+              ON f.word = w.word AND f.pos = length(w.word)
+        ) s, UNNEST(string_split(s.seg, chr(31))) AS u(piece)
+        GROUP BY u.piece
     )"""
         )
-        prev_union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(r + 1))
+        # M-step: per-piece usage over the CURRENT vocab, bottom-frac
+        # prune of multi-char pieces by (used, piece) asc — single chars
+        # always survive; unused single chars count as 1 (finite cost)
+        parts.append(
+            f"""e{k}cnts AS (
+        SELECT p.piece, COALESCE(u.used, 0) AS used
+        FROM {cur} p LEFT JOIN e{k}used u ON u.piece = p.piece
+    ),
+    e{k}multi AS (
+        SELECT piece, used,
+               ROW_NUMBER() OVER (ORDER BY used ASC, piece ASC) AS rn,
+               COUNT(*) OVER () AS n_multi
+        FROM e{k}cnts WHERE length(piece) > 1
+    ),
+    e{k}kept AS (
+        SELECT piece, GREATEST(used, 1) AS freq
+        FROM e{k}cnts WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, GREATEST(used, 1) AS freq
+        FROM e{k}multi
+        WHERE rn > CAST(floor(n_multi * {float(prune_frac)!r}) AS BIGINT)
+    ),
+    pieces{k + 1} AS MATERIALIZED (
+        SELECT piece, freq,
+               {_recost_sql("freq", f"SELECT SUM(freq) FROM e{k}kept")} AS cost
+        FROM e{k}kept
+    )"""
+        )
+        cur = f"pieces{k + 1}"
+    parts.append(_lattice_sql("lattice", cur, P))
+    dp_parts, final_union = _dp_sql_blocks(L, "lattice", "b")
+    parts.extend(dp_parts)
     body = ",\n    ".join(parts)
-    final_union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(L + 1))
     return f"""
     WITH {body}
     SELECT 'piece' AS kind, piece AS a, CAST(freq AS BIGINT) AS k, cost AS n, '' AS b
-    FROM pieces
+    FROM {cur}
     UNION ALL
     SELECT 'seg' AS kind, w.word AS a,
            CAST(len(string_split(f.seg, chr(31))) AS BIGINT) AS k,

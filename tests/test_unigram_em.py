@@ -1,7 +1,8 @@
 """EM-mode unigram refinement (operators/unigram.em_refine): hard-EM
-(Viterbi) usage re-estimation + pruning. Contract pins (the registry
-sub-check keeps the base induction with its DuckDB twin; EM mode is
-Spark-side):
+(Viterbi) usage re-estimation + pruning. The registry sub-check keeps
+the base induction; EM mode gets BOTH a full DuckDB twin
+(test_em_duckdb_twin_exact: unigram_sql(em_rounds=k), exact row
+equality at k = 0, 1, 2) and Spark-side contract pins:
 
 - brute-force likelihood parity: after EM the Viterbi segmentation of
   every word still equals the exhaustive-enumeration argmin under the
@@ -130,3 +131,31 @@ def test_em_mode_flag_and_determinism(spark):
     assert rows_a == rows_b
     base = unigram_encode_docs(d, max_word=8, max_piece=3, min_count=2)
     assert rows_a != sorted(tuple(r) for r in base.collect())
+
+
+def test_em_duckdb_twin_exact(spark, tmp_path):
+    """unigram_sql(em_rounds=k) is a full oracle twin of the EM mode:
+    exact row equality (not just hashes) for k = 0, 1, 2 on a corpus
+    with enough reuse that pruning and re-costing both fire."""
+    import duckdb
+
+    from carrot_transform_spark.operators.unigram import unigram_sql
+
+    docs = _docs(spark)
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for k in (0, 1, 2):
+        srows = sorted(
+            tuple(r)
+            for r in unigram_encode_docs(
+                docs, max_word=8, max_piece=3, min_count=2, em_rounds=k
+            ).collect()
+        )
+        orows = sorted(
+            tuple(r)
+            for r in con.execute(
+                unigram_sql(max_word=8, max_piece=3, min_count=2, em_rounds=k)
+            ).fetchall()
+        )
+        assert srows == orows, f"em_rounds={k}"
