@@ -16,6 +16,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+# Reference-window value of the calib_spark probe on an idle host
+# (BASELINE.md "Host calibration", round 14): used for normalized_total.
+CALIB_SPARK_REF = 0.62
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -176,6 +180,17 @@ def main() -> None:
                 # vs the reference window before comparing across rounds
                 "calib_spark_sec": calib_spark,
                 "calib_compile_sec": calib_compile,
+                # host-normalized total (VERDICT r14 task 6): the round-
+                # over-round comparison should use THIS, not raw total —
+                # r13->r14 drifted +2.5 s with zero bench-path code change.
+                # Scale = reference-window probe / this window's probe
+                # (BASELINE.md "Host calibration": calib_spark_ref=0.62 s).
+                "calib_spark_ref_sec": CALIB_SPARK_REF,
+                "normalized_total": (
+                    round(total * (CALIB_SPARK_REF / calib_spark), 3)
+                    if calib_spark > 0
+                    else total
+                ),
             }
         )
     )

@@ -254,10 +254,13 @@ def kll_rank_check(
 ) -> DataFrame:
     """(key, q, n_rows, in_bound): each estimate's EXACT rank, computed in
     one aggregation over the data joined with the broadcast estimates —
-    in_bound pins |rank/n - q| <= eps + 1/n. The 1/n term absorbs exact-
-    rank granularity: a key with fewer than ~1/eps rows cannot place ANY
-    value within eps of q (rank steps by 1/n > eps), so the plain bound
-    would flag a perfect sketch on small or skewed keys."""
+    in_bound pins |rank/n - q| <= eps, with +1/n slack ONLY when
+    n < 1/eps. The 1/n term absorbs exact-rank granularity: a key with
+    fewer than ~1/eps rows cannot place ANY value within eps of q (rank
+    steps by 1/n > eps), so the plain bound would flag a perfect sketch
+    on small or skewed keys — but granting that slack to LARGE keys would
+    weaken the gate (an estimate one exact rank outside eps would pass),
+    so it is gated on the granularity regime it was added for."""
     key = F.col(key_col) if key_col else F.lit("_all")
     src = df.select(
         key.cast("string").alias("key"),
@@ -276,7 +279,11 @@ def kll_rank_check(
             "n_rows",
             (
                 F.abs(F.col("rank") / F.col("n_rows") - F.col("q"))
-                <= F.lit(eps) + F.lit(1.0) / F.col("n_rows")
+                <= F.lit(eps)
+                + F.when(
+                    F.col("n_rows") < F.lit(1.0 / eps),
+                    F.lit(1.0) / F.col("n_rows"),
+                ).otherwise(F.lit(0.0))
             ).alias("in_bound"),
         )
     )

@@ -114,24 +114,15 @@ def piece_vocab(
     )
 
 
-def viterbi_segment(
-    words: DataFrame,
+def _lattice_frame(
+    w: DataFrame,
     pieces: DataFrame,
-    max_word: int = DEFAULT_MAX_WORD,
-    max_piece: int = DEFAULT_MAX_PIECE,
+    max_piece: int,
     persist_registry: list | None = None,
 ) -> DataFrame:
-    """(word, cnt, cost, seg, n_tokens): the unique minimum-(cost, seg)
-    segmentation of every word, seg = pieces joined by US.
-
-    One lattice build (explode + broadcast join), then max_word rounds of
-    join + per-word argmin. Every intermediate frame is |words|-sized.
-    """
-    spark = words.sparkSession
-    w = words.persist()
-    if persist_registry is not None:
-        persist_registry.append(w)
-    # lattice: (word, j, pos, piece-cost) for every in-vocab piece
+    """(word, j, pos, piece, cost): every in-vocab piece occurrence slot of
+    every word — the shared segmentation lattice behind the Viterbi DP and
+    the soft-EM forward-backward pass (ONE explode + broadcast join)."""
     slots = w.select(
         "word",
         F.explode(
@@ -151,6 +142,27 @@ def viterbi_segment(
     if persist_registry is not None:
         persist_registry.append(lattice)
     lattice.count()
+    return lattice
+
+
+def viterbi_segment(
+    words: DataFrame,
+    pieces: DataFrame,
+    max_word: int = DEFAULT_MAX_WORD,
+    max_piece: int = DEFAULT_MAX_PIECE,
+    persist_registry: list | None = None,
+) -> DataFrame:
+    """(word, cnt, cost, seg, n_tokens): the unique minimum-(cost, seg)
+    segmentation of every word, seg = pieces joined by US.
+
+    One lattice build (explode + broadcast join), then max_word rounds of
+    join + per-word argmin. Every intermediate frame is |words|-sized.
+    """
+    spark = words.sparkSession
+    w = words.persist()
+    if persist_registry is not None:
+        persist_registry.append(w)
+    lattice = _lattice_frame(w, pieces, max_piece, persist_registry)
     # DP: one small frame per settled position, eagerly localCheckpoint-ed
     # so round r+1 re-plans from a LogicalRDD leaf. Without the cut, each
     # round's plan embeds the last max_piece rounds' full trees — a
@@ -224,6 +236,171 @@ def viterbi_segment(
 
 
 DEFAULT_PRUNE_FRAC = 0.2
+
+# quantization scales for the soft-EM forward-backward arithmetic: every
+# libm call (exp, ln) and every sum is fenced the dsum way — fround the
+# double, then accumulate in exact DECIMAL so association order can't
+# drift between engines
+_FB_EXP_Q = 12  # exp terms are in (0, 1] relative to the per-slot min cost
+_FB_GAMMA_Q = 9  # posterior occupancy gamma in (0, ~1]
+_FB_USED_Q = 6  # cnt-weighted expected counts
+_FB_EXP_DEC = "decimal(38,12)"
+_FB_USED_DEC = "decimal(38,6)"
+
+
+def _lse_round(cand: DataFrame, out_cost: str) -> DataFrame:
+    """One log-sum-exp settle: cand = (word, tc) rows for a single lattice
+    position; returns (word, <out_cost>) with
+    cost = m - round(ln(Σ fround(exp(-(tc - m)/1e6), 12)) * 1e6), m = min.
+
+    Engine-stable: tc and m are BIGINT costs, (tc - m) is exact, exp/ln go
+    through fround before any use, and the Σ runs in DECIMAL(38,12) — the
+    only cross-engine risks are the two libm calls, both quantized. The
+    relative-to-min trick keeps every exp term in (0, 1] so no scaling /
+    underflow machinery is needed at any word length."""
+    mins = cand.groupBy("word").agg(F.min("tc").alias("m"))
+    terms = cand.join(mins, "word").select(
+        "word",
+        "m",
+        fround(
+            F.exp(
+                -((F.col("tc") - F.col("m")).cast("double")) / F.lit(1000000.0)
+            ),
+            _FB_EXP_Q,
+        )
+        .cast(_FB_EXP_DEC)
+        .alias("t"),
+    )
+    agg = terms.groupBy("word").agg(F.min("m").alias("m"), F.sum("t").alias("s"))
+    return agg.select(
+        "word",
+        (
+            F.col("m")
+            - F.floor(
+                fround(F.log(F.col("s").cast("double")), 9) * _COST_SCALE
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias(out_cost),
+    )
+
+
+def soft_expected_counts(
+    words: DataFrame,
+    pieces: DataFrame,
+    max_word: int = DEFAULT_MAX_WORD,
+    max_piece: int = DEFAULT_MAX_PIECE,
+    persist_registry: list | None = None,
+) -> DataFrame:
+    """(piece, used): forward-backward EXPECTED piece-occurrence counts
+    over all segmentations (Kudo 2018 §3.2 E-step marginals), word-count
+    weighted — the soft twin of the Viterbi usage counts in em_refine.
+
+    Same lattice frame and same per-round localCheckpoint discipline as
+    viterbi_segment; the forward pass settles string positions 1..L, the
+    backward pass settles distances-from-end 1..L (so both loops are the
+    identical join-per-round shape whatever each word's length), and the
+    per-edge posterior is gamma = exp(-(alpha_j + cost + beta_pos - Z)/1e6)
+    from the three settled integer-cost tables. used = Σ cnt · gamma in
+    DECIMAL — order-independent, engine-exact given the quantized libm
+    calls (see _lse_round)."""
+    spark = words.sparkSession
+    w = words.persist()
+    if persist_registry is not None:
+        persist_registry.append(w)
+    lattice = _lattice_frame(w, pieces, max_piece, persist_registry)
+
+    from functools import reduce
+
+    from carrot_transform_spark.operators.dedup import _constraint_propagation_off
+
+    par = spark.sparkContext.defaultParallelism
+    L = int(max_word)
+    with _constraint_propagation_off(spark):
+        fzero = (
+            w.select("word", F.lit(0).alias("pos"), F.lit(0).cast("long").alias("ac"))
+            .repartition(par, "word")
+            .localCheckpoint(eager=True)
+        )
+        fr: dict[int, DataFrame] = {0: fzero}
+        for r in range(1, L + 1):
+            lo = max(0, r - max_piece)
+            prev = reduce(
+                DataFrame.unionByName, [fr[i] for i in range(lo, r)]
+            ).withColumnRenamed("pos", "j")
+            cand = (
+                lattice.filter(F.col("pos") == r)
+                .join(prev, ["word", "j"])
+                .select("word", (F.col("ac") + F.col("cost")).alias("tc"))
+            )
+            fr[r] = (
+                _lse_round(cand, "ac")
+                .select("word", F.lit(r).alias("pos"), "ac")
+                .repartition(par, "word")
+                .localCheckpoint(eager=True)
+            )
+        bzero = (
+            w.select(
+                "word",
+                F.length("word").cast("int").alias("pos"),
+                F.lit(0).cast("long").alias("bc"),
+            )
+            .repartition(par, "word")
+            .localCheckpoint(eager=True)
+        )
+        br: dict[int, DataFrame] = {0: bzero}
+        for d in range(1, L + 1):
+            lo = max(0, d - max_piece)
+            prev = reduce(DataFrame.unionByName, [br[i] for i in range(lo, d)])
+            cand = (
+                lattice.filter((F.length("word") - F.col("j")) == d)
+                .join(prev, ["word", "pos"])
+                .select("word", (F.col("cost") + F.col("bc")).alias("tc"))
+            )
+            br[d] = (
+                _lse_round(cand, "bc")
+                .select(
+                    "word",
+                    (F.length("word") - F.lit(d)).cast("int").alias("pos"),
+                    "bc",
+                )
+                .repartition(par, "word")
+                .localCheckpoint(eager=True)
+            )
+    acu = reduce(DataFrame.unionByName, [fr[i] for i in range(0, L + 1)]).select(
+        "word", F.col("pos").alias("j"), "ac"
+    )
+    bcu = reduce(DataFrame.unionByName, [br[i] for i in range(0, L + 1)]).select(
+        "word", "pos", "bc"
+    )
+    z = (
+        reduce(DataFrame.unionByName, [fr[i] for i in range(1, L + 1)])
+        .filter(F.col("pos") == F.length("word"))
+        .select("word", F.col("ac").alias("zc"))
+    )
+    gamma = fround(
+        F.exp(
+            -(
+                (
+                    F.col("ac") + F.col("cost") + F.col("bc") - F.col("zc")
+                ).cast("double")
+            )
+            / F.lit(1000000.0)
+        ),
+        _FB_GAMMA_Q,
+    )
+    weighted = (
+        lattice.join(acu, ["word", "j"])
+        .join(bcu, ["word", "pos"])
+        .join(z, "word")
+        .join(w.select("word", "cnt"), "word")
+        .select(
+            "piece",
+            fround(F.col("cnt").cast("double") * gamma, _FB_USED_Q)
+            .cast(_FB_USED_DEC)
+            .alias("t"),
+        )
+    )
+    return weighted.groupBy("piece").agg(F.sum("t").alias("used"))
 
 
 def em_refine(
@@ -481,7 +658,7 @@ def unigram_sql(
         UNION ALL
         SELECT piece, GREATEST(used, 1) AS freq
         FROM e{k}multi
-        WHERE rn > CAST(floor(n_multi * {float(prune_frac)!r}) AS BIGINT)
+        WHERE rn > CAST(floor(n_multi * CAST({float(prune_frac)!r} AS DOUBLE)) AS BIGINT)
     ),
     pieces{k + 1} AS MATERIALIZED (
         SELECT piece, freq,

@@ -920,16 +920,29 @@ class CarrotPlanner:
     def _group_signature(self, src_file: str, tm: TableMapping, df: DataFrame):
         """Hashable shape key: two blocks with equal signatures compile to
         the IDENTICAL records template once per-block rule literals are
-        hoisted into data columns. None -> per-block path. Restricted to v2
-        non-person blocks with no v1 block mechanics; everything the
-        template references by NAME (resolved source columns, date shape,
-        person-id shape) or by STRUCTURE (field order, wildcard-only kind,
-        original-value dests) is part of the key."""
-        if self.rules.dialect != "v2" or tm.target_table == "person":
+        hoisted into data columns. None -> per-block path. Non-person
+        blocks of BOTH dialects group (person stays per-block — the v1
+        bucket model and the v2 first-wins dedup are genuinely per-file);
+        everything the template references by NAME (resolved source
+        columns, date shape, person-id shape), by STRUCTURE (field order,
+        wildcard-only kind, original-value dests, v1 copy/date-write
+        companions), or by LITERAL the template would inline (v1
+        extra_literals — blocks with different companion literals split
+        into separate groups instead of hoisting) is part of the key."""
+        if tm.target_table == "person":
             return None
         main_dt, main_pid = self._file_main_fields(src_file)
-        if main_dt is None or main_pid is None or _try_resolve(df, main_dt) is None:
-            return None  # v2 file-skip gate -> cheap per-block empty frame
+        if self.rules.dialect == "v2":
+            if main_dt is None or main_pid is None or _try_resolve(df, main_dt) is None:
+                return None  # v2 file-skip gate -> cheap per-block empty frame
+        else:
+            # v1 has NO file-skip gate: a file without a resolvable main
+            # datetime still emits (no row date-filter). The grouped
+            # template always builds the normalised-date scan, so only the
+            # dominant dated shape groups; undated v1 files compile
+            # per-block.
+            if main_dt is None or _try_resolve(df, main_dt) is None:
+                return None
         raw_date_field = None
         if tm.date_mapping and tm.date_mapping.source_field != main_dt:
             raw_date_field = tm.date_mapping.source_field
@@ -962,19 +975,28 @@ class CarrotPlanner:
         )
         fields_sig = []
         for cm in tm.concept_mappings.values():
-            if (
-                cm.copy_fields
-                or cm.extra_literals
-                or cm.companion_term_fields
-                or getattr(cm, "date_writes", None)
-            ):
-                return None
+            # v1 block companions are STRUCTURAL (field/dest names resolved
+            # against the header) except extra_literals, whose VALUES the
+            # template inlines — equal-by-value keeps the template exact
+            # without another hoisted column family
             fields_sig.append(
                 (
                     cm.source_field,
                     _res(cm.source_field),
                     1 if set(cm.value_mappings) == {"*"} else 0,
                     tuple(cm.original_value_fields),
+                    tuple(
+                        (d, f, _res(f)) for d, f in getattr(cm, "copy_fields", ())
+                    ),
+                    tuple(sorted(getattr(cm, "extra_literals", {}).items())),
+                    tuple(
+                        (f, _res(f))
+                        for f in getattr(cm, "companion_term_fields", ())
+                    ),
+                    tuple(
+                        (s, d, _res(s)) for s, d in getattr(cm, "date_writes", ())
+                    ),
+                    tuple(getattr(cm, "date_companions", ()) or ()),
                 )
             )
         return (
@@ -1066,6 +1088,15 @@ class CarrotPlanner:
         _need(mc)  # the norm input; overwritten in place after the filter
         for cm in rep_tm.concept_mappings.values():
             _need(_try_resolve_name(rep_df, cm.source_field))
+            # v1 block companions read additional source columns: raw-cell
+            # copies, non-trigger term fields (metrics data columns), and
+            # per-block date-write sources
+            for _d, fld in getattr(cm, "copy_fields", []):
+                _need(_try_resolve_name(rep_df, fld))
+            for fld in getattr(cm, "companion_term_fields", []):
+                _need(_try_resolve_name(rep_df, fld))
+            for s, _d in getattr(cm, "date_writes", []):
+                _need(_try_resolve_name(rep_df, s))
         if rep_tm.person_id_mapping:
             _need(_try_resolve_name(rep_df, rep_tm.person_id_mapping.source_field))
         if raw_date_field is not None:
@@ -1191,6 +1222,12 @@ class CarrotPlanner:
             seen_cf: dict[str, None] = {}
             for cm_ in rep_tm.concept_mappings.values():
                 seen_cf.setdefault(cm_.source_field, None)
+                # block companions are data columns too (the per-file path
+                # counts their blanks; v2 blocks never carry these)
+                for _d, fld_ in getattr(cm_, "copy_fields", []):
+                    seen_cf.setdefault(fld_, None)
+                for fld_ in getattr(cm_, "companion_term_fields", []):
+                    seen_cf.setdefault(fld_, None)
             blank_keys: list[str] = []
             for fname in seen_cf:
                 cell = _try_resolve(u, fname)
@@ -1318,13 +1355,20 @@ class CarrotPlanner:
                 w = per_block_wild[i][b]
                 if w:
                     merged[f"__w{b}"] = w
+            # v1 companions pass through UNMODIFIED: the signature pins them
+            # equal (structure AND extra_literals values) across the group,
+            # so compiling the rep's into the shared template is exact
             syn_cms[key_name] = SimpleNamespace(
                 source_field=rep_cm.source_field,
                 value_mappings=merged,
                 original_value_fields=list(rep_cm.original_value_fields),
-                copy_fields=[],
-                extra_literals={},
-                companion_term_fields=[],
+                copy_fields=list(getattr(rep_cm, "copy_fields", [])),
+                extra_literals=dict(getattr(rep_cm, "extra_literals", {})),
+                companion_term_fields=list(
+                    getattr(rep_cm, "companion_term_fields", [])
+                ),
+                date_writes=list(getattr(rep_cm, "date_writes", [])),
+                date_companions=getattr(rep_cm, "date_companions", None),
                 syn_kind=1 if set(rep_cm.value_mappings) == {"*"} else 0,
             )
             if not any_exact[i] and not any_wild[i]:

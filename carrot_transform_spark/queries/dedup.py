@@ -188,7 +188,15 @@ _NGRAM_SQL = f"""
 
 def ngram_sql(pred: str = "") -> str:
     """_NGRAM_SQL with an extra doc-level predicate on the shingle CTE."""
-    return _NGRAM_SQL.replace(_SHINGLES_SQL, shingles_sql(pred), 1)
+    out = _NGRAM_SQL.replace(_SHINGLES_SQL, shingles_sql(pred), 1)
+    # a textual replace that silently no-ops (embedded constant drifted)
+    # would run the oracle UNSLICED while the Spark side stays sliced — a
+    # confusing gate failure far from the cause; fail HERE instead
+    assert pred == "" or out != _NGRAM_SQL, (
+        "ngram_sql: _SHINGLES_SQL not found inside _NGRAM_SQL — the "
+        "embedded shingle CTE drifted from shingles_sql()"
+    )
+    return out
 
 
 def dd_ngram_jaccard_pairs(

@@ -53,6 +53,63 @@ def main() -> None:
         t0 = time.time()
         n = bm25_rank(d_full, q, top_k=10, max_df=max_df).count()
         print(f"max_df={max_df}: rows={n} in {time.time() - t0:.1f}s", flush=True)
+
+    # multi-query leg (VERDICT r14 task 5): a corpus-sized query set —
+    # |queries| = |corpus| + the real battery, far past any sane broadcast;
+    # maybe_broadcast's size bound must decline the hint so the qterms
+    # join falls back to a shuffle join instead of building a corpus-sized
+    # hash table on every executor. Verified on the executed plan, not
+    # assumed. The bulk queries use OOV terms: with this synthetic ~31-word
+    # vocab EVERY real term is hot, so corpus-sized REAL queries are
+    # inherently quadratic in results (Σdf blow-up) no matter the plan —
+    # the leg measures the join-strategy fallback, not that degeneracy.
+    q_all = (
+        d_full.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("r"))
+        .select(
+            (F.col("doc_id") * 10 + F.col("r")).alias("qid"),
+            F.concat(
+                F.lit("zzpadpadpadpad"), F.col("doc_id"),
+                F.lit(" zqpadpadpadpad"), F.col("r"),
+            ).alias("qtext"),
+        )
+        .unionByName(queries(d_full))
+    )
+    # static-decision audit: maybe_broadcast returns the SAME object when
+    # it declines the hint (the runtime plan may still broadcast via AQE's
+    # actual-size re-plan — that's adaptive behavior, not a forced hint)
+    from carrot_transform_spark.queries import maybe_broadcast
+
+    qterms_big = (
+        q_all.select(
+            F.col("qid"), F.explode(F.split(F.col("qtext"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("qid", "term")
+        .count()
+    )
+    declined = maybe_broadcast(qterms_big) is qterms_big
+    print(f"maybe_broadcast declined forced hint for bulk qterms: {declined}",
+          flush=True)
+
+    ranked = bm25_rank(d_full, q_all, top_k=3)
+    t0 = time.time()
+    n = ranked.count()
+    dt = time.time() - t0
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # count join strategies for the audit line (AQE may still broadcast
+    # sub-threshold sides at runtime; the point is no FORCED broadcast)
+    n_bhj = plan.count("BroadcastHashJoin")
+    n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    print(
+        f"bulk-queries: queries={n_full * 10} rows={n} in {dt:.1f}s "
+        f"(plan: {n_bhj} broadcast / {n_smj} shuffle joins)",
+        flush=True,
+    )
+
+    # qtf (k3) leg: the Okapi query-term-frequency component
+    t0 = time.time()
+    n = bm25_rank(d_full, q, top_k=10, k3=8.0).count()
+    print(f"k3=8.0: rows={n} in {time.time() - t0:.1f}s", flush=True)
     spark.stop()
 
 

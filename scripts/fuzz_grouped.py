@@ -143,9 +143,158 @@ def gen_case(rng: random.Random):
     return rules, tables
 
 
-def run_seed(spark, omop, seed: int) -> str | None:
+def gen_case_v1(rng: random.Random):
+    """Random wide V1 rule sets — the legacy Carrot Mapper block format.
+
+    Per group: a shared block STRUCTURE (trigger fields, original-value /
+    copy / companion-term / extra date-write companions, value counts,
+    occasional join-band folds, scalar-wildcard blocks, missing header
+    columns) with per-file term values/ids. Companion literals are shared
+    across the group with p=0.7 (identical -> blocks group; different ->
+    the signature splits them — equivalence must hold either way)."""
+    n_groups = rng.randint(1, 2)
+    cdm_obs: dict[str, dict] = {}
+    tables = {}
+    for g in range(n_groups):
+        n_fields = rng.randint(1, 3)
+        n_blocks = rng.randint(2, 5)
+        fields = [f"g{g}t{j}" for j in range(n_fields)]
+        missing = set(rng.sample(fields, k=rng.randint(0, 1)))
+        # per-field shared structure
+        field_shape = []
+        for f in fields:
+            field_shape.append(
+                {
+                    "orig": rng.random() < 0.5,
+                    "copy": rng.random() < 0.4,
+                    "companion": rng.random() < 0.4,
+                    "companion_lit_shared": rng.random() < 0.7,
+                    "second_dest": rng.random() < 0.3,
+                    "n_values": rng.randint(1, 4),
+                    "wildcard_block": rng.random() < 0.3,
+                    "join_band": rng.random() < 0.08,
+                }
+            )
+        extra_date = rng.random() < 0.3  # blocks also write observation_date
+        header = ["pid", "dt", "cpy", "cmp"] + [f for f in fields if f not in missing]
+        shared_lit = rng.randint(1, 999)
+        for b in range(n_blocks):
+            fname = f"v1grp{g}_{b:02d}.csv"
+
+            def base_rule() -> dict:
+                r = {
+                    "person_id": {"source_table": fname, "source_field": "pid"},
+                    "observation_datetime": {
+                        "source_table": fname,
+                        "source_field": "dt",
+                    },
+                }
+                if extra_date:
+                    r["observation_date"] = {
+                        "source_table": fname,
+                        "source_field": "dt",
+                    }
+                return r
+
+            for j, f in enumerate(fields):
+                shape = field_shape[j]
+                for v in range(shape["n_values"]):
+                    rule = base_rule()
+                    if shape["companion"]:
+                        lit = (
+                            shared_lit
+                            if shape["companion_lit_shared"]
+                            else rng.randint(1, 999)
+                        )
+                        # dict term BEFORE the trigger dict: last dict wins
+                        rule["observation_type_concept_id"] = {
+                            "source_table": fname,
+                            "source_field": "cmp",
+                            "term_mapping": {"x1": lit},
+                        }
+                    if shape["copy"]:
+                        rule["value_as_string"] = {
+                            "source_table": fname,
+                            "source_field": "cpy",
+                        }
+                    if shape["orig"]:
+                        rule["observation_source_value"] = {
+                            "source_table": fname,
+                            "source_field": f,
+                        }
+                    if shape["second_dest"]:
+                        rule["value_as_concept_id"] = {
+                            "source_table": fname,
+                            "source_field": f,
+                            "term_mapping": {f"v{v}": rng.randint(1, 9999)},
+                        }
+                    rule["observation_concept_id"] = {
+                        "source_table": fname,
+                        "source_field": f,
+                        "term_mapping": {f"v{v}": rng.randint(1, 99999)},
+                    }
+                    cdm_obs[f"g{g}b{b}f{j}v{v}"] = rule
+                if shape["wildcard_block"]:
+                    rule = base_rule()
+                    rule["observation_concept_id"] = {
+                        "source_table": fname,
+                        "source_field": f,
+                        "term_mapping": rng.randint(1, 9999),  # scalar -> "*"
+                    }
+                    cdm_obs[f"g{g}b{b}f{j}w"] = rule
+                if shape["join_band"]:
+                    for v in range(110):
+                        rule = base_rule()
+                        rule["observation_concept_id"] = {
+                            "source_table": fname,
+                            "source_field": f,
+                            "term_mapping": {f"big{v}": rng.randint(1, 9999)},
+                        }
+                        cdm_obs[f"g{g}b{b}f{j}big{v}"] = rule
+            n_rows = rng.randint(0, 30)
+            rows = []
+            for _i in range(n_rows):
+                dt = rng.choice(
+                    [
+                        "2020-01-02 03:04:05",
+                        "02/01/2021",
+                        "garbage",
+                        "2020-00-00",
+                        "",
+                    ]
+                )
+                row = [str(rng.randint(0, 8)), dt]
+                row.append(rng.choice(["cc", ""]))  # cpy
+                row.append(rng.choice(["x1", "x2", ""]))  # cmp
+                for f in fields:
+                    if f in missing:
+                        continue
+                    row.append(
+                        rng.choice(["v0", "v1", "v2", "v5", "", "zzz", "big3"])
+                    )
+                rows.append(row)
+            tables[fname] = (header, rows)
+    # one odd singleton
+    cdm_obs["v1odd"] = {
+        "person_id": {"source_table": "v1odd.csv", "source_field": "pid"},
+        "observation_datetime": {"source_table": "v1odd.csv", "source_field": "dt"},
+        "observation_concept_id": {
+            "source_table": "v1odd.csv",
+            "source_field": "oddf",
+            "term_mapping": {"x": 7},
+        },
+    }
+    tables["v1odd.csv"] = (
+        ["pid", "dt", "oddf"],
+        [["1", "2020-05-06", "x"], ["2", "bad", "x"]],
+    )
+    rules = {"metadata": {"dataset": "fuzzgrpv1"}, "cdm": {"observation": cdm_obs}}
+    return rules, tables
+
+
+def run_seed(spark, omop, seed: int, gen=gen_case) -> str | None:
     rng = random.Random(seed)
-    rules_json, tables = gen_case(rng)
+    rules_json, tables = gen(rng)
     rules = parse_rules(rules_json, omop)
     src = _MemSource(spark, tables)
 
@@ -181,6 +330,8 @@ def run_seed(spark, omop, seed: int) -> str | None:
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    mode = sys.argv[3] if len(sys.argv) > 3 else "v2"
+    gen = {"v2": gen_case, "v1": gen_case_v1}[mode]
     from carrot_transform_spark.session import get_spark
 
     spark = get_spark(app_name="fuzz-grouped", master="local[8]", shuffle_partitions=8)
@@ -189,9 +340,9 @@ def main():
     bad = 0
     for seed in range(start, start + n):
         t0 = time.time()
-        err = run_seed(spark, omop, seed)
+        err = run_seed(spark, omop, seed, gen)
         status = err or "ok"
-        print(f"seed {seed}: {status} [{time.time() - t0:.1f}s]", flush=True)
+        print(f"seed {seed} [{mode}]: {status} [{time.time() - t0:.1f}s]", flush=True)
         if err:
             bad += 1
     print(f"done: {n - bad}/{n} ok", flush=True)

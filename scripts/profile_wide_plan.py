@@ -19,9 +19,40 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import pyspark.sql.functions as F  # noqa: E402
 
 
+def _rules_v1(n_blocks: int, n_fields: int = 20, n_values: int = 4) -> dict:
+    """The SAME 50-block x 20-field x 4-value shape as the v2 budget
+    corpus, written through the legacy V1 dialect (one rule per
+    (file, field, value) block; the loader's shape-aware fold merges each
+    file's per-value blocks back into one multi-value ConceptMapping, so
+    the compiler sees the identical wide shape with dialect='v1')."""
+    cdm_obs = {}
+    for b in range(n_blocks):
+        fname = f"src_{b:02d}.csv"
+        for j in range(n_fields):
+            for v in range(n_values):
+                cdm_obs[f"r{b}_{j}_{v}"] = {
+                    "person_id": {"source_table": fname, "source_field": "user"},
+                    "observation_datetime": {
+                        "source_table": fname,
+                        "source_field": "when",
+                    },
+                    "observation_source_value": {
+                        "source_table": fname,
+                        "source_field": f"f{j}",
+                    },
+                    "observation_concept_id": {
+                        "source_table": fname,
+                        "source_field": f"f{j}",
+                        "term_mapping": {f"v{v}": 100000 + b * 100 + j * 10 + v},
+                    },
+                }
+    return {"metadata": {"dataset": "wideplanv1"}, "cdm": {"observation": cdm_obs}}
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     dirty = "--dirty" in args
+    use_v1 = "--v1" in args
     threads = [int(a) for a in args if a.isdigit()] or [16, 8, 4, 1]
 
     from carrot_transform_spark.session import get_spark
@@ -55,7 +86,8 @@ def main() -> None:
         print(f"dirty warmup {time.perf_counter() - t0:.1f}s", flush=True)
 
     omop = load_schemas(DEFAULT_DDL, DEFAULT_CONFIG)
-    rules = parse_rules(_rules(), omop)
+    rules = parse_rules(_rules_v1(50) if use_v1 else _rules(), omop)
+    print(f"dialect={rules.dialect}", flush=True)
     src = _MemSource(spark)
     src.read("warm")
 

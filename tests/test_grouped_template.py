@@ -197,3 +197,175 @@ def test_grouped_path_actually_groups(spark):
     assert n > 0
     # the 8 same-shape blocks grouped; odd.csv stayed per-block
     assert calls == [N_BLOCKS]
+
+
+# ---------------------------------------------------------------- v1 leg
+#
+# The same grouped-vs-per-block equivalence over the LEGACY v1 dialect
+# (round-15: the _group_signature gate was v2-only; wide v1 files — the
+# format real Carrot Mapper deployments still emit — compiled O(blocks)).
+# The corpus exercises every v1-specific block mechanic the signature now
+# carries: original-value plain copies on the trigger field, raw-cell
+# copies from OTHER fields (copy_fields), non-trigger term fields
+# (companion_term_fields + extra_literals), per-block date_writes, a
+# folded >=LARGE_TERM_MAP_THRESHOLD trigger (join band), a scalar-term
+# wildcard block, and one file whose companion literal differs (splits
+# into its own group -> per-block, since a group of one never groups).
+
+V1_BLOCKS = 6
+
+
+class _MemSourceV1(Source):
+    def __init__(self, spark):
+        self.spark = spark
+        self._dfs: dict[str, object] = {}
+
+    def size_hint(self, table: str) -> int:
+        return 30
+
+    def read(self, table: str):
+        if table not in self._dfs:
+            rows = []
+            for i in range(30):
+                when = {
+                    0: "2020-01-02 03:04:05",
+                    1: "02/01/2020",
+                    2: "not-a-date",
+                    3: "2020-00-00",
+                }[i % 4]
+                t0 = f"v{i % 6}" if i % 5 else ""  # blanks -> blank metric
+                c0 = f"copy{i % 3}" if i % 7 else ""
+                e0 = f"x{i % 2}"
+                t1 = f"w{i % 125}"
+                rows.append((str(i % 9), when, t0, c0, e0, t1, i))
+            self._dfs[table] = self.spark.createDataFrame(
+                rows,
+                "user string, whenx string, t0 string, c0 string, "
+                f"e0 string, t1 string, {LINE_COL} long",
+            ).persist()
+            self._dfs[table].count()
+        return self._dfs[table]
+
+
+def _rules_v1():
+    cdm_obs = {}
+
+    def block_rules(fname: str, b: int, type_lit: int) -> dict:
+        rules = {}
+        # 4 same-shape trigger blocks (fold into ONE multi-value CM): the
+        # companion dict term on e0 comes FIRST so the t0 dict stays the
+        # LAST dict field = the trigger (loader last-dict-wins)
+        for v in range(4):
+            rules[f"r{b}_{v}"] = {
+                "person_id": {"source_table": fname, "source_field": "user"},
+                "observation_datetime": {
+                    "source_table": fname,
+                    "source_field": "whenx",
+                },
+                "observation_type_concept_id": {
+                    "source_table": fname,
+                    "source_field": "e0",
+                    "term_mapping": {"x1": type_lit},
+                },
+                "value_as_string": {"source_table": fname, "source_field": "c0"},
+                "observation_source_value": {
+                    "source_table": fname,
+                    "source_field": "t0",
+                },
+                "observation_concept_id": {
+                    "source_table": fname,
+                    "source_field": "t0",
+                    "term_mapping": {f"v{v}": 1000 + b * 10 + v},
+                },
+            }
+        # scalar-term wildcard block on t0 (no companions -> its own CM)
+        rules[f"rw{b}"] = {
+            "person_id": {"source_table": fname, "source_field": "user"},
+            "observation_datetime": {
+                "source_table": fname,
+                "source_field": "whenx",
+            },
+            "observation_concept_id": {
+                "source_table": fname,
+                "source_field": "t0",
+                "term_mapping": 4500 + b,
+            },
+        }
+        # 120 folded single-value blocks on t1 -> join band
+        for v in range(120):
+            rules[f"rb{b}_{v}"] = {
+                "person_id": {"source_table": fname, "source_field": "user"},
+                "observation_datetime": {
+                    "source_table": fname,
+                    "source_field": "whenx",
+                },
+                "observation_concept_id": {
+                    "source_table": fname,
+                    "source_field": "t1",
+                    "term_mapping": {f"w{v}": 5000 + b * 1000 + v},
+                },
+            }
+        return rules
+
+    for b in range(V1_BLOCKS):
+        cdm_obs.update(block_rules(f"v1grp_{b:02d}.csv", b, type_lit=900))
+    # same structure, DIFFERENT companion literal -> separate signature
+    cdm_obs.update(block_rules("v1odd.csv", 98, type_lit=901))
+    return {"metadata": {"dataset": "groupeq_v1"}, "cdm": {"observation": cdm_obs}}
+
+
+def _compile_v1(spark, grouped: bool):
+    omop = load_schemas(DEFAULT_DDL, DEFAULT_CONFIG)
+    rules = parse_rules(_rules_v1(), omop)
+    assert rules.dialect == "v1"
+    src = _MemSourceV1(spark)
+    planner = CarrotPlanner(
+        spark, rules, omop, person_table="v1grp_00.csv", group_same_shape=grouped
+    )
+    planner._wide_target = True
+    planner.WIDE_PLAN_PAIRS = 1
+    stats = RejectStats()
+    cand = planner.target_candidates(src, "observation", stats)
+    rows = sorted(
+        tuple(r) for r in cand.select(*sorted(cand.columns)).collect()
+    )
+    planner.flush_metrics()
+    planner.release()
+    return rows, stats
+
+
+def test_grouped_template_equivalence_v1(spark):
+    rows_g, stats_g = _compile_v1(spark, grouped=True)
+    rows_p, stats_p = _compile_v1(spark, grouped=False)
+    assert rows_g, "v1 corpus must produce records"
+    assert rows_g == rows_p
+    assert stats_g.input_rows == stats_p.input_rows
+    assert stats_g.date_reject_rows == stats_p.date_reject_rows
+    assert stats_g.invalid_source == stats_p.invalid_source
+    assert stats_g.invalid_date == stats_p.invalid_date
+
+
+def test_grouped_path_actually_groups_v1(spark):
+    omop = load_schemas(DEFAULT_DDL, DEFAULT_CONFIG)
+    rules = parse_rules(_rules_v1(), omop)
+    src = _MemSourceV1(spark)
+    planner = CarrotPlanner(spark, rules, omop, person_table="v1grp_00.csv")
+    planner.WIDE_PLAN_PAIRS = 1
+    calls: list[int] = []
+    orig = CarrotPlanner._grouped_file_records
+
+    def spy(self, items, schema, stats):
+        calls.append(len(items))
+        return orig(self, items, schema, stats)
+
+    CarrotPlanner._grouped_file_records = spy
+    try:
+        cand = planner.target_candidates(src, "observation", None)
+        n = cand.select(F.count(F.lit(1))).collect()[0][0]
+    finally:
+        CarrotPlanner._grouped_file_records = orig
+        planner.release()
+    assert n > 0
+    # the 6 same-shape v1 files grouped; v1odd.csv (different companion
+    # literal) fell back to the per-block path
+    assert calls == [V1_BLOCKS]

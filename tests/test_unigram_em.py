@@ -159,3 +159,42 @@ def test_em_duckdb_twin_exact(spark, tmp_path):
             ).fetchall()
         )
         assert srows == orows, f"em_rounds={k}"
+
+
+def test_em_prune_frac_double_arithmetic_twin(spark):
+    """Non-default prune_frac with NEGATIVE repr error (0.29: the nearest
+    double is below the decimal value) must floor identically in both
+    engines. DuckDB parses a bare decimal literal as exact DECIMAL —
+    100 * 0.29 = 29.00 exact, floor 29 — while Spark/Python compute the
+    IEEE product 28.999...996, floor 28. The SQL twin therefore CASTs the
+    literal to DOUBLE so both engines floor the identical IEEE product."""
+    import duckdb
+
+    from carrot_transform_spark.operators.unigram import unigram_sql
+
+    con = duckdb.connect()
+    # unit pin of the divergence class itself: the bare literal diverges
+    # from Python, the CAST(... AS DOUBLE) form matches it
+    bare = con.execute("SELECT CAST(floor(100 * 0.29) AS BIGINT)").fetchone()[0]
+    dbl = con.execute(
+        "SELECT CAST(floor(100 * CAST(0.29 AS DOUBLE)) AS BIGINT)"
+    ).fetchone()[0]
+    assert bare == 29 and dbl == 28 and int(100 * 0.29) == 28
+
+    # and the emitted SQL uses the DOUBLE form
+    sql = unigram_sql(max_word=8, max_piece=3, min_count=2, em_rounds=1,
+                      prune_frac=0.29)
+    assert "CAST(0.29 AS DOUBLE)" in sql
+
+    # full twin at the negative-repr-error frac
+    docs = _docs(spark)
+    con.register("documents", docs.toPandas())
+    srows = sorted(
+        tuple(r)
+        for r in unigram_encode_docs(
+            docs, max_word=8, max_piece=3, min_count=2, em_rounds=1,
+            prune_frac=0.29,
+        ).collect()
+    )
+    orows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert srows == orows
