@@ -411,42 +411,62 @@ def em_refine(
     max_word: int = DEFAULT_MAX_WORD,
     max_piece: int = DEFAULT_MAX_PIECE,
     persist_registry: list | None = None,
+    em_mode: str = "hard",
 ) -> DataFrame:
     """SentencePiece-style EM refinement of the piece vocabulary
     (Kudo 2018 §3.2): alternate (E) usage re-estimation under the current
     model with (M) cost re-estimation + pruning of the least-used pieces.
 
-    Hard-EM (Viterbi) variant: the E-step counts piece usages along each
-    word's MINIMUM-cost segmentation — the same distributed lattice DP as
-    encoding (viterbi_segment), so counts come from one explode over the
-    |words|-sized segmentation frame, weighted by word frequency. (Full
-    EM would forward-backward the lattice for marginal expected counts;
-    Viterbi counts are the standard deterministic simplification and keep
-    the whole loop in integer/engine-stable arithmetic.) The M-step:
+    ``em_mode="hard"`` (default, Viterbi): the E-step counts piece usages
+    along each word's MINIMUM-cost segmentation — the same distributed
+    lattice DP as encoding (viterbi_segment), so counts come from one
+    explode over the |words|-sized segmentation frame, weighted by word
+    frequency. Viterbi counts are the standard deterministic
+    simplification and keep the whole loop in integer arithmetic.
+
+    ``em_mode="soft"`` (Kudo 2018 §3.2 as published): the E-step is the
+    forward-backward pass over the same lattice (soft_expected_counts) —
+    MARGINAL expected piece counts over all segmentations, accumulated in
+    quantized-double + exact-DECIMAL arithmetic so both engines produce
+    identical counts (see _lse_round). Expected counts below 1 clamp to 1
+    for the re-cost (the hard-mode unused-piece rule applied uniformly,
+    keeping every cost finite); pruning ranks on the EXACT decimal
+    expected count.
+
+    Both modes share the M-step:
 
     - prune the bottom ``prune_frac`` of MULTI-char pieces by
       (usage, piece) ascending — single chars always survive (the
       unsegmentable-word fallback), unused multi-char pieces go first;
     - re-cost kept pieces from their usage counts with the same
-      fround-guarded integer -ln recipe as the base induction; unused
-      single chars count as 1 so their cost stays finite.
+      fround-guarded integer -ln recipe as the base induction.
 
-    Each round is: one Viterbi DP (|words| x max_piece work), one
-    vocab-sized count aggregate, one vocab-sized re-rank. The rank window
-    is a single-partition sort of the PIECE table only — vocab-scale
-    (Heaps' law), never corpus-scale."""
+    Each round is: one lattice DP (|words| x max_piece work; soft runs
+    forward + backward), one vocab-sized count aggregate, one vocab-sized
+    re-rank. The rank window is a single-partition sort of the PIECE
+    table only — vocab-scale (Heaps' law), never corpus-scale."""
+    if em_mode not in ("hard", "soft"):
+        raise ValueError(f"em_mode must be 'hard' or 'soft', got {em_mode!r}")
+    soft = em_mode == "soft"
     pv = pieces
     for _ in range(max(0, int(em_rounds))):
-        seg = viterbi_segment(words, pv, max_word, max_piece, persist_registry)
-        used = (
-            seg.select(F.explode(F.split("seg", _US)).alias("piece"), "cnt")
-            .groupBy("piece")
-            .agg(F.sum("cnt").alias("used"))
-        )
+        if soft:
+            used = soft_expected_counts(
+                words, pv, max_word, max_piece, persist_registry
+            )
+            zero_used = F.lit(0).cast(_FB_USED_DEC)
+        else:
+            seg = viterbi_segment(words, pv, max_word, max_piece, persist_registry)
+            used = (
+                seg.select(F.explode(F.split("seg", _US)).alias("piece"), "cnt")
+                .groupBy("piece")
+                .agg(F.sum("cnt").alias("used"))
+            )
+            zero_used = F.lit(0)
         cnts = (
             pv.select("piece")
             .join(used, "piece", "left")
-            .select("piece", F.coalesce("used", F.lit(0)).alias("used"))
+            .select("piece", F.coalesce("used", zero_used).alias("used"))
         )
         multi = cnts.filter(F.length("piece") > 1)
         n_multi = multi.count()
@@ -460,17 +480,24 @@ def em_refine(
             multi.select("piece", "used")
         )
         # unused single chars keep a finite (max) cost via used -> 1
+        one = F.lit(1).cast(_FB_USED_DEC) if soft else F.lit(1)
         kept = kept.select(
-            "piece", F.greatest(F.col("used"), F.lit(1)).alias("freq")
+            "piece", F.greatest(F.col("used"), one).alias("freq")
         )
         total = kept.agg(F.sum("freq").alias("tot"))
+        # hard: long/long division promotes to double; soft: EXPLICIT
+        # double casts of the exact decimals — Spark's decimal/decimal
+        # division has its own scale/rounding rules that DuckDB's double
+        # division would never reproduce
+        ratio = (
+            F.col("freq").cast("double") / F.col("tot").cast("double")
+            if soft
+            else F.col("freq") / F.col("tot")
+        )
         pv = kept.crossJoin(F.broadcast(total)).select(
             "piece",
             "freq",
-            F.floor(
-                fround(-F.log(F.col("freq") / F.col("tot")), 9) * _COST_SCALE
-                + F.lit(0.5)
-            )
+            F.floor(fround(-F.log(ratio), 9) * _COST_SCALE + F.lit(0.5))
             .cast("long")
             .alias("cost"),
         )
@@ -486,26 +513,32 @@ def unigram_encode_docs(
     persist_registry: list | None = None,
     em_rounds: int = 0,
     prune_frac: float = DEFAULT_PRUNE_FRAC,
+    em_mode: str = "hard",
 ) -> DataFrame:
     """Induce the piece vocab and Viterbi-encode every distinct word (the
     sub-check shape): kind='piece' rows (piece, freq, cost) + kind='seg'
     rows (word, cnt, cost, seg). ``em_rounds`` > 0 runs the EM-mode
-    refinement (em_refine) between induction and the final encode; the
-    registry sub-check stays at 0, and EM mode has its own full DuckDB
-    twin (unigram_sql(em_rounds=k) re-runs every E/M round as chained
-    CTEs — exact-equality-tested at rounds 0/1/2 in
+    refinement (em_refine) between induction and the final encode —
+    ``em_mode`` picks Viterbi ('hard') or forward-backward marginal
+    ('soft') E-steps; the registry sub-check stays at 0, and both EM
+    modes have full DuckDB twins (unigram_sql(em_rounds=k, em_mode=...)
+    re-runs every E/M round as chained CTEs — exact-equality-tested in
     tests/test_unigram_em.py) plus Spark-side brute-force pins."""
     wc = word_counts(docs, text_col, max_word)
     pv = piece_vocab(wc, max_piece, min_count)
     if em_rounds > 0:
         pv = em_refine(
-            wc, pv, em_rounds, prune_frac, max_word, max_piece, persist_registry
+            wc, pv, em_rounds, prune_frac, max_word, max_piece,
+            persist_registry, em_mode,
         )
     seg = viterbi_segment(wc, pv, max_word, max_piece, persist_registry)
     piece_rows = pv.select(
         F.lit("piece").alias("kind"),
         F.col("piece").alias("a"),
-        F.col("freq").cast("long").alias("k"),
+        # floor BEFORE the long cast: soft-EM freqs are DECIMAL and the
+        # engines disagree on decimal->int casts (Spark truncates, DuckDB
+        # rounds); an explicit floor pins both (no-op for integer freqs)
+        F.floor(F.col("freq")).cast("long").alias("k"),
         F.col("cost").alias("n"),
         F.lit("").alias("b"),
     )
@@ -517,6 +550,94 @@ def unigram_encode_docs(
         F.col("seg").alias("b"),
     )
     return piece_rows.unionByName(seg_rows)
+
+
+def _fb_sql_blocks(
+    L: int, P: int, lattice: str, prefix: str
+) -> tuple[list[str], str]:
+    """The soft-EM forward-backward pass as chained CTEs over ``lattice``:
+    returns (CTE texts, name of the expected-counts table). Mirrors
+    soft_expected_counts / _lse_round expression for expression — BIGINT
+    cost diffs, fround-quantized exp/ln, DECIMAL sums — so the marginal
+    counts are exactly row-equal across engines."""
+    sc = _COST_SCALE
+    exp_t = fround_sql("exp((-(CAST(tc - m AS DOUBLE))) / 1000000.0)", _FB_EXP_Q)
+    settle = (
+        f"m - CAST(floor({fround_sql('ln(CAST(s AS DOUBLE))', 9)} * {sc} + 0.5)"
+        " AS BIGINT)"
+    )
+    parts = [
+        f"{prefix}f0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS ac FROM wc)"
+    ]
+    for r in range(1, L + 1):
+        lo = max(0, r - P)
+        prev = " UNION ALL ".join(
+            f"SELECT * FROM {prefix}f{i}" for i in range(lo, r)
+        )
+        parts.append(
+            f"""{prefix}f{r} AS MATERIALIZED (
+        SELECT word, {r} AS pos, {settle} AS ac
+        FROM (
+            SELECT word, MIN(m) AS m,
+                   SUM(CAST({exp_t} AS {_FB_EXP_DEC.upper()})) AS s
+            FROM (
+                SELECT m.word, b.ac + m.cost AS tc,
+                       MIN(b.ac + m.cost) OVER (PARTITION BY m.word) AS m
+                FROM {lattice} m
+                JOIN ({prev}) b ON b.word = m.word AND b.pos = m.j
+                WHERE m.pos = {r}
+            ) GROUP BY word
+        )
+    )"""
+        )
+    parts.append(
+        f"{prefix}g0 AS (SELECT word, length(word) AS pos, CAST(0 AS BIGINT) AS bc FROM wc)"
+    )
+    for d in range(1, L + 1):
+        lo = max(0, d - P)
+        prev = " UNION ALL ".join(
+            f"SELECT * FROM {prefix}g{i}" for i in range(lo, d)
+        )
+        parts.append(
+            f"""{prefix}g{d} AS MATERIALIZED (
+        SELECT word, length(word) - {d} AS pos, {settle} AS bc
+        FROM (
+            SELECT word, MIN(m) AS m,
+                   SUM(CAST({exp_t} AS {_FB_EXP_DEC.upper()})) AS s
+            FROM (
+                SELECT m.word, m.cost + b.bc AS tc,
+                       MIN(m.cost + b.bc) OVER (PARTITION BY m.word) AS m
+                FROM {lattice} m
+                JOIN ({prev}) b ON b.word = m.word AND b.pos = m.pos
+                WHERE length(m.word) - m.j = {d}
+            ) GROUP BY word
+        )
+    )"""
+        )
+    f_all = " UNION ALL ".join(f"SELECT * FROM {prefix}f{i}" for i in range(L + 1))
+    f_fin = " UNION ALL ".join(f"SELECT * FROM {prefix}f{i}" for i in range(1, L + 1))
+    g_all = " UNION ALL ".join(f"SELECT * FROM {prefix}g{i}" for i in range(L + 1))
+    parts.append(
+        f"{prefix}z AS (SELECT word, ac AS zc FROM ({f_fin}) WHERE pos = length(word))"
+    )
+    gexp = fround_sql(
+        "exp((-(CAST(a.ac + m.cost + b.bc - z.zc AS DOUBLE))) / 1000000.0)",
+        _FB_GAMMA_Q,
+    )
+    wexp = fround_sql(f"CAST(w.cnt AS DOUBLE) * {gexp}", _FB_USED_Q)
+    parts.append(
+        f"""{prefix}used AS (
+        SELECT piece, SUM(t) AS used FROM (
+            SELECT m.piece, CAST({wexp} AS {_FB_USED_DEC.upper()}) AS t
+            FROM {lattice} m
+            JOIN ({f_all}) a ON a.word = m.word AND a.pos = m.j
+            JOIN ({g_all}) b ON b.word = m.word AND b.pos = m.pos
+            JOIN {prefix}z z ON z.word = m.word
+            JOIN wc w ON w.word = m.word
+        ) GROUP BY piece
+    )"""
+    )
+    return parts, f"{prefix}used"
 
 
 def _dp_sql_blocks(L: int, lattice: str, prefix: str) -> tuple[list[str], str]:
@@ -585,13 +706,19 @@ def unigram_sql(
     min_count: int = DEFAULT_MIN_COUNT,
     em_rounds: int = 0,
     prune_frac: float = DEFAULT_PRUNE_FRAC,
+    em_mode: str = "hard",
 ) -> str:
     """DuckDB twin of unigram_encode_docs: identical tokenisation, piece
     induction, integer costs, and every Viterbi round as a chained CTE
     with the same (cost, seg) tie-break. ``em_rounds`` > 0 additionally
-    re-runs each hard-EM refinement round (E: Viterbi usage counts; M:
-    bottom-frac prune of multi-char pieces + usage re-cost) before the
-    final encode — the SQL twin of em_refine."""
+    re-runs each EM refinement round before the final encode — the SQL
+    twin of em_refine: 'hard' E-steps re-run the Viterbi DP and count the
+    settled segs; 'soft' E-steps re-run the forward-backward marginal
+    pass (_fb_sql_blocks) with the same quantized-double + DECIMAL
+    arithmetic as soft_expected_counts."""
+    if em_mode not in ("hard", "soft"):
+        raise ValueError(f"em_mode must be 'hard' or 'soft', got {em_mode!r}")
+    soft = em_mode == "soft"
     P, L = int(max_piece), int(max_word)
     # the 1e-9 fround guard before the 1e6 scale/floor — see piece_vocab
     base_tot = (
@@ -624,12 +751,21 @@ def unigram_sql(
     for k in range(max(0, int(em_rounds))):
         lat = f"e{k}lat"
         parts.append(_lattice_sql(lat, cur, P))
-        dp_parts, dp_union = _dp_sql_blocks(L, lat, f"e{k}b")
-        parts.extend(dp_parts)
-        # E-step: Viterbi usage counts over every word's settled seg,
-        # weighted by word frequency (em_refine's hard-EM counts)
-        parts.append(
-            f"""e{k}used AS (
+        if soft:
+            # E-step: forward-backward marginal expected counts (DECIMAL)
+            fb_parts, used_tab = _fb_sql_blocks(L, P, lat, f"e{k}")
+            parts.extend(fb_parts)
+            zero_used = f"CAST(0 AS {_FB_USED_DEC.upper()})"
+            one_used = f"CAST(1 AS {_FB_USED_DEC.upper()})"
+            tot = f"SELECT CAST(SUM(freq) AS DOUBLE) FROM e{k}kept"
+        else:
+            dp_parts, dp_union = _dp_sql_blocks(L, lat, f"e{k}b")
+            parts.extend(dp_parts)
+            # E-step: Viterbi usage counts over every word's settled seg,
+            # weighted by word frequency (em_refine's hard-EM counts)
+            used_tab = f"e{k}used"
+            parts.append(
+                f"""e{k}used AS (
         SELECT u.piece, SUM(s.cnt) AS used FROM (
             SELECT w.word, w.cnt, f.seg
             FROM wc w JOIN ({dp_union}) f
@@ -637,14 +773,18 @@ def unigram_sql(
         ) s, UNNEST(string_split(s.seg, chr(31))) AS u(piece)
         GROUP BY u.piece
     )"""
-        )
+            )
+            zero_used = "0"
+            one_used = "1"
+            tot = f"SELECT SUM(freq) FROM e{k}kept"
         # M-step: per-piece usage over the CURRENT vocab, bottom-frac
         # prune of multi-char pieces by (used, piece) asc — single chars
-        # always survive; unused single chars count as 1 (finite cost)
+        # always survive; pieces used less than once count as 1 (finite
+        # cost; in hard mode that's exactly the unused-single-char rule)
         parts.append(
             f"""e{k}cnts AS (
-        SELECT p.piece, COALESCE(u.used, 0) AS used
-        FROM {cur} p LEFT JOIN e{k}used u ON u.piece = p.piece
+        SELECT p.piece, COALESCE(u.used, {zero_used}) AS used
+        FROM {cur} p LEFT JOIN {used_tab} u ON u.piece = p.piece
     ),
     e{k}multi AS (
         SELECT piece, used,
@@ -653,16 +793,16 @@ def unigram_sql(
         FROM e{k}cnts WHERE length(piece) > 1
     ),
     e{k}kept AS (
-        SELECT piece, GREATEST(used, 1) AS freq
+        SELECT piece, GREATEST(used, {one_used}) AS freq
         FROM e{k}cnts WHERE length(piece) = 1
         UNION ALL
-        SELECT piece, GREATEST(used, 1) AS freq
+        SELECT piece, GREATEST(used, {one_used}) AS freq
         FROM e{k}multi
         WHERE rn > CAST(floor(n_multi * CAST({float(prune_frac)!r} AS DOUBLE)) AS BIGINT)
     ),
     pieces{k + 1} AS MATERIALIZED (
         SELECT piece, freq,
-               {_recost_sql("freq", f"SELECT SUM(freq) FROM e{k}kept")} AS cost
+               {_recost_sql("freq", tot)} AS cost
         FROM e{k}kept
     )"""
         )
@@ -673,7 +813,7 @@ def unigram_sql(
     body = ",\n    ".join(parts)
     return f"""
     WITH {body}
-    SELECT 'piece' AS kind, piece AS a, CAST(freq AS BIGINT) AS k, cost AS n, '' AS b
+    SELECT 'piece' AS kind, piece AS a, CAST(floor(freq) AS BIGINT) AS k, cost AS n, '' AS b
     FROM {cur}
     UNION ALL
     SELECT 'seg' AS kind, w.word AS a,

@@ -63,13 +63,19 @@ def main() -> None:
     # vocab EVERY real term is hot, so corpus-sized REAL queries are
     # inherently quadratic in results (Σdf blow-up) no matter the plan —
     # the leg measures the join-strategy fallback, not that degeneracy.
+    # bulk queries derive from the LINEITEM scan (the biggest sf table,
+    # ~100 MB+ parquet at sf1): maybe_broadcast's plan-size estimate tracks
+    # source scan bytes, so a query set rooted in a big table declines the
+    # hint — the behavior a real 100 TB query table would see. (Deriving
+    # 500k rows from the small documents table keeps the ESTIMATE at the
+    # documents scan's few MB and legitimately broadcasts.)
+    li = load(spark, sf_dir, "lineitem")
     q_all = (
-        d_full.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("r"))
-        .select(
-            (F.col("doc_id") * 10 + F.col("r")).alias("qid"),
+        li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("qid"),
             F.concat(
-                F.lit("zzpadpadpadpad"), F.col("doc_id"),
-                F.lit(" zqpadpadpadpad"), F.col("r"),
+                F.lit("zzpadpadpadpad"), F.col("l_orderkey"),
+                F.lit(" zqpadpadpadpad"), F.col("l_linenumber"),
             ).alias("qtext"),
         )
         .unionByName(queries(d_full))
@@ -87,21 +93,32 @@ def main() -> None:
         .groupBy("qid", "term")
         .count()
     )
-    declined = maybe_broadcast(qterms_big) is qterms_big
-    print(f"maybe_broadcast declined forced hint for bulk qterms: {declined}",
-          flush=True)
-
-    ranked = bm25_rank(d_full, q_all, top_k=3)
-    t0 = time.time()
-    n = ranked.count()
-    dt = time.time() - t0
-    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # the tuned session threshold is 64 MB (the ~48 MB qterms estimate is
+    # a legitimate broadcast there); pin the leg to the 10 MB default so
+    # the decline path actually executes — what a cluster-sized query set
+    # would see at any threshold
+    thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(thresh_key)
+    spark.conf.set(thresh_key, str(10 << 20))
+    try:
+        declined = maybe_broadcast(qterms_big) is qterms_big
+        print(
+            f"maybe_broadcast declined forced hint for bulk qterms: {declined}",
+            flush=True,
+        )
+        ranked = bm25_rank(d_full, q_all, top_k=3)
+        t0 = time.time()
+        n = ranked.count()
+        dt = time.time() - t0
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(thresh_key, saved)
     # count join strategies for the audit line (AQE may still broadcast
     # sub-threshold sides at runtime; the point is no FORCED broadcast)
     n_bhj = plan.count("BroadcastHashJoin")
     n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     print(
-        f"bulk-queries: queries={n_full * 10} rows={n} in {dt:.1f}s "
+        f"bulk-queries: queries={q_all.count()} rows={n} in {dt:.1f}s "
         f"(plan: {n_bhj} broadcast / {n_smj} shuffle joins)",
         flush=True,
     )

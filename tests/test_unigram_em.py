@@ -198,3 +198,132 @@ def test_em_prune_frac_double_arithmetic_twin(spark):
     )
     orows = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert srows == orows
+
+
+# ------------------------------------------------------------- soft EM
+#
+# em_mode="soft" (round-15): the E-step is the forward-backward pass over
+# the same lattice — MARGINAL expected piece counts over all segmentations
+# (Kudo 2018 §3.2 as published), in quantized-double + exact-DECIMAL
+# arithmetic (operators/unigram.soft_expected_counts / _lse_round).
+
+
+def test_soft_expected_counts_match_bruteforce(spark):
+    """Forward-backward marginals == exhaustive enumeration: for every
+    piece, Σ_w cnt_w · Σ_seg P(seg|w) · count(piece in seg), P from the
+    integer costs. The only divergence allowed is the documented
+    quantization (fround at 1e-12/1e-9), orders below the count scale."""
+    from carrot_transform_spark.operators.unigram import (
+        _COST_SCALE,
+        piece_vocab,
+        soft_expected_counts,
+        word_counts,
+    )
+
+    wc = word_counts(_docs(spark), max_word=8)
+    pv = piece_vocab(wc, max_piece=3, min_count=2)
+    costs = {r["piece"]: r["cost"] for r in pv.collect()}
+    wrows = {r["word"]: r["cnt"] for r in wc.collect()}
+
+    def segs(word, maxp=3):
+        n = len(word)
+        for cuts in product([0, 1], repeat=n - 1):
+            bounds = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            ps = [word[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
+            if all(len(p) <= maxp and p in costs for p in ps):
+                yield ps
+
+    exp_counts: dict[str, float] = {}
+    for word, cnt in wrows.items():
+        tot = 0.0
+        per: dict[str, float] = {}
+        for ps in segs(word):
+            p = math.exp(-sum(costs[x] for x in ps) / _COST_SCALE)
+            tot += p
+            for x in ps:
+                per[x] = per.get(x, 0.0) + p
+        for x, v in per.items():
+            exp_counts[x] = exp_counts.get(x, 0.0) + cnt * v / tot
+
+    soft = {
+        r["piece"]: float(r["used"])
+        for r in soft_expected_counts(wc, pv, 8, 3).collect()
+    }
+    assert set(soft) == {p for p, v in exp_counts.items() if v > 0} | set(soft)
+    for x in set(exp_counts) | set(soft):
+        assert math.isclose(
+            exp_counts.get(x, 0.0), soft.get(x, 0.0), abs_tol=1e-3
+        ), x
+
+
+def test_soft_em_duckdb_twin_exact(spark):
+    """unigram_sql(em_rounds=k, em_mode='soft') is a full oracle twin:
+    exact row equality at k = 1, 2 — the forward-backward marginal
+    arithmetic (BIGINT cost diffs, fround-fenced exp/ln, DECIMAL sums)
+    pins across engines."""
+    import duckdb
+
+    from carrot_transform_spark.operators.unigram import unigram_sql
+
+    docs = _docs(spark)
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    for k in (1, 2):
+        srows = sorted(
+            tuple(r)
+            for r in unigram_encode_docs(
+                docs, max_word=8, max_piece=3, min_count=2, em_rounds=k,
+                em_mode="soft",
+            ).collect()
+        )
+        orows = sorted(
+            tuple(r)
+            for r in con.execute(
+                unigram_sql(
+                    max_word=8, max_piece=3, min_count=2, em_rounds=k,
+                    em_mode="soft",
+                )
+            ).fetchall()
+        )
+        assert srows == orows, f"soft em_rounds={k}"
+
+
+def test_soft_em_mode_contract(spark):
+    from carrot_transform_spark.operators.unigram import (
+        em_refine, piece_vocab, unigram_sql, word_counts,
+    )
+
+    d = _docs(spark)
+    # deterministic + differs from both the base model and hard EM
+    a = sorted(tuple(r) for r in unigram_encode_docs(
+        d, max_word=8, max_piece=3, min_count=2, em_rounds=1, em_mode="soft"
+    ).collect())
+    b = sorted(tuple(r) for r in unigram_encode_docs(
+        d, max_word=8, max_piece=3, min_count=2, em_rounds=1, em_mode="soft"
+    ).collect())
+    assert a == b
+    hard = sorted(tuple(r) for r in unigram_encode_docs(
+        d, max_word=8, max_piece=3, min_count=2, em_rounds=1
+    ).collect())
+    assert a != hard
+    # pruning contract holds in soft mode too: single chars all survive,
+    # multi-char count drops by the floor rule
+    wc = word_counts(d, max_word=8)
+    base = piece_vocab(wc, max_piece=3, min_count=2)
+    base_rows = base.collect()
+    n_multi = sum(1 for r in base_rows if len(r["piece"]) > 1)
+    ref = em_refine(
+        wc, base, em_rounds=1, prune_frac=0.25, max_word=8, max_piece=3,
+        em_mode="soft",
+    ).collect()
+    assert sum(1 for r in ref if len(r["piece"]) > 1) == n_multi - int(n_multi * 0.25)
+    assert {r["piece"] for r in ref if len(r["piece"]) == 1} == {
+        r["piece"] for r in base_rows if len(r["piece"]) == 1
+    }
+    # unknown mode rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        em_refine(wc, base, em_mode="fuzzy")
+    with pytest.raises(ValueError):
+        unigram_sql(em_mode="fuzzy")
