@@ -5,12 +5,14 @@ leg proves EXECUTOR-side cost parity at volume — a ~200-block same-shape
 v2 ruleset over >=20M input rows, compiled and fully executed with
 group_same_shape on and off.
 
-What it reports per mode: driver compile wall (where grouped should be
-O(shapes), per-block O(blocks)), executor wall for the full candidates
-materialization incl. dense-id assignment, metrics-flush wall (grouped =
-ONE groupBy(fileidx) job, per-block = one combined job per file), and a
-row-count + column checksum so the two executions are provably the same
-records.
+What it reports per mode: build wall = target_candidates(), which at
+this volume INCLUDES the dense-id materialization jobs (with_dense_ids
+persists the candidates frame and counts it — the full record-template
+execution happens here, so this is the number where executor-side
+template cost shows up); agg wall = the checksum aggregation over the
+then-cached frame; metrics-flush wall (grouped = ONE groupBy(fileidx)
+job, per-block = one combined job per file); and a row-count + column
+checksum so the two executions are provably the same records.
 
 Usage: python scripts/grouped_scale_stress.py [rows_per_block] [n_blocks]
        (defaults 100_000 x 200 = 20M rows)
@@ -57,7 +59,12 @@ class _GenSource(Source):
 
     def read(self, table: str):
         b = int(table.split("_")[1].split(".")[0])
-        base = self.spark.range(self.n_rows)
+        # 2 splits per block, NOT defaultParallelism: 200 blocks x 32
+        # would be 6400 three-k-row tasks — pure scheduler overhead that
+        # swamps the signal (observed: the 20M-row agg crawling at ~200
+        # tasks/min). 200 x 2 = 400 tasks of 50k rows keeps every core
+        # busy with real record-template work.
+        base = self.spark.range(0, self.n_rows, 1, 2)
         cols = [
             F.concat(F.lit("p"), (F.col("id") % 9999)).alias("pid"),
             F.when(F.col("id") % 29 == 0, "not-a-date")
@@ -150,8 +157,8 @@ def main() -> None:
         planner.release()
         mode = "grouped" if grouped else "per_block"
         out[mode] = {
-            "compile_sec": round(compile_s, 1),
-            "exec_sec": round(exec_s, 1),
+            "build_sec": round(compile_s, 1),
+            "agg_sec": round(exec_s, 1),
             "metrics_sec": round(metrics_s, 1),
             "rows": agg["n"],
             "checksum": int(agg["chk"]),
@@ -167,8 +174,8 @@ def main() -> None:
         g["input_rows_metric"] == p["input_rows_metric"]
         and g["date_rejects_metric"] == p["date_rejects_metric"]
     )
-    out["exec_ratio_grouped_vs_per_block"] = round(
-        g["exec_sec"] / max(p["exec_sec"], 1e-9), 2
+    out["build_ratio_grouped_vs_per_block"] = round(
+        g["build_sec"] / max(p["build_sec"], 1e-9), 2
     )
     print(json.dumps(out), flush=True)
     spark.stop()
