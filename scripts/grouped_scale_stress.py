@@ -115,16 +115,52 @@ def _rules(n_blocks: int) -> dict:
     return {"metadata": {"dataset": "groupedscale"}, "cdm": {"observation": cdm_obs}}
 
 
+def _rules_v1(n_blocks: int) -> dict:
+    """The same shape written through the legacy V1 dialect (one rule per
+    (file, field, value); the loader's shape-aware fold merges each
+    file's per-value blocks into multi-value ConceptMappings) — the
+    data-scale leg for the round-15 v1 grouped-template extension."""
+    cdm_obs = {}
+    for b in range(n_blocks):
+        fname = f"src_{b:03d}.csv"
+        for j in range(N_FIELDS):
+            for v in range(N_VALUES):
+                cdm_obs[f"r{b}_{j}_{v}"] = {
+                    "person_id": {"source_table": fname, "source_field": "pid"},
+                    "observation_datetime": {
+                        "source_table": fname,
+                        "source_field": "dt",
+                    },
+                    "observation_source_value": {
+                        "source_table": fname,
+                        "source_field": f"f{j}",
+                    },
+                    "observation_concept_id": {
+                        "source_table": fname,
+                        "source_field": f"f{j}",
+                        "term_mapping": {
+                            f"v{v}": 100000 + b * 100 + j * 10 + v
+                        },
+                    },
+                }
+    return {"metadata": {"dataset": "groupedscalev1"}, "cdm": {"observation": cdm_obs}}
+
+
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    args = [a for a in sys.argv[1:] if a != "--v1"]
+    use_v1 = "--v1" in sys.argv[1:]
+    n_rows = int(args[0]) if len(args) > 0 else 100_000
+    n_blocks = int(args[1]) if len(args) > 1 else 200
 
     spark = get_spark(app_name="grouped-scale")
     spark.sparkContext.setLogLevel("ERROR")
     omop = load_schemas(DEFAULT_DDL, DEFAULT_CONFIG)
-    rules = parse_rules(_rules(n_blocks), omop)
+    rules = parse_rules(
+        (_rules_v1 if use_v1 else _rules)(n_blocks), omop
+    )
     src = _GenSource(spark, n_rows)
     out = {"rows_per_block": n_rows, "n_blocks": n_blocks,
+           "dialect": rules.dialect,
            "total_input_rows": n_rows * n_blocks}
 
     for grouped in (True, False):
