@@ -1,0 +1,176 @@
+"""Hybrid retrieval: Reciprocal Rank Fusion over lexical + dense rank
+lists, plus retrieval-quality metrics (MRR / hit@k).
+
+A training-data pipeline that retrieves (for decontamination audits, RAG
+eval set construction, or hard-negative mining) rarely trusts one ranker:
+the standard recipe is BM25 for lexical match + embedding cosine for
+semantic match, fused with Reciprocal Rank Fusion (Cormack, Clarke &
+Buettcher 2009, "Reciprocal Rank Fusion outperforms Condorcet and
+individual Rank Learning Methods", SIGIR):
+
+    RRF(d) = sum over rank lists r of 1 / (k + rank_r(d)),  k = 60
+
+No reference counterpart (the reference is an ETL engine); this composes
+the repo's bm25_rank and cosine top-k legs.
+
+100 TB posture — fusion is O(|queries| * top_k), NEVER corpus-sized:
+
+- each leg already reduces to its per-query top-k before fusion (BM25 via
+  the query-first broadcast reduction in operators/bm25.py; dense via the
+  IVF/blocked paths in operators/similarity.py), so rrf_fuse's inputs are
+  tiny by construction whatever the corpus size;
+- the fuse itself is one union + one groupBy(qid, doc) shuffle over
+  O(legs * |q| * k) rows + a per-qid window — all bounded by the query
+  workload, not the data;
+- retrieval_eval consumes the same top-k lists joined against a qrels
+  frame of |q| rows: broadcast semi-join, then a per-system aggregate.
+
+Engine-stable arithmetic: each contribution 1/(k + rnk) is ONE IEEE
+double division of exact integers (correctly rounded, so bit-identical
+across engines), fround-quantized and summed in exact DECIMAL(27,6) so
+parallel-summation reorder cannot flip an ulp (the repo's dsum recipe,
+same as operators/bm25.py). Ranks tie-break on doc id — total order.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from carrot_transform_spark.functions.rounding import fround, fround_sql
+
+_DEC = "decimal(27,6)"
+RRF_K = 60
+
+
+def _contrib(k: int):
+    """1/(k + rnk) as one correctly-rounded double op, then quantized."""
+    raw = F.lit(1.0) / (F.lit(float(k)) + F.col("rnk").cast("double"))
+    return fround(raw, 6).cast(_DEC)
+
+
+def _contrib_sql(k: int, rnk_expr: str = "rnk") -> str:
+    raw = f"CAST(1 AS DOUBLE) / (CAST({int(k)} AS DOUBLE) + CAST({rnk_expr} AS DOUBLE))"
+    return f"CAST({fround_sql(raw, 6)} AS DECIMAL(27,6))"
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    k: int = RRF_K,
+    top_k: int = 10,
+) -> DataFrame:
+    """(qid, doc, rrf_score, rnk): RRF fusion of ≥1 rank lists.
+
+    Each leg is a (qid, doc, rnk) frame — any extra columns are dropped.
+    A doc absent from a leg simply contributes nothing for that leg (the
+    standard RRF convention); ties break on doc id ascending.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one rank list")
+    tagged = [df.select("qid", "doc", "rnk") for df in legs]
+    u = reduce(DataFrame.unionByName, tagged)
+    fused = (
+        u.select("qid", "doc", _contrib(k).alias("rr"))
+        .groupBy("qid", "doc")
+        .agg(F.sum("rr").cast("double").alias("rrf_score"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("doc"))
+    )
+    return (
+        fused.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= top_k)
+        .select("qid", "doc", "rrf_score", "rnk")
+    )
+
+
+def rrf_sql(leg_sqls: list[str], k: int = RRF_K, top_k: int = 10) -> str:
+    """DuckDB twin of :func:`rrf_fuse`. Each leg SQL must project
+    (qid, doc, rnk); extra columns are ignored by the explicit select."""
+    if not leg_sqls:
+        raise ValueError("rrf_sql needs at least one rank list")
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid, doc, rnk FROM ({s}) rrf_leg{i}"
+        for i, s in enumerate(leg_sqls)
+    )
+    return f"""
+    WITH rrf_all AS ({union}),
+    rrf_fused AS (
+        SELECT qid, doc, CAST(SUM({_contrib_sql(k)}) AS DOUBLE) AS rrf_score
+        FROM rrf_all GROUP BY qid, doc
+    ),
+    rrf_ranked AS (
+        SELECT qid, doc, rrf_score,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc) AS rnk
+        FROM rrf_fused
+    )
+    SELECT qid, doc, rrf_score, rnk FROM rrf_ranked WHERE rnk <= {int(top_k)}
+    """
+
+
+def retrieval_eval(
+    runs: dict[str, DataFrame],
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(system, n_hit, sum_rr): cutoff-k retrieval metrics per system.
+
+    ``runs`` maps a system name to its (qid, doc, rnk) list; ``qrels`` is
+    (qid, rel_doc) with ONE relevant doc per query (the self-retrieval
+    audit shape). Emits exact integer/decimal components rather than the
+    final means — n_hit is hits@k, sum_rr the exact sum of quantized
+    reciprocal ranks (MRR = sum_rr / |q|, recall@k = n_hit / |q|); keeping
+    the division OUT of the frame keeps every value engine-exact.
+
+    Scale: each run is already top-k-bounded; qrels is |q| rows and
+    broadcasts; the aggregate is one row per system.
+    """
+    if not runs:
+        raise ValueError("retrieval_eval needs at least one run")
+    rr = fround(F.lit(1.0) / F.col("rnk").cast("double"), 6).cast(_DEC)
+    qr = qrels.select(F.col("qid").alias("r_qid"), F.col("rel_doc"))
+    per = [
+        (
+            run.select("qid", "doc", "rnk")
+            .filter(F.col("rnk") <= k)
+            .join(
+                F.broadcast(qr),
+                (F.col("qid") == F.col("r_qid"))
+                & (F.col("doc") == F.col("rel_doc")),
+            )
+            .select(F.lit(name).alias("system"), rr.alias("rr"))
+        )
+        for name, run in sorted(runs.items())
+    ]
+    u = reduce(DataFrame.unionByName, per)
+    return u.groupBy("system").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.coalesce(F.sum("rr").cast("double"), F.lit(0.0)).alias("sum_rr"),
+    )
+
+
+def retrieval_eval_sql(
+    run_sqls: dict[str, str],
+    qrels_sql: str,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`retrieval_eval` (same quantize-then-decimal-
+    sum recipe). ``qrels_sql`` must project (qid, rel_doc)."""
+    if not run_sqls:
+        raise ValueError("retrieval_eval_sql needs at least one run")
+    rr = f"CAST({fround_sql('CAST(1 AS DOUBLE) / CAST(r.rnk AS DOUBLE)', 6)} AS DECIMAL(27,6))"
+    per = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS system, {rr} AS rr
+        FROM ({sql}) r JOIN rql ON rql.qid = r.qid AND rql.rel_doc = r.doc
+        WHERE r.rnk <= {int(k)}"""
+        for name, sql in sorted(run_sqls.items())
+    )
+    return f"""
+    WITH rql AS (SELECT qid, rel_doc FROM ({qrels_sql}) rql_in),
+    rev_all AS ({per})
+    SELECT system, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           COALESCE(CAST(SUM(rr) AS DOUBLE), 0.0) AS sum_rr
+    FROM rev_all GROUP BY system
+    """

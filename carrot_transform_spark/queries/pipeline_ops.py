@@ -1,11 +1,16 @@
 """pipe_ops_suite — the training-data-pipeline operator bundle, one driver
-CORRECTNESS entry with oracle-checked sub-checks (32 as of round 14),
+CORRECTNESS entry with oracle-checked sub-checks (34 as of round 15),
 including:
 
 - txt_bm25_topk: BM25 ranked retrieval (operators/bm25.py, Robertson &
   Zaragoza 2009) — the retrieval twin of tfidf for decontamination
   audits; inverted-index postings join, max_df skew cutoff, top-k per
   query over qid partitions.
+- sim_hybrid_rrf / sim_retrieval_eval: hybrid lexical+dense retrieval via
+  Reciprocal Rank Fusion (operators/hybrid.py, Cormack, Clarke &
+  Buettcher 2009) over the BM25 + cosine legs, plus cutoff-k retrieval
+  metrics (hits@k, exact reciprocal-rank sums) under self-retrieval
+  qrels — fusion and eval consume only the legs' top-k outputs.
 
 - txt_unigram_encode: SentencePiece-style unigram-LM tokenizer
   (operators/unigram.py, arXiv:1804.10959) — piece induction + per-word
@@ -1010,6 +1015,141 @@ def _bm25_oracle() -> str:
     )
 
 
+# ---- hybrid retrieval: RRF fusion of the BM25 + dense legs -------------
+# (operators/hybrid.py, Cormack, Clarke & Buettcher 2009.) Same corpus
+# slice / query cadence as txt_bm25_topk so the checks stay identically
+# sized at every SF; the dense leg reuses the proven bruteforce-cosine
+# arithmetic from queries/similarity.py (raw-cs ranking is bit-identical
+# across engines — sim_topk_bruteforce hash-pins it).
+_HY_LEG_K = 20  # per-leg depth feeding the fusion
+_HY_TOPK = 10  # fused cutoff == the eval k
+
+
+def _hy_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from carrot_transform_spark.operators.bm25 import bm25_rank
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _BM25_SLICE)
+    q = d.filter(F.col("doc_id") % _BM25_QMOD == 3).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("qtext"),
+    )
+    return bm25_rank(d, q, top_k=_HY_LEG_K)
+
+
+def _hy_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from carrot_transform_spark.queries.similarity import _dot, _norm, _to_double
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _BM25_SLICE)
+    n = e.select("vec_id", _to_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    q = n.filter(F.col("vec_id") % _BM25_QMOD == 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = n.crossJoin(F.broadcast(q)).select(
+        "qid",
+        F.col("vec_id").alias("doc"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cs"),
+    )
+    rn = F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("doc")))
+    return (
+        scored.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= _HY_LEG_K)
+        .select("qid", "doc", "rnk")
+    )
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion (k=60) of the BM25 top-20 and dense-cosine top-20 legs,
+    fused top-10 per query. Fusion input is O(|q| * leg_k) rows whatever
+    the corpus size — the legs do all corpus-sized work."""
+    from carrot_transform_spark.operators.hybrid import rrf_fuse
+
+    return rrf_fuse(
+        [_hy_lex(spark, sf_dir), _hy_dense(spark, sf_dir)], top_k=_HY_TOPK
+    )
+
+
+def sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hits@10 + exact reciprocal-rank sums for the bm25 / dense / hybrid
+    systems under self-retrieval qrels (each query's relevant doc is its
+    own source doc — queries are prefixes/embeddings OF corpus docs).
+    Emits exact components (n_hit, sum_rr), not means: MRR = sum_rr/|q|."""
+    from carrot_transform_spark.operators.hybrid import retrieval_eval, rrf_fuse
+
+    lex = _hy_lex(spark, sf_dir)
+    dense = _hy_dense(spark, sf_dir)
+    qrels = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < _BM25_SLICE) & (F.col("doc_id") % _BM25_QMOD == 3))
+        .select(F.col("doc_id").alias("qid"), F.col("doc_id").alias("rel_doc"))
+    )
+    runs = {
+        "bm25": lex,
+        "dense": dense,
+        "hybrid": rrf_fuse([lex, dense], top_k=_HY_TOPK),
+    }
+    return retrieval_eval(runs, qrels, k=_HY_TOPK)
+
+
+def _hy_lex_sql() -> str:
+    from carrot_transform_spark.operators.bm25 import bm25_sql
+
+    docs = f"(SELECT * FROM documents WHERE doc_id < {_BM25_SLICE}) hydocs"
+    qs = (
+        f"(SELECT doc_id AS qid, "
+        f"array_to_string((string_split(text, ' '))[1:3], ' ') AS qtext "
+        f"FROM documents WHERE doc_id < {_BM25_SLICE} "
+        f"AND doc_id % {_BM25_QMOD} = 3) hyq"
+    )
+    return bm25_sql(docs, qs, top_k=_HY_LEG_K)
+
+
+_HY_DENSE_SQL = f"""
+    WITH hyn AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings WHERE vec_id < {_BM25_SLICE}
+    ),
+    hyq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM hyn WHERE vec_id % {_BM25_QMOD} = 3),
+    hyscored AS (
+        SELECT hyq.qid AS qid, hyn.vec_id AS doc,
+               list_sum(list_transform(list_zip(hyq.qv, hyn.v), s -> s[1] * s[2])) / (hyq.qn * hyn.nrm) AS cs
+        FROM hyq CROSS JOIN hyn
+    ),
+    hyranked AS (
+        SELECT qid, doc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, doc) AS rnk
+        FROM hyscored
+    )
+    SELECT qid, doc, rnk FROM hyranked WHERE rnk <= {_HY_LEG_K}
+"""
+
+_HY_QRELS_SQL = (
+    f"SELECT doc_id AS qid, doc_id AS rel_doc FROM documents "
+    f"WHERE doc_id < {_BM25_SLICE} AND doc_id % {_BM25_QMOD} = 3"
+)
+
+
+def _hy_rrf_oracle() -> str:
+    from carrot_transform_spark.operators.hybrid import rrf_sql
+
+    return rrf_sql([_hy_lex_sql(), _HY_DENSE_SQL], top_k=_HY_TOPK)
+
+
+def _hy_eval_oracle() -> str:
+    from carrot_transform_spark.operators.hybrid import retrieval_eval_sql
+
+    return retrieval_eval_sql(
+        {"bm25": _hy_lex_sql(), "dense": _HY_DENSE_SQL, "hybrid": _hy_rrf_oracle()},
+        _HY_QRELS_SQL,
+        k=_HY_TOPK,
+    )
+
+
 _TRI_SQL = f"""
     WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_PR_M}),
     raw AS (
@@ -1264,6 +1404,18 @@ register_suite(
             txt_bm25_topk,
             _bm25_oracle(),
             [("qid", "i"), ("doc", "i"), ("score", "f"), ("rnk", "i")],
+        ),
+        (
+            "sim_hybrid_rrf",
+            sim_hybrid_rrf,
+            _hy_rrf_oracle(),
+            [("qid", "i"), ("doc", "i"), ("rrf_score", "f"), ("rnk", "i")],
+        ),
+        (
+            "sim_retrieval_eval",
+            sim_retrieval_eval,
+            _hy_eval_oracle(),
+            [("system", "s"), ("n_hit", "i"), ("sum_rr", "f")],
         ),
     ],
     tags=("pipeline", "suite"),

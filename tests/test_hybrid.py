@@ -1,0 +1,150 @@
+"""Hybrid RRF fusion + retrieval eval (operators/hybrid.py): hand-computed
+fused scores on tiny rank lists, the absent-from-one-leg convention,
+tie-breaks, eval metric components, and the DuckDB twins on in-memory
+tables."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from carrot_transform_spark.operators.hybrid import (
+    RRF_K,
+    retrieval_eval,
+    retrieval_eval_sql,
+    rrf_fuse,
+    rrf_sql,
+)
+
+
+def _rr(rank: int, k: int = RRF_K) -> float:
+    # the operator's quantized contribution: fround(1/(k+rnk), 6)
+    import math
+
+    return math.floor(1.0 / (k + rank) * 1e6 + 0.5) / 1e6
+
+
+def _lists(spark):
+    # qid 1: lex ranks docs (10, 11, 12); dense ranks (11, 13, 10)
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "qid long, doc long, rnk int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], "qid long, doc long, rnk int"
+    )
+    return lex, dense
+
+
+def test_rrf_hand_computed(spark):
+    lex, dense = _lists(spark)
+    out = {r["doc"]: (r["rrf_score"], r["rnk"]) for r in rrf_fuse([lex, dense]).collect()}
+    exp = {
+        10: _rr(1) + _rr(3),
+        11: _rr(2) + _rr(1),
+        12: _rr(3),
+        13: _rr(2),
+    }
+    for doc, score in exp.items():
+        assert abs(out[doc][0] - score) < 1e-9, (doc, out[doc], score)
+    # 11 (ranks 2+1) and 10 (ranks 1+3): 11 wins; absent-leg docs trail
+    assert out[11][1] == 1
+    assert out[10][1] == 2
+    # 12 and 13 have IDENTICAL single-leg contributions at rank 3? No —
+    # 13 is rank 2 in dense (bigger), 12 is rank 3 in lex
+    assert out[13][1] == 3
+    assert out[12][1] == 4
+
+
+def test_rrf_tie_breaks_on_doc(spark):
+    # two docs with the SAME single contribution -> lower doc id first
+    leg = spark.createDataFrame(
+        [(1, 7, 1), (1, 3, 1)], "qid long, doc long, rnk int"
+    )
+    # same qid+rnk twice is fine: they're different docs in one list slot
+    out = rrf_fuse([leg]).orderBy("rnk").collect()
+    assert [r["doc"] for r in out] == [3, 7]
+
+
+def test_rrf_top_k_cut(spark):
+    leg = spark.createDataFrame(
+        [(1, d, d + 1) for d in range(30)], "qid long, doc long, rnk int"
+    )
+    out = rrf_fuse([leg], top_k=5).collect()
+    assert len(out) == 5
+    assert {r["doc"] for r in out} == {0, 1, 2, 3, 4}
+
+
+def test_rrf_duckdb_twin(spark):
+    lex, dense = _lists(spark)
+    srows = sorted(
+        (r["qid"], r["doc"], r["rrf_score"], r["rnk"])
+        for r in rrf_fuse([lex, dense]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lexleg AS SELECT * FROM (VALUES (1,10,1),(1,11,2),(1,12,3)) t(qid,doc,rnk)"
+    )
+    con.execute(
+        "CREATE TABLE denseleg AS SELECT * FROM (VALUES (1,11,1),(1,13,2),(1,10,3)) t(qid,doc,rnk)"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(
+            rrf_sql(["SELECT * FROM lexleg", "SELECT * FROM denseleg"])
+        ).fetchall()
+    )
+    assert srows == orows
+
+
+def test_retrieval_eval_hand_computed(spark):
+    lex, dense = _lists(spark)
+    qrels = spark.createDataFrame([(1, 10)], "qid long, rel_doc long")
+    out = {
+        r["system"]: (r["n_hit"], r["sum_rr"])
+        for r in retrieval_eval({"lex": lex, "dense": dense}, qrels, k=2).collect()
+    }
+    # doc 10 is rank 1 in lex (within k=2), rank 3 in dense (cut by k=2)
+    assert out["lex"] == (1, 1.0)
+    assert "dense" not in out  # zero hits -> no group row (exact components)
+
+
+def test_retrieval_eval_duckdb_twin(spark):
+    lex, dense = _lists(spark)
+    qrels = spark.createDataFrame([(1, 10), (2, 99)], "qid long, rel_doc long")
+    srows = sorted(
+        (r["system"], r["n_hit"], r["sum_rr"])
+        for r in retrieval_eval({"lex": lex, "dense": dense}, qrels, k=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lexleg AS SELECT * FROM (VALUES (1,10,1),(1,11,2),(1,12,3)) t(qid,doc,rnk)"
+    )
+    con.execute(
+        "CREATE TABLE denseleg AS SELECT * FROM (VALUES (1,11,1),(1,13,2),(1,10,3)) t(qid,doc,rnk)"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(
+            retrieval_eval_sql(
+                {"lex": "SELECT * FROM lexleg", "dense": "SELECT * FROM denseleg"},
+                "SELECT * FROM (VALUES (1,10),(2,99)) t(qid, rel_doc)",
+                k=3,
+            )
+        ).fetchall()
+    )
+    assert srows == orows
+
+
+def test_eval_qrels_join_broadcasts(spark):
+    """The qrels side must attach via a broadcast join — at 100 TB the run
+    lists are top-k-bounded but the fusion/eval must not shuffle them
+    against a |q|-row qrels frame."""
+    lex, _ = _lists(spark)
+    qrels = spark.createDataFrame([(1, 10)], "qid long, rel_doc long")
+    plan = (
+        retrieval_eval({"lex": lex}, qrels, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
