@@ -80,7 +80,7 @@ from carrot_transform_spark.operators.repetition import (
     repetition_profile_sql,
     span_dup_profile_sql,
 )
-from carrot_transform_spark.functions.rounding import fround_sql
+from carrot_transform_spark.functions.rounding import fround, fround_sql
 from carrot_transform_spark.queries import load, register_suite
 from carrot_transform_spark.queries.dedup import (
     _SHINGLES_SQL,
@@ -1057,7 +1057,7 @@ def _hy_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", rn)
         .filter(F.col("rnk") <= _HY_LEG_K)
-        .select("qid", "doc", "rnk")
+        .select("qid", "doc", "rnk", fround(F.col("cs"), 6).alias("rel"))
     )
 
 
@@ -1121,11 +1121,12 @@ _HY_DENSE_SQL = f"""
         FROM hyq CROSS JOIN hyn
     ),
     hyranked AS (
-        SELECT qid, doc,
+        SELECT qid, doc, cs,
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, doc) AS rnk
         FROM hyscored
     )
-    SELECT qid, doc, rnk FROM hyranked WHERE rnk <= {_HY_LEG_K}
+    SELECT qid, doc, rnk, {fround_sql("cs", 6)} AS rel
+    FROM hyranked WHERE rnk <= {_HY_LEG_K}
 """
 
 _HY_QRELS_SQL = (
@@ -1148,6 +1149,73 @@ def _hy_eval_oracle() -> str:
         _HY_QRELS_SQL,
         k=_HY_TOPK,
     )
+
+
+# ---- MMR diversification over the dense candidates ---------------------
+# (operators/mmr.py, Carbonell & Goldstein 1998.) Candidates = the dense
+# top-20 with their quantized cosine as rel; pairwise sims are computed
+# candidate×candidate within each query (O(|q| * k^2), never corpus-sized).
+_MMR_LAM = 0.7
+_MMR_K = 5
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR (lam=0.7) selecting 5 diverse docs per query from the
+    dense top-20 — the k-step greedy is unrolled into declarative joins +
+    windows (see operators/mmr.py), every step keyed on qid only."""
+    from carrot_transform_spark.operators.mmr import mmr_rerank
+    from carrot_transform_spark.queries.similarity import _dot, _norm, _to_double
+
+    cand = _hy_dense(spark, sf_dir).select("qid", "doc", "rel")
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _BM25_SLICE)
+    n = e.select(
+        F.col("vec_id").alias("doc"), _to_double("embedding").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = cand.join(n, "doc").select(
+        "qid", F.col("doc").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = cand.join(n, "doc").select(
+        F.col("qid").alias("qid_b"),
+        F.col("doc").alias("doc_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("qid") == F.col("qid_b")) & (F.col("doc_a") != F.col("doc_b"))
+    ).select(
+        "qid",
+        "doc_a",
+        "doc_b",
+        fround(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("sim"),
+    )
+    return mmr_rerank(cand, pairs, lam=_MMR_LAM, k=_MMR_K)
+
+
+_MMR_PAIRS_SQL = f"""
+    WITH mcand AS (SELECT qid, doc FROM ({_HY_DENSE_SQL}) mcin),
+    hyn2 AS (
+        SELECT vec_id AS doc,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings WHERE vec_id < {_BM25_SLICE}
+    ),
+    ma AS (SELECT c.qid, c.doc AS doc_a, n.v AS va, n.nrm AS na
+           FROM mcand c JOIN hyn2 n ON n.doc = c.doc),
+    mb AS (SELECT c.qid AS qid_b, c.doc AS doc_b, n.v AS vb, n.nrm AS nb
+           FROM mcand c JOIN hyn2 n ON n.doc = c.doc)
+    SELECT ma.qid, ma.doc_a, mb.doc_b,
+           {fround_sql("list_sum(list_transform(list_zip(ma.va, mb.vb), s -> s[1] * s[2])) / (ma.na * mb.nb)", 6)} AS sim
+    FROM ma JOIN mb ON mb.qid_b = ma.qid AND mb.doc_b <> ma.doc_a
+"""
+
+
+def _mmr_oracle() -> str:
+    from carrot_transform_spark.operators.mmr import mmr_sql
+
+    cand = f"SELECT qid, doc, rel FROM ({_HY_DENSE_SQL}) mmr_cand_in"
+    return mmr_sql(cand, _MMR_PAIRS_SQL, lam=_MMR_LAM, k=_MMR_K)
 
 
 _TRI_SQL = f"""
@@ -1416,6 +1484,12 @@ register_suite(
             sim_retrieval_eval,
             _hy_eval_oracle(),
             [("system", "s"), ("n_hit", "i"), ("sum_rr", "f")],
+        ),
+        (
+            "sim_mmr_rerank",
+            sim_mmr_rerank,
+            _mmr_oracle(),
+            [("qid", "i"), ("doc", "i"), ("step", "i"), ("mmr_score", "f")],
         ),
     ],
     tags=("pipeline", "suite"),
