@@ -34,6 +34,7 @@ same as operators/bm25.py). Ranks tie-break on doc id — total order.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 import pyspark.sql.functions as F
@@ -173,4 +174,164 @@ def retrieval_eval_sql(
     SELECT system, CAST(COUNT(*) AS BIGINT) AS n_hit,
            COALESCE(CAST(SUM(rr) AS DOUBLE), 0.0) AS sum_rr
     FROM rev_all GROUP BY system
+    """
+
+
+# ---- graded nDCG@k ------------------------------------------------------
+# hits@k / MRR above treat relevance as binary with one relevant doc per
+# query; eval-set grading (TREC-style qrels) needs GRADED multi-doc
+# relevance, and the standard metric is nDCG@k (Jarvelin & Kekalainen
+# 2002, "Cumulated gain-based evaluation of IR techniques", TOIS):
+#
+#     DCG@k  = sum over hits of (2^grade - 1) / log2(rank + 1)
+#     nDCG@k = DCG@k / IDCG@k   (IDCG = DCG of the ideal ordering)
+#
+# Engine-stable arithmetic: log2 is libm (NOT correctly rounded across
+# engines), so the rank discounts 1/log2(r+1) for r = 1..k are computed
+# ONCE in Python — one canonical double per rank — and enter BOTH engines
+# as literals (a k-row broadcast frame / VALUES CTE). Gains 2^grade - 1
+# are exact integers (bit shift, no pow); each hit contribution is then
+# ONE IEEE multiply of exact inputs, fround-quantized, summed in exact
+# DECIMAL(27,6); nDCG per query is ONE division of the two exact decimal
+# sums cast to double. Every step is correctly rounded on identical
+# inputs, so the twin equality is exact, not tolerance-based.
+
+
+def dcg_discounts(k: int) -> list[tuple[int, float]]:
+    """[(rank, 1/log2(rank+1))] for rank = 1..k — the canonical doubles
+    shipped to both engines (Python floats repr-round-trip exactly)."""
+    return [(r, 1.0 / math.log2(r + 1.0)) for r in range(1, int(k) + 1)]
+
+
+def _gain():
+    """(2^grade - 1) as an exact integer cast to double (no libm pow).
+
+    SQL-form shiftleft: the Python F.shiftleft only takes a literal bit
+    count, but the engine function shifts by an expression fine."""
+    return F.expr("CAST(shiftleft(1, CAST(grade AS INT)) - 1 AS DOUBLE)")
+
+
+def ndcg_eval(
+    runs: dict[str, DataFrame],
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(system, n_q, sum_ndcg): graded nDCG@k components per system.
+
+    ``qrels`` is (qid, rel_doc, grade) with integer grades >= 1 and any
+    number of relevant docs per query. Emits exact components: n_q is the
+    number of assessed queries (same for every system — a system that
+    retrieves nothing relevant for a query scores 0 for it, it is not
+    dropped), sum_ndcg the exact sum of per-query quantized nDCG values
+    (mean nDCG@k = sum_ndcg / n_q; keeping the mean's division OUT of the
+    frame keeps the emission engine-exact).
+
+    Scale: runs are top-k-bounded per query; qrels and the k-row discount
+    table broadcast; per-system frames are O(|q|) rows.
+    """
+    if not runs:
+        raise ValueError("ndcg_eval needs at least one run")
+    spark = qrels.sparkSession
+    disc = spark.createDataFrame(dcg_discounts(k), "rnk int, d double")
+    qr = qrels.select(
+        F.col("qid").alias("r_qid"), "rel_doc", F.col("grade").cast("int").alias("grade")
+    )
+
+    contrib = fround(_gain() * F.col("d"), 6).cast(_DEC)
+    iw = Window.partitionBy("r_qid").orderBy(F.desc("grade"), F.asc("rel_doc"))
+    ideal = (
+        qr.withColumn("rnk", F.row_number().over(iw))
+        .filter(F.col("rnk") <= k)
+        .join(F.broadcast(disc), "rnk")
+        .select(F.col("r_qid").alias("qid"), contrib.alias("ic"))
+        .groupBy("qid")
+        .agg(F.sum("ic").alias("idcg"))
+    )
+
+    per = []
+    for name, run in sorted(runs.items()):
+        dcg = (
+            run.select("qid", "doc", "rnk")
+            .filter(F.col("rnk") <= k)
+            .join(
+                F.broadcast(qr),
+                (F.col("qid") == F.col("r_qid"))
+                & (F.col("doc") == F.col("rel_doc")),
+            )
+            .join(F.broadcast(disc), "rnk")
+            .select("qid", contrib.alias("c"))
+            .groupBy("qid")
+            .agg(F.sum("c").alias("dcg"))
+        )
+        ndcg = fround(
+            F.coalesce(F.col("dcg").cast("double"), F.lit(0.0))
+            / F.col("idcg").cast("double"),
+            6,
+        ).cast(_DEC)
+        # dcg is at most one row per assessed query (same bound as qrels,
+        # which already broadcasts) — broadcasting keeps the per-system
+        # attach shuffle-free.
+        per.append(
+            ideal.join(F.broadcast(dcg), "qid", "left").select(
+                F.lit(name).alias("system"), ndcg.alias("ndcg")
+            )
+        )
+    u = reduce(DataFrame.unionByName, per)
+    return u.groupBy("system").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_q"),
+        F.sum("ndcg").cast("double").alias("sum_ndcg"),
+    )
+
+
+def ndcg_eval_sql(
+    run_sqls: dict[str, str],
+    qrels_sql: str,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ndcg_eval` — the same Python-computed rank
+    discounts as a VALUES CTE, bit-shift gains, and the quantize-then-
+    decimal-sum recipe at every aggregate."""
+    if not run_sqls:
+        raise ValueError("ndcg_eval_sql needs at least one run")
+    disc_rows = ", ".join(
+        f"({r}, CAST({d!r} AS DOUBLE))" for r, d in dcg_discounts(k)
+    )
+    gain = "CAST((1 << CAST(grade AS INT)) - 1 AS DOUBLE)"
+    contrib = f"CAST({fround_sql(f'{gain} * nd_disc.d', 6)} AS DECIMAL(27,6))"
+    per = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS system,
+               CAST({fround_sql('COALESCE(CAST(nd_dcg.dcg AS DOUBLE), 0.0) / CAST(nd_ideal.idcg AS DOUBLE)', 6)}
+                    AS DECIMAL(27,6)) AS ndcg
+        FROM nd_ideal LEFT JOIN (
+            SELECT r.qid, SUM({contrib}) AS dcg
+            FROM ({sql}) r
+            JOIN nd_qr ON nd_qr.r_qid = r.qid AND nd_qr.rel_doc = r.doc
+            JOIN nd_disc ON nd_disc.rnk = r.rnk
+            WHERE r.rnk <= {int(k)}
+            GROUP BY r.qid
+        ) nd_dcg ON nd_dcg.qid = nd_ideal.qid"""
+        for name, sql in sorted(run_sqls.items())
+    )
+    return f"""
+    WITH nd_disc(rnk, d) AS (VALUES {disc_rows}),
+    nd_qr AS (
+        SELECT qid AS r_qid, rel_doc, CAST(grade AS INT) AS grade
+        FROM ({qrels_sql}) nd_qr_in
+    ),
+    nd_ideal AS (
+        SELECT r_qid AS qid, SUM({contrib}) AS idcg
+        FROM (
+            SELECT r_qid, grade,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r_qid ORDER BY grade DESC, rel_doc
+                   ) AS rnk
+            FROM nd_qr
+        ) nd_irk JOIN nd_disc ON nd_disc.rnk = nd_irk.rnk
+        WHERE nd_irk.rnk <= {int(k)}
+        GROUP BY r_qid
+    ),
+    nd_all AS ({per})
+    SELECT system, CAST(COUNT(*) AS BIGINT) AS n_q,
+           CAST(SUM(ndcg) AS DOUBLE) AS sum_ndcg
+    FROM nd_all GROUP BY system
     """

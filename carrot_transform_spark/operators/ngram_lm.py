@@ -159,3 +159,164 @@ def bigram_nll_sql(
     LEFT JOIN ctx c ON c.w1 = d.w1
     GROUP BY d.{id_col}
     """
+
+
+# ---- interpolated Kneser-Ney --------------------------------------------
+# Add-alpha above is the simplest smoother; production perplexity filters
+# (KenLM-backed CCNet and friends) use interpolated Kneser-Ney smoothing
+# (Kneser & Ney 1995; the formulation below is Chen & Goodman 1999,
+# "An empirical study of smoothing techniques for language modeling",
+# §2.7, at the bigram level):
+#
+#   P_KN(w2|w1) = max(c(w1,w2) - D, 0) / c(w1)
+#               + (D * N1+(w1*) / c(w1)) * P_cont(w2)
+#   P_cont(w2)  = N1+(*w2) / N1+(**)
+#
+# where N1+(w1*) is the number of distinct continuations of w1, N1+(*w2)
+# the number of distinct contexts preceding w2, and N1+(**) the number of
+# distinct bigram types. Novel-context/novel-word totality (needed when
+# scoring docs the LM never saw): an unseen context backs off to P_cont
+# directly, and P_cont itself carries add-beta mass over the vocabulary —
+# P_cont'(w2) = (N1+(*w2) + beta) / (N1+(**) + beta * V) — a documented
+# variant of the textbook model (which leaves novel words at zero).
+#
+# Spark shape: every model statistic is ONE aggregation over the bigram
+# table (context totals + distinct-continuation counts share a groupBy;
+# continuation counts are a groupBy on the other key; the type count is a
+# broadcast scalar). Scoring is the same two equi-joins as the add-alpha
+# scorer plus one more narrow join on w2. Engine-stable scoring: all
+# counts are exact integers, D and beta enter both engines as CAST-double
+# literals, the per-bigram probability uses ONE pinned association order,
+# and the per-doc aggregate fround-quantizes each -ln(p) before summing
+# in exact DECIMAL(27,6) (stricter than the add-alpha sibling, which
+# relies on raw double summation staying under the 6dp render).
+
+KN_D = 0.75
+KN_BETA = 0.5
+
+
+def kn_score_docs(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    v: int,
+    d: float = KN_D,
+    beta: float = KN_BETA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, avg_nll) under interpolated Kneser-Ney with
+    add-beta continuation totality. ``bigrams`` is the (w1, w2, n) table
+    from :func:`bigram_counts`; ``v`` the vocabulary size."""
+    ctx = bigrams.groupBy("w1").agg(
+        F.sum("n").alias("c_ctx"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    types = bigrams.agg(F.count(F.lit(1)).alias("n_types"))
+
+    dd = F.lit(float(d))
+    bb = F.lit(float(beta))
+    db = _doc_bigrams(docs, id_col, text_col)
+    j = (
+        db.join(bigrams, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(types))
+    )
+    pc = (F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + bb) / (
+        F.col("n_types").cast("double") + bb * F.lit(float(v))
+    )
+    c_ctx = F.col("c_ctx").cast("double")
+    disc = (
+        F.greatest(F.coalesce(F.col("n"), F.lit(0)).cast("double") - dd, F.lit(0.0))
+        / c_ctx
+    )
+    lam = dd * F.col("n1p_fwd").cast("double") / c_ctx
+    p = F.when(F.col("c_ctx").isNull(), pc).otherwise(disc + lam * pc)
+    from carrot_transform_spark.functions.rounding import fround
+
+    nll = fround(-F.log(p), 6).cast("decimal(27,6)")
+    return (
+        j.select(id_col, nll.alias("nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )
+
+
+def kn_nll_docs(
+    docs: DataFrame,
+    d: float = KN_D,
+    beta: float = KN_BETA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-train + KN-score in one call (the sub-check shape)."""
+    bi = bigram_counts(docs, id_col, text_col)
+    v = vocab_size(docs, text_col)
+    return kn_score_docs(docs, bi, v, d, beta, id_col, text_col)
+
+
+def kn_nll_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: float = KN_D,
+    beta: float = KN_BETA,
+) -> str:
+    """DuckDB twin of kn_nll_docs: identical tokenisation, counts, pinned
+    probability association order, and the fround+DECIMAL(27,6) nll sum.
+    D/beta enter as CAST(... AS DOUBLE) (never bare decimal literals —
+    DuckDB's exact-DECIMAL literal arithmetic diverges from IEEE)."""
+    from carrot_transform_spark.functions.rounding import fround_sql
+
+    dd = f"CAST({float(d)!r} AS DOUBLE)"
+    bb = f"CAST({float(beta)!r} AS DOUBLE)"
+    pc = (
+        f"(CAST(COALESCE(c.n1p_bwd, 0) AS DOUBLE) + {bb})"
+        f" / (CAST(t.n_types AS DOUBLE) + {bb} * CAST((SELECT v FROM v) AS DOUBLE))"
+    )
+    disc = (
+        f"GREATEST(CAST(COALESCE(b.n, 0) AS DOUBLE) - {dd}, 0.0)"
+        f" / CAST(x.c_ctx AS DOUBLE)"
+    )
+    lam = f"{dd} * CAST(x.n1p_fwd AS DOUBLE) / CAST(x.c_ctx AS DOUBLE)"
+    p = f"CASE WHEN x.c_ctx IS NULL THEN {pc} ELSE ({disc}) + ({lam}) * ({pc}) END"
+    nll = f"CAST({fround_sql(f'-ln({p})', 6)} AS DECIMAL(27,6))"
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT {id_col},
+               list_filter(regexp_split_to_array({text_col}, '{_WS}'),
+                           t -> t <> '') AS l
+        FROM {table}
+    ),
+    db AS MATERIALIZED (
+        SELECT {id_col}, l[u.i] AS w1, l[u.i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(l))) AS u(i)
+    ),
+    bi AS MATERIALIZED (
+        SELECT w1, w2, COUNT(*) AS n FROM db GROUP BY w1, w2
+    ),
+    ctx AS MATERIALIZED (
+        SELECT w1, SUM(n) AS c_ctx, COUNT(*) AS n1p_fwd FROM bi GROUP BY w1
+    ),
+    cont AS MATERIALIZED (
+        SELECT w2, COUNT(*) AS n1p_bwd FROM bi GROUP BY w2
+    ),
+    kn_types AS (SELECT COUNT(*) AS n_types FROM bi),
+    v AS (
+        SELECT COUNT(DISTINCT w) AS v FROM (
+            SELECT unnest(l) AS w FROM toks
+        )
+    )
+    SELECT dx.{id_col},
+           COUNT(*) AS n_bigrams,
+           CAST(SUM({nll}) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM db dx
+    LEFT JOIN bi b ON b.w1 = dx.w1 AND b.w2 = dx.w2
+    LEFT JOIN ctx x ON x.w1 = dx.w1
+    LEFT JOIN cont c ON c.w2 = dx.w2
+    CROSS JOIN kn_types t
+    GROUP BY dx.{id_col}
+    """

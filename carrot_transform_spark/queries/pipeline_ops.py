@@ -69,7 +69,7 @@ from carrot_transform_spark.operators.bpe import (
 from carrot_transform_spark.operators.dsir import dsir_sql
 from carrot_transform_spark.operators.logreg import logreg_sql
 from carrot_transform_spark.operators.unigram import unigram_sql
-from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql
+from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql, kn_nll_sql
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
     chunk_token_windows_sql,
@@ -837,6 +837,19 @@ def txt_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll_docs(d).orderBy("doc_id")
 
 
+def txt_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney perplexity scoring (operators/ngram_lm.py,
+    Kneser & Ney 1995 / Chen & Goodman 1999 §2.7): the production-grade
+    smoother next to txt_bigram_nll's add-alpha — absolute discounting,
+    distinct-continuation interpolation weights, continuation-probability
+    backoff. Self-trained on the corpus like its sibling; the DuckDB twin
+    re-derives every count and the pinned probability arithmetic."""
+    from carrot_transform_spark.operators.ngram_lm import kn_nll_docs
+
+    d = load(spark, sf_dir, "documents")
+    return kn_nll_docs(d).orderBy("doc_id")
+
+
 _DSIR_TMOD = 7
 _DSIR_K = 100
 
@@ -1151,6 +1164,58 @@ def _hy_eval_oracle() -> str:
     )
 
 
+def _hy_qrels_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded multi-doc qrels for the nDCG check: each query's own source
+    doc is grade 3, its two successors grade 2 / grade 1 (deterministic
+    neighbor rule — successors exist for every qid at _BM25_SLICE=400)."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < _BM25_SLICE) & (F.col("doc_id") % _BM25_QMOD == 3))
+        .select(F.col("doc_id").alias("qid"))
+    )
+    parts = [
+        base.select("qid", (F.col("qid") + off).alias("rel_doc"), F.lit(g).alias("grade"))
+        for off, g in ((0, 3), (2, 2), (1, 1))
+    ]
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)
+
+
+_HY_QRELS_GRADED_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id AS qid, doc_id + {off} AS rel_doc, {g} AS grade "
+    f"FROM documents WHERE doc_id < {_BM25_SLICE} AND doc_id % {_BM25_QMOD} = 3"
+    for off, g in ((0, 3), (2, 2), (1, 1))
+)
+
+
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@10 components for the bm25 / dense / hybrid systems
+    (operators/hybrid.ndcg_eval, Jarvelin & Kekalainen 2002) under the
+    three-level neighbor qrels — the graded companion of
+    sim_retrieval_eval's binary hits@k/MRR."""
+    from carrot_transform_spark.operators.hybrid import ndcg_eval, rrf_fuse
+
+    lex = _hy_lex(spark, sf_dir)
+    dense = _hy_dense(spark, sf_dir)
+    runs = {
+        "bm25": lex,
+        "dense": dense,
+        "hybrid": rrf_fuse([lex, dense], top_k=_HY_TOPK),
+    }
+    return ndcg_eval(runs, _hy_qrels_graded(spark, sf_dir), k=_HY_TOPK)
+
+
+def _hy_ndcg_oracle() -> str:
+    from carrot_transform_spark.operators.hybrid import ndcg_eval_sql
+
+    return ndcg_eval_sql(
+        {"bm25": _hy_lex_sql(), "dense": _HY_DENSE_SQL, "hybrid": _hy_rrf_oracle()},
+        _HY_QRELS_GRADED_SQL,
+        k=_HY_TOPK,
+    )
+
+
 # ---- MMR diversification over the dense candidates ---------------------
 # (operators/mmr.py, Carbonell & Goldstein 1998.) Candidates = the dense
 # top-20 with their quantized cosine as rel; pairwise sims are computed
@@ -1422,6 +1487,12 @@ register_suite(
             [("doc_id", "i"), ("n_bigrams", "i"), ("avg_nll", "f")],
         ),
         (
+            "txt_kn_nll",
+            txt_kn_nll,
+            kn_nll_sql() + " ORDER BY doc_id",
+            [("doc_id", "i"), ("n_bigrams", "i"), ("avg_nll", "f")],
+        ),
+        (
             "txt_unigram_encode",
             txt_unigram_encode,
             unigram_sql() + " ORDER BY kind, a",
@@ -1490,6 +1561,12 @@ register_suite(
             sim_mmr_rerank,
             _mmr_oracle(),
             [("qid", "i"), ("doc", "i"), ("step", "i"), ("mmr_score", "f")],
+        ),
+        (
+            "sim_ndcg_eval",
+            sim_ndcg_eval,
+            _hy_ndcg_oracle(),
+            [("system", "s"), ("n_q", "i"), ("sum_ndcg", "f")],
         ),
     ],
     tags=("pipeline", "suite"),

@@ -148,3 +148,98 @@ def test_eval_qrels_join_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---- graded nDCG@k ------------------------------------------------------
+
+def _q6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _ndcg_fixture(spark):
+    lex, dense = _lists(spark)
+    # graded, multi-doc qrels: qid 1 has a grade-3 and a grade-1 doc;
+    # qid 2's only relevant doc is never retrieved by either leg.
+    qrels = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1), (2, 99, 2)],
+        "qid long, rel_doc long, grade int",
+    )
+    return lex, dense, qrels
+
+
+def test_ndcg_hand_computed(spark):
+    import math
+
+    from carrot_transform_spark.operators.hybrid import dcg_discounts, ndcg_eval
+
+    lex, dense, qrels = _ndcg_fixture(spark)
+    d = dict(dcg_discounts(3))
+    out = {
+        r["system"]: (r["n_q"], r["sum_ndcg"])
+        for r in ndcg_eval({"lex": lex, "dense": dense}, qrels, k=3).collect()
+    }
+    idcg1 = _q6(7.0 * d[1]) + _q6(1.0 * d[2])  # ideal: grade3 first, then grade1
+    # lex qid1: doc10@1 (gain 7), doc11@2 (gain 1) -> the ideal ordering
+    lex1 = _q6((_q6(7.0 * d[1]) + _q6(1.0 * d[2])) / idcg1)
+    assert out["lex"] == (2, lex1)  # qid2 contributes 0
+    assert lex1 == 1.0
+    # dense qid1: doc11@1 (gain 1), doc10@3 (gain 7)
+    dense1 = _q6((_q6(1.0 * d[1]) + _q6(7.0 * d[3])) / idcg1)
+    assert out["dense"] == (2, dense1)
+    assert 0.0 < dense1 < 1.0
+    assert math.isclose(dense1, _q6(4.5 / 7.63093), rel_tol=0, abs_tol=0)
+
+
+def test_ndcg_zero_overlap_system_counts_all_queries(spark):
+    from carrot_transform_spark.operators.hybrid import ndcg_eval
+
+    miss = spark.createDataFrame([(1, 555, 1)], "qid long, doc long, rnk int")
+    _, _, qrels = _ndcg_fixture(spark)
+    out = ndcg_eval({"miss": miss}, qrels, k=3).collect()
+    assert [(r["system"], r["n_q"], r["sum_ndcg"]) for r in out] == [
+        ("miss", 2, 0.0)
+    ]
+
+
+def test_ndcg_duckdb_twin(spark):
+    from carrot_transform_spark.operators.hybrid import ndcg_eval, ndcg_eval_sql
+
+    lex, dense, qrels = _ndcg_fixture(spark)
+    srows = sorted(
+        (r["system"], r["n_q"], r["sum_ndcg"])
+        for r in ndcg_eval({"lex": lex, "dense": dense}, qrels, k=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lexleg AS SELECT * FROM (VALUES (1,10,1),(1,11,2),(1,12,3)) t(qid,doc,rnk)"
+    )
+    con.execute(
+        "CREATE TABLE denseleg AS SELECT * FROM (VALUES (1,11,1),(1,13,2),(1,10,3)) t(qid,doc,rnk)"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(
+            ndcg_eval_sql(
+                {"lex": "SELECT * FROM lexleg", "dense": "SELECT * FROM denseleg"},
+                "SELECT * FROM (VALUES (1,10,3),(1,11,1),(2,99,2)) t(qid, rel_doc, grade)",
+                k=3,
+            )
+        ).fetchall()
+    )
+    assert srows == orows
+
+
+def test_ndcg_qrels_and_discounts_broadcast(spark):
+    from carrot_transform_spark.operators.hybrid import ndcg_eval
+
+    lex, _, qrels = _ndcg_fixture(spark)
+    plan = (
+        ndcg_eval({"lex": lex}, qrels, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -13,6 +13,7 @@ import random
 from collections import Counter
 
 import duckdb
+import pyspark.sql.functions as F
 import pytest
 
 from carrot_transform_spark.operators.ngram_lm import (
@@ -128,3 +129,130 @@ def test_sql_twin_matches_spark(spark):
     for i in want:
         assert got[i][0] == want[i][0]
         assert got[i][1] == pytest.approx(want[i][1], rel=1e-12)
+
+
+# ---- interpolated Kneser-Ney --------------------------------------------
+
+def py_kn_nll(
+    train: dict[int, str],
+    score: dict[int, str] | None = None,
+    d: float = 0.75,
+    beta: float = 0.5,
+):
+    """Pure-Python interpolated-KN reference mirroring the operator's
+    quantize-then-decimal-sum aggregation."""
+    toks = {i: [w for w in t.split() if w] for i, t in train.items()}
+    bi: Counter = Counter()
+    vocab = set()
+    for ws in toks.values():
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+    ctx: Counter = Counter()
+    n1p_fwd: Counter = Counter()
+    n1p_bwd: Counter = Counter()
+    for (a, b), n in bi.items():
+        ctx[a] += n
+        n1p_fwd[a] += 1
+        n1p_bwd[b] += 1
+    n_types = len(bi)
+    v = len(vocab)
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    stoks = toks if score is None else {
+        i: [w for w in t.split() if w] for i, t in score.items()
+    }
+    out = {}
+    for i, ws in stoks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        tot = 0.0
+        for a, b in pairs:
+            pc = (n1p_bwd.get(b, 0) + beta) / (n_types + beta * v)
+            if a not in ctx:
+                p = pc
+            else:
+                disc = max(bi.get((a, b), 0) - d, 0.0) / ctx[a]
+                lam = d * n1p_fwd[a] / ctx[a]
+                p = disc + lam * pc
+            tot = round(tot + q6(-math.log(p)), 6)  # decimal-exact sum
+        out[i] = (len(pairs), tot / len(pairs))
+    return out
+
+
+def _kn_corpus(seed: int = 7, n: int = 25):
+    rng = random.Random(seed)
+    words = ["the", "cat", "sat", "on", "mat", "dog", "ran"]
+    return {
+        i: " ".join(rng.choice(words) for _ in range(rng.randint(0, 14)))
+        for i in range(n)
+    }
+
+
+def test_kn_matches_python_reference(spark):
+    from carrot_transform_spark.operators.ngram_lm import kn_nll_docs
+
+    docs = _kn_corpus()
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"]) for r in kn_nll_docs(df).collect()}
+    exp = py_kn_nll(docs)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == exp[i][1], (i, got[i], exp[i])
+
+
+def test_kn_unseen_words_degrade_smoothly(spark):
+    """Scoring docs with words/contexts the LM never saw must stay finite
+    (the add-beta continuation floor) — novel context backs off to
+    P_cont, novel word to the beta-uniform mass."""
+    from carrot_transform_spark.operators.ngram_lm import (
+        bigram_counts,
+        kn_score_docs,
+    )
+    from carrot_transform_spark.operators.ngram_lm import vocab_size
+
+    train = _kn_corpus()
+    tdf = spark.createDataFrame(list(train.items()), "doc_id long, text string")
+    bi = bigram_counts(tdf)
+    v = vocab_size(tdf)
+    new = {100: "the cat zzz unseen qqq", 101: "zzz qqq"}
+    ndf = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_nll"] for r in kn_score_docs(ndf, bi, v).collect()}
+    assert all(math.isfinite(x) and x > 0 for x in got.values())
+    exp = py_kn_nll(train, new)
+    for i in exp:
+        assert got[i] == exp[i][1], (i, got[i], exp[i])
+
+
+def test_kn_fluent_beats_gibberish(spark):
+    from carrot_transform_spark.operators.ngram_lm import kn_nll_docs
+
+    fluent = " ".join(["the cat sat on the mat"] * 10)
+    rng = random.Random(3)
+    words = fluent.split()
+    rng.shuffle(words)
+    docs = [(0, fluent), (1, " ".join(words))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_nll"] for r in kn_nll_docs(df).collect()}
+    assert got[0] < got[1]
+
+
+def test_kn_sql_twin_matches_spark(spark, sf_dir):
+    from carrot_transform_spark.operators.ngram_lm import kn_nll_docs, kn_nll_sql
+    from carrot_transform_spark.queries import load
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    srows = sorted(
+        (r["doc_id"], r["n_bigrams"], r["avg_nll"])
+        for r in kn_nll_docs(d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet') WHERE doc_id < 120"
+    )
+    orows = sorted(tuple(r) for r in con.execute(kn_nll_sql()).fetchall())
+    assert srows == orows
