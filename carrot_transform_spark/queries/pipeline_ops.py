@@ -69,6 +69,7 @@ from carrot_transform_spark.operators.bpe import (
 from carrot_transform_spark.operators.dsir import dsir_sql
 from carrot_transform_spark.operators.logreg import logreg_sql
 from carrot_transform_spark.operators.unigram import unigram_sql
+from carrot_transform_spark.operators.wordpiece import wordpiece_sql
 from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql, kn_nll_sql
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
@@ -888,6 +889,23 @@ def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode_docs(d, persist_registry=_QUERY_CACHES).orderBy("kind", "a")
 
 
+def txt_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer (operators/wordpiece.py, Schuster & Nakajima
+    2012 / Devlin et al. 2019): frequency-derived initial+continuation
+    subword vocab, then greedy longest-match-first encoding of every
+    distinct word — unmatchable words become whole-word [UNK]. Pure
+    integer/string arithmetic, so the chained-CTE DuckDB twin is exact
+    with no quantization fences. The fourth tokenizer family next to
+    vocab-ids, BPE and unigram."""
+    from carrot_transform_spark.operators.wordpiece import wordpiece_encode_docs
+    from carrot_transform_spark.queries import _QUERY_CACHES
+
+    d = load(spark, sf_dir, "documents")
+    return wordpiece_encode_docs(d, persist_registry=_QUERY_CACHES).orderBy(
+        "kind", "a"
+    )
+
+
 def txt_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style model-based quality filter (operators/logreg.py,
     arXiv:1607.01759): a logistic-regression classifier over hashed
@@ -1497,6 +1515,12 @@ register_suite(
             txt_unigram_encode,
             unigram_sql() + " ORDER BY kind, a",
             [("kind", "s"), ("a", "s"), ("k", "i"), ("n", "i"), ("b", "s")],
+        ),
+        (
+            "txt_wordpiece_encode",
+            txt_wordpiece_encode,
+            wordpiece_sql() + " ORDER BY kind, a",
+            [("kind", "s"), ("a", "s"), ("b", "s"), ("k", "i"), ("n", "i")],
         ),
         (
             "txt_logreg_quality",
