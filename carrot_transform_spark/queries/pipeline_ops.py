@@ -70,6 +70,7 @@ from carrot_transform_spark.operators.dsir import dsir_sql
 from carrot_transform_spark.operators.logreg import logreg_sql
 from carrot_transform_spark.operators.unigram import unigram_sql
 from carrot_transform_spark.operators.wordpiece import wordpiece_sql
+from carrot_transform_spark.operators.editjoin import edit_join_words_sql
 from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql, kn_nll_sql
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
@@ -889,6 +890,24 @@ def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode_docs(d, persist_registry=_QUERY_CACHES).orderBy("kind", "a")
 
 
+_EDIT_SLICE = 400  # same fixed-slice convention as _BM25_SLICE
+_EDIT_K = 2  # the corpus has no typo-level k=1 pairs; k=2 finds neighbours
+
+
+def dd_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (operators/editjoin.py, Gravano et
+    al. 2001 / Chaudhuri, Ganti & Kaushik 2006 prefix filtering): every
+    distinct-word pair within Levenshtein distance 2 — the string-metric
+    member of the dedup/linkage family next to MinHash (sets), SimHash
+    (bits) and SemDeDup (embeddings). Lossless q-gram prefix blocking +
+    exact levenshtein verify; the DuckDB twin re-derives grams, the
+    frequency-ordered prefixes and the distances from the same parquet."""
+    from carrot_transform_spark.operators.editjoin import edit_join_words
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _EDIT_SLICE)
+    return edit_join_words(d, k=_EDIT_K).orderBy("a", "b")
+
+
 def txt_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer (operators/wordpiece.py, Schuster & Nakajima
     2012 / Devlin et al. 2019): frequency-derived initial+continuation
@@ -1521,6 +1540,16 @@ register_suite(
             txt_wordpiece_encode,
             wordpiece_sql() + " ORDER BY kind, a",
             [("kind", "s"), ("a", "s"), ("b", "s"), ("k", "i"), ("n", "i")],
+        ),
+        (
+            "dd_edit_pairs",
+            dd_edit_pairs,
+            edit_join_words_sql(
+                table=f"(SELECT * FROM documents WHERE doc_id < {_EDIT_SLICE})",
+                k=_EDIT_K,
+            )
+            + " ORDER BY a, b",
+            [("a", "s"), ("b", "s"), ("dist", "i")],
         ),
         (
             "txt_logreg_quality",
