@@ -13,28 +13,41 @@ Kaushik 2006, "A primitive operator for similarity joins in data
 cleaning", ICDE; Xiao, Wang & Lin 2008 "Ed-Join", VLDB):
 
 - one edit operation destroys at most q positional q-grams, so strings
-  within distance k share >= G_s - k*q of s's G_s = |s|-q+1 grams;
+  within distance k share >= G_s - k*q of s's G_s = |s|-q+1 gram
+  occurrences;
 - therefore any valid pair shares at least ONE gram among each side's
   (k*q + 1) GLOBALLY RAREST grams (the prefix-filter theorem, with grams
   ordered by corpus frequency) — a CONSTANT number of index entries per
   string, with the join keyed on the rarest grams by construction, which
-  is what bounds both fan-out and skew at 100 TB;
-- strings too short to carry k*q+1 informative grams (G_s <= k*q, i.e.
-  |s| <= (k+1)*q - 1 — at most 5 chars for k=2, q=2) fall through the
-  count filter entirely and are paired within +-k length buckets
-  instead; the distinct-short-string population is alphabet-bounded, so
-  the bucket join is small whatever the corpus size.
+  is what bounds both fan-out and skew at 100 TB.
 
-Candidates from either path are verified with exact ``levenshtein`` —
-available as a built-in in BOTH engines and integer-exact by definition,
-so the DuckDB twin needs no quantization fences anywhere.
+The filter is vacuous when G_s <= k*q, so short strings need their own
+treatment — and an all-pairs pool there is NOT acceptable: for k=2, q=2
+"short" means length <= 5, which is most of a word vocabulary, and a
+quadratic join over it is exactly the bench-scale-fine / 100 TB-dead
+shape. Instead the join runs TIERED prefixes (every tier is the same
+lossless theorem at a different gram size):
 
-Spark shape: gram explode -> global gram-frequency groupBy (map-side
-combined) -> per-string top-(k*q+1) window -> gram equi-join -> distinct
-pairs -> one scalar levenshtein filter. Every corpus-sized frame is the
-deduped string table, never raw documents; at 100 TB the string table is
-the Heaps-law vocabulary, the prefix index is (k*q+1)x that, and the only
-shuffles are the gram groupBy and the gram join.
+- tier q (default 2): both sides longer than S_q = (k+1)*q - 1;
+- tier 1 (unigrams):  both sides of length in (k, S_q + k] — single-char
+  grams give G_s = |s| > k, so the filter bites; the prefix is the k+1
+  rarest characters;
+- residual all-pairs pool: ONLY strings of length <= 2k (a handful of
+  characters; the distinct population is alphabet-bounded for real), with
+  at least one side <= k.
+
+Every within-distance pair lands fully inside one tier (lengths differ
+by <= k, so both sides of a short-side pair fit the next tier down), and
+candidates from any tier are verified with exact ``levenshtein`` —
+a built-in in BOTH engines and integer-exact by definition, so the
+DuckDB twin needs no quantization fences anywhere.
+
+Spark shape per tier: gram explode -> global gram-frequency groupBy
+(map-side combined) -> per-string top-(k*q+1) window -> gram equi-join ->
+distinct pairs -> one scalar levenshtein filter. Every corpus-sized
+frame is the deduped string table, never raw documents; at 100 TB the
+string table is the Heaps-law vocabulary, the prefix index is (k*q+1)x
+that, and the only shuffles are the gram groupBys and the gram joins.
 """
 
 from __future__ import annotations
@@ -47,8 +60,7 @@ DEFAULT_K = 1
 
 
 def qgrams(strings: DataFrame, s_col: str = "s", q: int = DEFAULT_Q) -> DataFrame:
-    """(s, gram): positional q-gram multiset flattened to occurrences —
-    strings shorter than q emit nothing (they take the short-pool path)."""
+    """(s, gram): positional q-gram occurrences of each string."""
     return strings.select(
         F.col(s_col).alias("s"),
         F.explode(
@@ -57,6 +69,35 @@ def qgrams(strings: DataFrame, s_col: str = "s", q: int = DEFAULT_Q) -> DataFram
                 f" i -> substring({s_col}, i, {int(q)}))"
             )
         ).alias("gram"),
+    )
+
+
+def _prefix_pairs(st: DataFrame, q: int, k: int, len_lo: int, len_hi: int | None) -> DataFrame:
+    """Candidate (a, b) pairs from one prefix-filter tier: strings with
+    len_lo < length <= len_hi (len_hi=None means unbounded), indexed on
+    their k*q+1 globally rarest q-grams."""
+    kq1 = int(k) * int(q) + 1
+    cond = F.length("s") > int(len_lo)
+    if len_hi is not None:
+        cond = cond & (F.length("s") <= int(len_hi))
+    g = qgrams(st.filter(cond), "s", q)
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
+    w = Window.partitionBy("s").orderBy(F.asc("gfreq"), F.asc("gram"))
+    prefix = (
+        g.join(freq, "gram")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= kq1)
+        .select("s", "gram")
+    )
+    pa = prefix.select(F.col("s").alias("a"), "gram")
+    pb = prefix.select(F.col("s").alias("b"), "gram")
+    return (
+        pa.join(pb, "gram")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.length("a") - F.length("b")) <= F.lit(int(k)))
+        )
+        .select("a", "b")
     )
 
 
@@ -70,67 +111,71 @@ def edit_join(
     Levenshtein distance k (a < b lexicographically), exact.
 
     ``strings`` is a one-column frame of distinct strings (callers dedup
-    first — that is the corpus-size cut). Lossless by the prefix-filter
-    theorem: the gram path covers every pair where both sides have more
-    than k*q grams; shorter strings are covered by the length-bucket
-    pool; pairs mixing the two populations differ in length by more than
-    k unless both are short (G <= k*q + k implies the longer side is
-    still short-pool eligible), handled by the pool's +-k bucketing over
-    ALL strings of short-compatible length.
+    first — that is the corpus-size cut). Lossless: pairs with both sides
+    longer than S_q ride the q-gram tier; a pair whose shorter side is in
+    (k, S_q] has BOTH sides <= S_q + k (lengths differ by <= k) and >= k+1
+    — fully inside the unigram tier; pairs whose shorter side is <= k ride
+    the residual pool (partner length <= 2k).
     """
-    kq1 = int(k) * int(q) + 1
-    # short threshold: a string with G_s <= k*q grams, i.e. length <=
-    # (k+1)*q - 1. Its +-k neighbourhood reaches length (k+1)*q - 1 + k;
-    # every string up to that length joins the pool so short<->longer
-    # pairs are not lost.
-    short_len = (int(k) + 1) * int(q) - 1
-    pool_len = short_len + int(k)
-
+    short_q = (int(k) + 1) * int(q) - 1  # filter vacuous at/below this
     st = strings.select(F.col(s_col).alias("s")).distinct().persist()
 
-    # ---- prefix-filter path (strings with > k*q grams) ----
-    g = qgrams(st.filter(F.length("s") > short_len), "s", q)
-    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
-    w = Window.partitionBy("s").orderBy(F.asc("gfreq"), F.asc("gram"))
-    prefix = (
-        g.join(freq, "gram")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= kq1)
-        .select("s", "gram")
-    )
-    pa = prefix.select(F.col("s").alias("a"), "gram")
-    pb = prefix.select(F.col("s").alias("b"), "gram")
-    gram_cand = (
-        pa.join(pb, "gram")
-        .filter(
-            (F.col("a") < F.col("b"))
-            & (
-                F.abs(F.length("a") - F.length("b")) <= F.lit(int(k))
-            )
-        )
-        .select("a", "b")
-        .distinct()
-    )
+    tiers = [
+        _prefix_pairs(st, q, k, short_q, None),
+        _prefix_pairs(st, 1, k, int(k), short_q + int(k)),
+    ]
 
-    # ---- short pool: +-k length buckets over all short-compatible strings
-    sp = st.filter(F.length("s") <= pool_len)
+    # residual pool: length <= 2k partners of length <= k strings — a few
+    # characters at most, alphabet-bounded population
+    sp = st.filter(F.length("s") <= 2 * int(k))
     sa = sp.select(F.col("s").alias("a"), F.length("s").alias("la"))
     sb = sp.select(F.col("s").alias("b"), F.length("s").alias("lb"))
-    short_cand = (
+    pool = (
         sa.join(
             sb,
             (F.col("a") < F.col("b"))
             & (F.abs(F.col("la") - F.col("lb")) <= F.lit(int(k))),
         )
-        .filter((F.col("la") <= short_len) | (F.col("lb") <= short_len))
+        .filter((F.col("la") <= int(k)) | (F.col("lb") <= int(k)))
         .select("a", "b")
     )
 
-    cand = gram_cand.unionByName(short_cand).distinct()
-    out = cand.select(
+    from functools import reduce
+
+    cand = reduce(DataFrame.unionByName, tiers + [pool]).distinct()
+    return cand.select(
         "a", "b", F.levenshtein("a", "b").alias("dist")
     ).filter(F.col("dist") <= F.lit(int(k)))
-    return out
+
+
+def _prefix_pairs_sql(
+    words_cte: str, q: int, k: int, len_lo: int, len_hi: int | None, tag: str
+) -> str:
+    kq1 = int(k) * int(q) + 1
+    hi = f"AND length(s) <= {int(len_hi)}" if len_hi is not None else ""
+    return f"""
+    ej_g{tag} AS MATERIALIZED (
+        SELECT s, substring(s, u.i, {int(q)}) AS gram
+        FROM {words_cte}, UNNEST(range(1, greatest(length(s) - {int(q)} + 1, 0) + 1)) AS u(i)
+        WHERE length(s) > {int(len_lo)} {hi}
+    ),
+    ej_freq{tag} AS MATERIALIZED (
+        SELECT gram, COUNT(*) AS gfreq FROM ej_g{tag} GROUP BY gram
+    ),
+    ej_prefix{tag} AS MATERIALIZED (
+        SELECT s, gram FROM (
+            SELECT g.s, g.gram,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY g.s ORDER BY f.gfreq, g.gram
+                   ) AS rn
+            FROM ej_g{tag} g JOIN ej_freq{tag} f ON f.gram = g.gram
+        ) WHERE rn <= {kq1}
+    ),
+    ej_cand{tag} AS (
+        SELECT DISTINCT pa.s AS a, pb.s AS b
+        FROM ej_prefix{tag} pa JOIN ej_prefix{tag} pb ON pb.gram = pa.gram
+        WHERE pa.s < pb.s AND abs(length(pa.s) - length(pb.s)) <= {int(k)}
+    )"""
 
 
 def edit_join_words_sql(
@@ -142,11 +187,12 @@ def edit_join_words_sql(
 ) -> str:
     """DuckDB twin of edit_join over the distinct words of a document
     table (the sub-check shape): identical tokenisation (the repo's
-    whitespace class), gram prefix selection with the same (gfreq, gram)
-    tie order, the same short-pool rule, and exact levenshtein verify."""
-    kq1 = int(k) * int(q) + 1
-    short_len = (int(k) + 1) * int(q) - 1
-    pool_len = short_len + int(k)
+    whitespace class), the same tiered gram prefixes with the same
+    (gfreq, gram) tie order, the same residual pool rule, and exact
+    levenshtein verify."""
+    short_q = (int(k) + 1) * int(q) - 1
+    t2 = _prefix_pairs_sql("ej_w", q, k, short_q, None, "2")
+    t1 = _prefix_pairs_sql("ej_w", 1, k, int(k), short_q + int(k), "1")
     return f"""
     WITH ej_w AS MATERIALIZED (
         SELECT DISTINCT word AS s FROM (
@@ -155,40 +201,20 @@ def edit_join_words_sql(
             FROM {table}
         ) WHERE length(word) <= {int(max_word)}
     ),
-    ej_g AS MATERIALIZED (
-        SELECT s, substring(s, u.i, {int(q)}) AS gram
-        FROM ej_w, UNNEST(range(1, greatest(length(s) - {int(q)} + 1, 0) + 1)) AS u(i)
-        WHERE length(s) > {short_len}
-    ),
-    ej_freq AS MATERIALIZED (
-        SELECT gram, COUNT(*) AS gfreq FROM ej_g GROUP BY gram
-    ),
-    ej_prefix AS MATERIALIZED (
-        SELECT s, gram FROM (
-            SELECT g.s, g.gram,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY g.s ORDER BY f.gfreq, g.gram
-                   ) AS rn
-            FROM ej_g g JOIN ej_freq f ON f.gram = g.gram
-        ) WHERE rn <= {kq1}
-    ),
-    ej_gram_cand AS (
-        SELECT DISTINCT pa.s AS a, pb.s AS b
-        FROM ej_prefix pa JOIN ej_prefix pb ON pb.gram = pa.gram
-        WHERE pa.s < pb.s AND abs(length(pa.s) - length(pb.s)) <= {int(k)}
-    ),
-    ej_short_cand AS (
+    {t2},
+    {t1},
+    ej_pool AS (
         SELECT sa.s AS a, sb.s AS b
         FROM ej_w sa JOIN ej_w sb
           ON sa.s < sb.s AND abs(length(sa.s) - length(sb.s)) <= {int(k)}
-        WHERE sa.s IS NOT NULL
-          AND length(sa.s) <= {pool_len} AND length(sb.s) <= {pool_len}
-          AND (length(sa.s) <= {short_len} OR length(sb.s) <= {short_len})
+        WHERE length(sa.s) <= {2 * int(k)} AND length(sb.s) <= {2 * int(k)}
+          AND (length(sa.s) <= {int(k)} OR length(sb.s) <= {int(k)})
     ),
     ej_cand AS (
         SELECT DISTINCT a, b FROM (
-            SELECT a, b FROM ej_gram_cand
-            UNION ALL SELECT a, b FROM ej_short_cand
+            SELECT a, b FROM ej_cand2
+            UNION ALL SELECT a, b FROM ej_cand1
+            UNION ALL SELECT a, b FROM ej_pool
         )
     )
     SELECT a, b, CAST(levenshtein(a, b) AS INT) AS dist

@@ -190,9 +190,12 @@ def wordpiece_encode(
             .localCheckpoint(eager=True)
         )
         for _ in range(int(max_word)):
+            # checkpoint the joined round ONCE: the three consumers below
+            # (UNK split, finished split, next state) would otherwise each
+            # re-execute the bm join — 3x the per-round work at vocab scale
             step = state.join(
                 bm.withColumnRenamed("j", "cur"), ["word", "cur"], "left"
-            )
+            ).localCheckpoint(eager=True)
             # no match at cur -> the whole word is [UNK]
             done_parts.append(
                 step.filter(F.col("pos").isNull()).select(
@@ -217,10 +220,9 @@ def wordpiece_encode(
                     "word", "cnt", "seg", "n_tokens", F.lit(0).alias("is_unk")
                 )
             )
-            state = (
-                adv.filter(F.length("word") > F.col("cur"))
-                .localCheckpoint(eager=True)
-            )
+            # adv is a narrow filter over the checkpointed step — no extra
+            # materialization needed for the next round's join input
+            state = adv.filter(F.length("word") > F.col("cur"))
     # each round consumes >= 1 char, so max_word rounds always drain
     return reduce(DataFrame.unionByName, done_parts)
 
