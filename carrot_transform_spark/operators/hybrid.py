@@ -335,3 +335,82 @@ def ndcg_eval_sql(
            CAST(SUM(ndcg) AS DOUBLE) AS sum_ndcg
     FROM nd_all GROUP BY system
     """
+
+
+# ---- ANN recall@k -------------------------------------------------------
+# The approximate-retrieval counterpart of the graded/binary evals above:
+# an IVF/LSH/PQ leg is only as good as its recall against the exact
+# brute-force ranking (the standard ANN quality metric, e.g. Johnson,
+# Douze & Jegou 2017, "Billion-scale similarity search with GPUs" —
+# recall@k = |approx top-k  ∩  exact top-k| / k, averaged over queries).
+# Pure integer arithmetic: set intersections and counts, no floats — the
+# division stays OUT of the frame (recall@k = sum_hit / sum_truth).
+
+
+def ann_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int | None = None,
+    qid_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rnk_col: str = "rnk",
+) -> DataFrame:
+    """(qid, n_truth, n_hit): per-query overlap of the approximate top-k
+    with the exact top-k. ``truth``/``approx`` are (qid, id, rnk) frames;
+    pass ``k`` to cut both lists, else they are taken as delivered.
+    Queries the approx leg missed entirely still appear (n_hit = 0).
+    Aggregate recall@k = SUM(n_hit) / SUM(n_truth) — left to the caller
+    so the emission stays integer-exact."""
+    t = truth.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("nid"), F.col(rnk_col).alias("rnk")
+    )
+    a = approx.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("nid"), F.col(rnk_col).alias("rnk")
+    )
+    if k is not None:
+        t = t.filter(F.col("rnk") <= int(k))
+        a = a.filter(F.col("rnk") <= int(k))
+    base = t.groupBy("qid").agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    hits = (
+        t.join(a.select("qid", "nid"), ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    # both sides are |q|-row aggregates of workload-bounded lists
+    return base.join(F.broadcast(hits), "qid", "left").select(
+        "qid", "n_truth", F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias("n_hit")
+    )
+
+
+def ann_recall_sql(
+    truth_sql: str,
+    approx_sql: str,
+    k: int | None = None,
+    qid_expr: str = "query_id",
+    id_expr: str = "neighbor_id",
+    rnk_expr: str = "rnk",
+) -> str:
+    """DuckDB twin of :func:`ann_recall` — each leg SQL must project
+    (qid_expr, id_expr, rnk_expr)."""
+    cut = f"WHERE rnk <= {int(k)}" if k is not None else ""
+    return f"""
+    WITH ar_t AS (
+        SELECT {qid_expr} AS qid, {id_expr} AS nid, {rnk_expr} AS rnk
+        FROM ({truth_sql}) ar_tin {cut}
+    ),
+    ar_a AS (
+        SELECT {qid_expr} AS qid, {id_expr} AS nid, {rnk_expr} AS rnk
+        FROM ({approx_sql}) ar_ain {cut}
+    ),
+    ar_base AS (
+        SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth FROM ar_t GROUP BY qid
+    ),
+    ar_hits AS (
+        SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM ar_t t JOIN ar_a a ON a.qid = t.qid AND a.nid = t.nid
+        GROUP BY t.qid
+    )
+    SELECT b.qid, b.n_truth,
+           COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit
+    FROM ar_base b LEFT JOIN ar_hits h ON h.qid = b.qid
+    """

@@ -1253,6 +1253,33 @@ def _hy_ndcg_oracle() -> str:
     )
 
 
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 of the IVF-bucketed leg against the exact brute-force
+    ranking (operators/hybrid.ann_recall) — the quality metric that makes
+    an approximate index auditable: per-query overlap counts, recall =
+    SUM(n_hit)/SUM(n_truth) left to the reader so the emission stays
+    integer-exact. Composes the two standing ANN legs unchanged."""
+    from carrot_transform_spark.operators.hybrid import ann_recall
+    from carrot_transform_spark.queries.similarity import (
+        sim_ivf_topk,
+        sim_topk_bruteforce,
+    )
+
+    return ann_recall(
+        sim_topk_bruteforce(spark, sf_dir), sim_ivf_topk(spark, sf_dir)
+    ).orderBy("qid")
+
+
+def _ann_recall_oracle() -> str:
+    from carrot_transform_spark.operators.hybrid import ann_recall_sql
+    from carrot_transform_spark.queries.similarity import (
+        BRUTE_TOPK_SQL,
+        IVF_TOPK_SQL,
+    )
+
+    return ann_recall_sql(BRUTE_TOPK_SQL, IVF_TOPK_SQL)
+
+
 # ---- MMR diversification over the dense candidates ---------------------
 # (operators/mmr.py, Carbonell & Goldstein 1998.) Candidates = the dense
 # top-20 with their quantized cosine as rel; pairwise sims are computed
@@ -1620,6 +1647,12 @@ register_suite(
             sim_ndcg_eval,
             _hy_ndcg_oracle(),
             [("system", "s"), ("n_q", "i"), ("sum_ndcg", "f")],
+        ),
+        (
+            "sim_ann_recall",
+            sim_ann_recall,
+            _ann_recall_oracle(),
+            [("qid", "i"), ("n_truth", "i"), ("n_hit", "i")],
         ),
     ],
     tags=("pipeline", "suite"),

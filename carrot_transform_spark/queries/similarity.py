@@ -57,9 +57,9 @@ _NORMED_SQL = f"""
 """
 
 
-@register(
-    "sim_topk_bruteforce",
-    oracle=f"""
+# the brute/IVF oracle bodies are module constants so composed checks
+# (sim_ann_recall in pipeline_ops) can reuse them verbatim
+BRUTE_TOPK_SQL = f"""
     WITH n AS ({_NORMED_SQL}),
     q AS (SELECT * FROM n WHERE vec_id < 8),
     scored AS (
@@ -74,8 +74,12 @@ _NORMED_SQL = f"""
     )
     SELECT query_id, neighbor_id, {fround_sql("cs")} AS cosine_sim, rnk
     FROM ranked WHERE rnk <= 5
-    ORDER BY query_id, rnk
-    """,
+    """
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=BRUTE_TOPK_SQL + " ORDER BY query_id, rnk",
     tags=("similarity", "ann", "bench"),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,9 +111,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ivf_topk",
-    oracle=f"""
+IVF_TOPK_SQL = f"""
     WITH n AS ({_NORMED_SQL}),
     q AS (SELECT * FROM n WHERE vec_id < 8),
     scored AS (
@@ -124,8 +126,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, {fround_sql("cs")} AS cosine_sim, rnk
     FROM ranked WHERE rnk <= 5
-    ORDER BY query_id, rnk
-    """,
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=IVF_TOPK_SQL + " ORDER BY query_id, rnk",
     tags=("similarity", "ann", "ivf"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -243,3 +243,64 @@ def test_ndcg_qrels_and_discounts_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- ANN recall@k -------------------------------------------------------
+
+def test_ann_recall_hand_computed(spark):
+    from carrot_transform_spark.operators.hybrid import ann_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rnk int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11, 1), (1, 99, 2), (1, 12, 3)],  # query 2 missed entirely
+        "query_id long, neighbor_id long, rnk int",
+    )
+    out = {r["qid"]: (r["n_truth"], r["n_hit"]) for r in ann_recall(truth, approx).collect()}
+    assert out == {1: (3, 2), 2: (2, 0)}
+
+
+def test_ann_recall_k_cut(spark):
+    from carrot_transform_spark.operators.hybrid import ann_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rnk int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 12, 1), (1, 10, 2), (1, 11, 3)],
+        "query_id long, neighbor_id long, rnk int",
+    )
+    out = ann_recall(truth, approx, k=2).collect()[0]
+    # truth@2 = {10, 11}; approx@2 = {12, 10} -> 1 hit
+    assert (out["n_truth"], out["n_hit"]) == (2, 1)
+
+
+def test_ann_recall_duckdb_twin(spark):
+    from carrot_transform_spark.operators.hybrid import ann_recall, ann_recall_sql
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        "query_id long, neighbor_id long, rnk int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11, 1), (2, 77, 1)],
+        "query_id long, neighbor_id long, rnk int",
+    )
+    srows = sorted(tuple(r) for r in ann_recall(truth, approx).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1,10,1),(1,11,2),(2,20,1)) x(query_id,neighbor_id,rnk)"
+    )
+    con.execute(
+        "CREATE TABLE a AS SELECT * FROM (VALUES (1,11,1),(2,77,1)) x(query_id,neighbor_id,rnk)"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(
+            ann_recall_sql("SELECT * FROM t", "SELECT * FROM a")
+        ).fetchall()
+    )
+    assert srows == orows
