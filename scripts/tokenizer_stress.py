@@ -60,7 +60,7 @@ def _time(label: str, fn):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    spark = get_spark(app="tokenizer-stress")
+    spark = get_spark(app_name="tokenizer-stress")
     from carrot_transform_spark.queries import _QUERY_CACHES
 
     results: dict[str, float] = {}
