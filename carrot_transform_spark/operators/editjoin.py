@@ -237,3 +237,189 @@ def edit_join_words(
         F.col("word").alias("s")
     )
     return edit_join(words, "s", k, q)
+
+
+# ---- incremental edit join ----------------------------------------------
+# The batch operator above orders gram prefixes by CORPUS frequency —
+# the best selectivity, but an incremental store cannot afford it: new
+# data would shift frequencies and invalidate every stored prefix,
+# forcing an O(store) re-index per step. The prefix-filter theorem holds
+# for ANY fixed global order, so the incremental variant orders grams by
+# md5 HASH (engine-stable, frequency-independent, decorrelated from
+# commonness): a string's prefix is a pure function of the string, the
+# store's index rows never change, and each step costs
+# O(batch + collisions) — the same steady-state discipline as the
+# MinHash/SimHash/fingerprint incremental stores.
+
+
+def edit_prefix_index(
+    strings: DataFrame,
+    s_col: str = "s",
+    k: int = DEFAULT_K,
+    q: int = DEFAULT_Q,
+) -> DataFrame:
+    """(s, tier, gram): hash-ordered prefix index rows for a string set.
+    tier 2 = q-grams (length > S_q), tier 1 = unigrams (length in
+    (k, S_q + k]), tier 0 = pool marker (length <= 2k, gram = '').
+    A string of borderline length indexes in every tier that covers it —
+    exactly the batch operator's tiering, so the same losslessness
+    argument applies pair-by-pair."""
+    short_q = (int(k) + 1) * int(q) - 1
+    st = strings.select(F.col(s_col).alias("s"))
+
+    def _tier(qq: int, lo: int, hi: int | None, tier: int) -> DataFrame:
+        kq1 = int(k) * qq + 1
+        cond = F.length("s") > lo
+        if hi is not None:
+            cond = cond & (F.length("s") <= hi)
+        g = qgrams(st.filter(cond), "s", qq)
+        w = Window.partitionBy("s").orderBy(F.asc(F.md5("gram")), F.asc("gram"))
+        return (
+            g.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= kq1)
+            .select("s", F.lit(tier).alias("tier"), "gram")
+        )
+
+    pool = st.filter(F.length("s") <= 2 * int(k)).select(
+        "s", F.lit(0).alias("tier"), F.lit("").alias("gram")
+    )
+    return (
+        _tier(int(q), short_q, None, 2)
+        .unionByName(_tier(1, int(k), short_q + int(k), 1))
+        .unionByName(pool)
+    )
+
+
+def edit_join_incremental(
+    store_index: DataFrame,
+    store_strings: DataFrame,
+    batch: DataFrame,
+    s_col: str = "s",
+    k: int = DEFAULT_K,
+    q: int = DEFAULT_Q,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, batch_index): edit-distance pairs INVOLVING the genuinely
+    new strings of ``batch`` (vs store and vs each other), plus the index
+    rows to append to the store.
+
+    ``store_index`` is the accumulated edit_prefix_index output;
+    ``store_strings`` the accumulated distinct strings (for dedup of
+    already-seen batch strings — an O(batch) anti-join). Union of
+    step-wise pairs over any batch split == the one-shot edit_join pairs
+    (store-internal pairs were emitted when THEIR batch arrived).
+    """
+    new = (
+        batch.select(F.col(s_col).alias("s"))
+        .distinct()
+        .join(store_strings.select(F.col(s_col).alias("s")), "s", "left_anti")
+        .persist()
+    )
+    nidx = edit_prefix_index(new, "s", k, q).persist()
+    all_idx = store_index.unionByName(nidx)
+
+    na = nidx.filter(F.col("tier") > 0).select(
+        F.col("s").alias("a"), "tier", "gram"
+    )
+    ab = all_idx.filter(F.col("tier") > 0).select(
+        F.col("s").alias("b"), "tier", "gram"
+    )
+    gram_cand = (
+        na.join(ab, ["tier", "gram"])
+        .filter(
+            (F.col("a") != F.col("b"))
+            & (F.abs(F.length("a") - F.length("b")) <= F.lit(int(k)))
+        )
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+    np_ = nidx.filter(F.col("tier") == 0).select(F.col("s").alias("a"))
+    ap = all_idx.filter(F.col("tier") == 0).select(F.col("s").alias("b"))
+    pool_cand = (
+        np_.join(
+            ap,
+            (F.col("a") != F.col("b"))
+            & (F.abs(F.length("a") - F.length("b")) <= F.lit(int(k))),
+        )
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+    pairs = (
+        gram_cand.unionByName(pool_cand)
+        .distinct()
+        .select("a", "b", F.levenshtein("a", "b").alias("dist"))
+        .filter(F.col("dist") <= F.lit(int(k)))
+    )
+    return pairs, nidx
+
+
+def _hash_index_sql(words_cte: str, k: int, q: int, tag: str) -> str:
+    """Index CTE (s, tier, gram) over ``words_cte`` with the md5-hash
+    prefix order — the DuckDB mirror of edit_prefix_index."""
+    short_q = (int(k) + 1) * int(q) - 1
+
+    def tier(qq: int, lo: int, hi: int | None, t: int) -> str:
+        kq1 = int(k) * qq + 1
+        hi_sql = f"AND length(s) <= {int(hi)}" if hi is not None else ""
+        return f"""
+        SELECT s, {t} AS tier, gram FROM (
+            SELECT s, gram,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s ORDER BY md5(gram), gram
+                   ) AS rn
+            FROM (
+                SELECT s, substring(s, u.i, {qq}) AS gram
+                FROM {words_cte},
+                     UNNEST(range(1, greatest(length(s) - {qq} + 1, 0) + 1)) AS u(i)
+                WHERE length(s) > {int(lo)} {hi_sql}
+            )
+        ) WHERE rn <= {kq1}"""
+
+    return f"""
+    ej_idx{tag} AS MATERIALIZED (
+        {tier(int(q), short_q, None, 2)}
+        UNION ALL
+        {tier(1, int(k), short_q + int(k), 1)}
+        UNION ALL
+        SELECT s, 0 AS tier, '' AS gram FROM {words_cte}
+        WHERE length(s) <= {2 * int(k)}
+    )"""
+
+
+def edit_join_incremental_sql(
+    store_sql: str,
+    batch_sql: str,
+    k: int = DEFAULT_K,
+    q: int = DEFAULT_Q,
+) -> str:
+    """DuckDB twin of one edit_join_incremental step: ``store_sql`` /
+    ``batch_sql`` each project a string column ``s`` (the accumulated
+    store and the arriving batch); the emission is every pair involving
+    a genuinely NEW batch string (vs store and vs each other)."""
+    wsplit = f"""
+    ej_store_w AS MATERIALIZED (SELECT DISTINCT s FROM ({store_sql}) ej_sin),
+    ej_new_w AS MATERIALIZED (
+        SELECT DISTINCT s FROM ({batch_sql}) ej_bin
+        WHERE s NOT IN (SELECT s FROM ej_store_w)
+    )"""
+    sidx = _hash_index_sql("ej_store_w", k, q, "_s")
+    nidx = _hash_index_sql("ej_new_w", k, q, "_n")
+    return f"""
+    WITH {wsplit},
+    {sidx},
+    {nidx},
+    ej_union_idx AS (
+        SELECT * FROM ej_idx_s UNION ALL SELECT * FROM ej_idx_n
+    ),
+    ej_inc_cand AS (
+        SELECT DISTINCT least(na.s, ab.s) AS a, greatest(na.s, ab.s) AS b
+        FROM ej_idx_n na JOIN ej_union_idx ab
+          ON ab.tier = na.tier AND ab.gram = na.gram
+        WHERE na.tier > 0 AND na.s <> ab.s
+          AND abs(length(na.s) - length(ab.s)) <= {int(k)}
+        UNION
+        SELECT DISTINCT least(np.s, ap.s) AS a, greatest(np.s, ap.s) AS b
+        FROM ej_idx_n np JOIN ej_union_idx ap
+          ON ap.tier = 0 AND np.tier = 0
+        WHERE np.s <> ap.s AND abs(length(np.s) - length(ap.s)) <= {int(k)}
+    )
+    SELECT a, b, CAST(levenshtein(a, b) AS INT) AS dist
+    FROM ej_inc_cand WHERE levenshtein(a, b) <= {int(k)}
+    """

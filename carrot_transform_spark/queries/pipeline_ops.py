@@ -908,6 +908,43 @@ def dd_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_join_words(d, k=_EDIT_K).orderBy("a", "b")
 
 
+_EDIT_INC_SLICE = 150  # custkey slice present at every SF
+
+
+def dd_edit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One incremental edit-join step (operators/editjoin.py): the store
+    holds the even-custkey customer names' hash-ordered prefix index, the
+    odd-custkey names arrive as a batch, and the emission is every
+    Levenshtein<=1 pair involving a genuinely new name — per-step cost
+    O(batch + collisions), the MinHash/SimHash incremental-store
+    discipline (hash-ordered prefixes never need re-indexing when corpus
+    frequencies shift). Customer names are the right corpus: unique
+    zero-padded numbers with digit-substitution neighbours."""
+    from carrot_transform_spark.operators.editjoin import (
+        edit_join_incremental,
+        edit_prefix_index,
+    )
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < _EDIT_INC_SLICE)
+    sw = c.filter(F.col("c_custkey") % 2 == 0).select(F.col("c_name").alias("s"))
+    bw = c.filter(F.col("c_custkey") % 2 == 1).select(F.col("c_name").alias("s"))
+    pairs, _ = edit_join_incremental(edit_prefix_index(sw, k=1), sw, bw, k=1)
+    return pairs.orderBy("a", "b")
+
+
+def _edit_incremental_oracle() -> str:
+    from carrot_transform_spark.operators.editjoin import edit_join_incremental_sql
+
+    return (
+        edit_join_incremental_sql(
+            f"SELECT c_name AS s FROM customer WHERE c_custkey < {_EDIT_INC_SLICE} AND c_custkey % 2 = 0",
+            f"SELECT c_name AS s FROM customer WHERE c_custkey < {_EDIT_INC_SLICE} AND c_custkey % 2 = 1",
+            k=1,
+        )
+        + " ORDER BY a, b"
+    )
+
+
 def txt_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer (operators/wordpiece.py, Schuster & Nakajima
     2012 / Devlin et al. 2019): frequency-derived initial+continuation
@@ -1653,6 +1690,12 @@ register_suite(
             sim_ann_recall,
             _ann_recall_oracle(),
             [("qid", "i"), ("n_truth", "i"), ("n_hit", "i")],
+        ),
+        (
+            "dd_edit_incremental",
+            dd_edit_incremental,
+            _edit_incremental_oracle(),
+            [("a", "s"), ("b", "s"), ("dist", "i")],
         ),
     ],
     tags=("pipeline", "suite"),
