@@ -240,30 +240,62 @@ def edit_join_words(
 
 
 # ---- incremental edit join ----------------------------------------------
-# The batch operator above orders gram prefixes by CORPUS frequency —
+# The batch operator above orders gram prefixes by LIVE corpus frequency —
 # the best selectivity, but an incremental store cannot afford it: new
 # data would shift frequencies and invalidate every stored prefix,
 # forcing an O(store) re-index per step. The prefix-filter theorem holds
-# for ANY fixed global order, so the incremental variant orders grams by
-# md5 HASH (engine-stable, frequency-independent, decorrelated from
-# commonness): a string's prefix is a pure function of the string, the
-# store's index rows never change, and each step costs
-# O(batch + collisions) — the same steady-state discipline as the
-# MinHash/SimHash/fingerprint incremental stores.
+# for ANY fixed global order, so the incremental variant FREEZES the
+# frequency table once (from the first batch / a reference sample) and
+# orders every later prefix by the frozen ranks, unseen grams ranking
+# RAREST (freq 0 — an unseen gram is maximally selective). A string's
+# index rows are then a pure function of (string, frozen ranks): the
+# store never re-indexes, and each step costs O(batch + collisions) —
+# the MinHash/SimHash/fingerprint incremental-store discipline.
+#
+# Why not a frequency-free hash order? Tried and rejected: on a
+# low-diversity corpus (customer names sharing the literal prefix
+# "Customer#") a pure md5 order can rank one of the shared grams first
+# for EVERY string, and the gram join degenerates into one quadratic hot
+# bucket — the exact skew the frequency order exists to avoid. Frozen
+# ranks keep the selectivity (digit-region grams are rare in any
+# representative sample) while staying permanent.
 
 
-def edit_prefix_index(
+def edit_gram_ranks(
     strings: DataFrame,
     s_col: str = "s",
     k: int = DEFAULT_K,
     q: int = DEFAULT_Q,
 ) -> DataFrame:
-    """(s, tier, gram): hash-ordered prefix index rows for a string set.
+    """(qq, gram, gfreq): frozen gram-frequency table over a reference
+    string set, for both tier gram sizes (q and 1). Build it ONCE from
+    the first batch (or any representative sample) and persist it with
+    the store — later batches reuse it verbatim."""
+    st = strings.select(F.col(s_col).alias("s"))
+    parts = [
+        qgrams(st, "s", qq)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gfreq"))
+        .select(F.lit(qq).alias("qq"), "gram", "gfreq")
+        for qq in (int(q), 1)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def edit_prefix_index(
+    strings: DataFrame,
+    ranks: DataFrame,
+    s_col: str = "s",
+    k: int = DEFAULT_K,
+    q: int = DEFAULT_Q,
+) -> DataFrame:
+    """(s, tier, gram): frozen-rank prefix index rows for a string set.
     tier 2 = q-grams (length > S_q), tier 1 = unigrams (length in
     (k, S_q + k]), tier 0 = pool marker (length <= 2k, gram = '').
     A string of borderline length indexes in every tier that covers it —
     exactly the batch operator's tiering, so the same losslessness
-    argument applies pair-by-pair."""
+    argument applies pair-by-pair. Prefix order: (frozen gfreq with
+    unseen-as-0, gram) — deterministic and engine-stable."""
     short_q = (int(k) + 1) * int(q) - 1
     st = strings.select(F.col(s_col).alias("s"))
 
@@ -273,9 +305,13 @@ def edit_prefix_index(
         if hi is not None:
             cond = cond & (F.length("s") <= hi)
         g = qgrams(st.filter(cond), "s", qq)
-        w = Window.partitionBy("s").orderBy(F.asc(F.md5("gram")), F.asc("gram"))
+        r = ranks.filter(F.col("qq") == qq).select("gram", "gfreq")
+        w = Window.partitionBy("s").orderBy(
+            F.asc(F.coalesce(F.col("gfreq"), F.lit(0))), F.asc("gram")
+        )
         return (
-            g.withColumn("_rn", F.row_number().over(w))
+            g.join(F.broadcast(r), "gram", "left")
+            .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= kq1)
             .select("s", F.lit(tier).alias("tier"), "gram")
         )
@@ -294,6 +330,7 @@ def edit_join_incremental(
     store_index: DataFrame,
     store_strings: DataFrame,
     batch: DataFrame,
+    ranks: DataFrame,
     s_col: str = "s",
     k: int = DEFAULT_K,
     q: int = DEFAULT_Q,
@@ -302,9 +339,11 @@ def edit_join_incremental(
     new strings of ``batch`` (vs store and vs each other), plus the index
     rows to append to the store.
 
-    ``store_index`` is the accumulated edit_prefix_index output;
-    ``store_strings`` the accumulated distinct strings (for dedup of
-    already-seen batch strings — an O(batch) anti-join). Union of
+    ``store_index`` is the accumulated edit_prefix_index output,
+    ``store_strings`` the accumulated distinct strings (dedup of
+    already-seen batch strings is an O(batch) anti-join), ``ranks`` the
+    FROZEN gram-frequency table the store was indexed with
+    (edit_gram_ranks — both sides must use the same order). Union of
     step-wise pairs over any batch split == the one-shot edit_join pairs
     (store-internal pairs were emitted when THEIR batch arrived).
     """
@@ -314,7 +353,7 @@ def edit_join_incremental(
         .join(store_strings.select(F.col(s_col).alias("s")), "s", "left_anti")
         .persist()
     )
-    nidx = edit_prefix_index(new, "s", k, q).persist()
+    nidx = edit_prefix_index(new, ranks, "s", k, q).persist()
     all_idx = store_index.unionByName(nidx)
 
     na = nidx.filter(F.col("tier") > 0).select(
@@ -350,8 +389,8 @@ def edit_join_incremental(
     return pairs, nidx
 
 
-def _hash_index_sql(words_cte: str, k: int, q: int, tag: str) -> str:
-    """Index CTE (s, tier, gram) over ``words_cte`` with the md5-hash
+def _ranked_index_sql(words_cte: str, ranks_cte: str, k: int, q: int, tag: str) -> str:
+    """Index CTE (s, tier, gram) over ``words_cte`` with the frozen-rank
     prefix order — the DuckDB mirror of edit_prefix_index."""
     short_q = (int(k) + 1) * int(q) - 1
 
@@ -360,16 +399,17 @@ def _hash_index_sql(words_cte: str, k: int, q: int, tag: str) -> str:
         hi_sql = f"AND length(s) <= {int(hi)}" if hi is not None else ""
         return f"""
         SELECT s, {t} AS tier, gram FROM (
-            SELECT s, gram,
+            SELECT g.s, g.gram,
                    ROW_NUMBER() OVER (
-                       PARTITION BY s ORDER BY md5(gram), gram
+                       PARTITION BY g.s
+                       ORDER BY COALESCE(r.gfreq, 0), g.gram
                    ) AS rn
             FROM (
                 SELECT s, substring(s, u.i, {qq}) AS gram
                 FROM {words_cte},
                      UNNEST(range(1, greatest(length(s) - {qq} + 1, 0) + 1)) AS u(i)
                 WHERE length(s) > {int(lo)} {hi_sql}
-            )
+            ) g LEFT JOIN {ranks_cte} r ON r.qq = {qq} AND r.gram = g.gram
         ) WHERE rn <= {kq1}"""
 
     return f"""
@@ -390,17 +430,30 @@ def edit_join_incremental_sql(
     q: int = DEFAULT_Q,
 ) -> str:
     """DuckDB twin of one edit_join_incremental step: ``store_sql`` /
-    ``batch_sql`` each project a string column ``s`` (the accumulated
-    store and the arriving batch); the emission is every pair involving
-    a genuinely NEW batch string (vs store and vs each other)."""
+    ``batch_sql`` each project a string column ``s``; ranks are frozen
+    from the STORE strings (the operator contract); the emission is every
+    pair involving a genuinely NEW batch string (vs store and vs each
+    other)."""
     wsplit = f"""
     ej_store_w AS MATERIALIZED (SELECT DISTINCT s FROM ({store_sql}) ej_sin),
     ej_new_w AS MATERIALIZED (
         SELECT DISTINCT s FROM ({batch_sql}) ej_bin
         WHERE s NOT IN (SELECT s FROM ej_store_w)
+    ),
+    ej_ranks AS MATERIALIZED (
+        SELECT {int(q)} AS qq, gram, COUNT(*) AS gfreq FROM (
+            SELECT substring(s, u.i, {int(q)}) AS gram
+            FROM ej_store_w,
+                 UNNEST(range(1, greatest(length(s) - {int(q)} + 1, 0) + 1)) AS u(i)
+        ) GROUP BY gram
+        UNION ALL
+        SELECT 1 AS qq, gram, COUNT(*) AS gfreq FROM (
+            SELECT substring(s, u.i, 1) AS gram
+            FROM ej_store_w, UNNEST(range(1, length(s) + 1)) AS u(i)
+        ) GROUP BY gram
     )"""
-    sidx = _hash_index_sql("ej_store_w", k, q, "_s")
-    nidx = _hash_index_sql("ej_new_w", k, q, "_n")
+    sidx = _ranked_index_sql("ej_store_w", "ej_ranks", k, q, "_s")
+    nidx = _ranked_index_sql("ej_new_w", "ej_ranks", k, q, "_n")
     return f"""
     WITH {wsplit},
     {sidx},

@@ -917,10 +917,11 @@ def dd_edit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd-custkey names arrive as a batch, and the emission is every
     Levenshtein<=1 pair involving a genuinely new name — per-step cost
     O(batch + collisions), the MinHash/SimHash incremental-store
-    discipline (hash-ordered prefixes never need re-indexing when corpus
+    discipline (FROZEN-rank prefixes never need re-indexing when corpus
     frequencies shift). Customer names are the right corpus: unique
     zero-padded numbers with digit-substitution neighbours."""
     from carrot_transform_spark.operators.editjoin import (
+        edit_gram_ranks,
         edit_join_incremental,
         edit_prefix_index,
     )
@@ -928,7 +929,10 @@ def dd_edit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < _EDIT_INC_SLICE)
     sw = c.filter(F.col("c_custkey") % 2 == 0).select(F.col("c_name").alias("s"))
     bw = c.filter(F.col("c_custkey") % 2 == 1).select(F.col("c_name").alias("s"))
-    pairs, _ = edit_join_incremental(edit_prefix_index(sw, k=1), sw, bw, k=1)
+    ranks = edit_gram_ranks(sw, k=1)
+    pairs, _ = edit_join_incremental(
+        edit_prefix_index(sw, ranks, k=1), sw, bw, ranks, k=1
+    )
     return pairs.orderBy("a", "b")
 
 

@@ -132,15 +132,12 @@ def test_sql_twin_matches_spark(spark, sf_dir):
 
 # ---- incremental --------------------------------------------------------
 
-def _words_of(texts, max_word=12):
-    return sorted({w for t in texts for w in t.split() if w and len(w) <= max_word})
-
-
 def test_incremental_union_equals_batch(spark):
     """THE incremental-correctness property: splitting the corpus into
     batches and unioning each step's pairs reproduces the one-shot join
     exactly (store-internal pairs were emitted when their batch arrived)."""
     from carrot_transform_spark.operators.editjoin import (
+        edit_gram_ranks,
         edit_join,
         edit_join_incremental,
         edit_prefix_index,
@@ -151,15 +148,19 @@ def test_incremental_union_equals_batch(spark):
     full = {(r["a"], r["b"], r["dist"]) for r in edit_join(sdf, k=2).collect()}
 
     batches = [list(set(strings))[i::3] for i in range(3)]
+    # ranks frozen from the FIRST batch only — later batches reuse them,
+    # which is the whole point (no store re-index when frequencies shift)
+    first = spark.createDataFrame([(s,) for s in batches[0]], "s string")
+    ranks = edit_gram_ranks(first, k=2).persist()
     empty = spark.createDataFrame([], "s string")
-    store_idx = edit_prefix_index(empty, k=2)
+    store_idx = edit_prefix_index(empty, ranks, k=2)
     store_str = empty
     got = set()
     for b in batches:
         bdf = spark.createDataFrame([(s,) for s in b] or [("",)], "s string").filter(
             F.col("s") != ""
         )
-        pairs, nidx = edit_join_incremental(store_idx, store_str, bdf, k=2)
+        pairs, nidx = edit_join_incremental(store_idx, store_str, bdf, ranks, k=2)
         got |= {(r["a"], r["b"], r["dist"]) for r in pairs.collect()}
         store_idx = store_idx.unionByName(nidx)
         store_str = store_str.unionByName(bdf.select("s")).distinct()
@@ -168,14 +169,16 @@ def test_incremental_union_equals_batch(spark):
 
 def test_incremental_repeated_batch_is_noop(spark):
     from carrot_transform_spark.operators.editjoin import (
+        edit_gram_ranks,
         edit_join_incremental,
         edit_prefix_index,
     )
 
     strings = ["cat", "cart", "card"]
     sdf = spark.createDataFrame([(s,) for s in strings], "s string")
-    idx = edit_prefix_index(sdf, k=1)
-    pairs, nidx = edit_join_incremental(idx, sdf, sdf, k=1)
+    ranks = edit_gram_ranks(sdf, k=1)
+    idx = edit_prefix_index(sdf, ranks, k=1)
+    pairs, nidx = edit_join_incremental(idx, sdf, sdf, ranks, k=1)
     assert pairs.count() == 0  # nothing genuinely new
     assert nidx.count() == 0
 
@@ -187,6 +190,7 @@ def test_incremental_sql_twin_matches_spark(spark, sf_dir):
     (Document words are useless here — the synthetic vocabulary is ~31
     words shared by every split, so the new-string set is empty.)"""
     from carrot_transform_spark.operators.editjoin import (
+        edit_gram_ranks,
         edit_join_incremental,
         edit_join_incremental_sql,
         edit_prefix_index,
@@ -196,8 +200,9 @@ def test_incremental_sql_twin_matches_spark(spark, sf_dir):
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
     sw = c.filter(F.col("c_custkey") % 2 == 0).select(F.col("c_name").alias("s"))
     bw = c.filter(F.col("c_custkey") % 2 == 1).select(F.col("c_name").alias("s"))
-    sidx = edit_prefix_index(sw, k=1)
-    pairs, _ = edit_join_incremental(sidx, sw, bw, k=1)
+    ranks = edit_gram_ranks(sw, k=1)
+    sidx = edit_prefix_index(sw, ranks, k=1)
+    pairs, _ = edit_join_incremental(sidx, sw, bw, ranks, k=1)
     srows = sorted((r["a"], r["b"], r["dist"]) for r in pairs.collect())
 
     con = duckdb.connect()
