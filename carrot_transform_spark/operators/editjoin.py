@@ -334,6 +334,7 @@ def edit_join_incremental(
     s_col: str = "s",
     k: int = DEFAULT_K,
     q: int = DEFAULT_Q,
+    persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, batch_index): edit-distance pairs INVOLVING the genuinely
     new strings of ``batch`` (vs store and vs each other), plus the index
@@ -354,6 +355,8 @@ def edit_join_incremental(
         .persist()
     )
     nidx = edit_prefix_index(new, ranks, "s", k, q).persist()
+    if persist_registry is not None:
+        persist_registry.extend([new, nidx])
     all_idx = store_index.unionByName(nidx)
 
     na = nidx.filter(F.col("tier") > 0).select(
