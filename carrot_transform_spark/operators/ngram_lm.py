@@ -320,3 +320,216 @@ def kn_nll_sql(
     CROSS JOIN kn_types t
     GROUP BY dx.{id_col}
     """
+
+
+# ---- trigram interpolated Kneser-Ney ------------------------------------
+# The full Chen & Goodman 1999 §2.7 recursion, one level up: the trigram
+# probability discounts the raw count and interpolates with the BIGRAM
+# Kneser-Ney distribution, which itself is built from CONTINUATION counts
+# (how many distinct left contexts a bigram completes), not raw counts —
+# the property that makes KN the production smoother:
+#
+#   P(w3|w1w2) = max(c(w1w2w3) - D, 0) / c(w1w2)
+#              + (D * N1+(w1w2*) / c(w1w2)) * Pkn(w3|w2)
+#   Pkn(w3|w2) = max(N1+(*w2w3) - D, 0) / N1+(*w2*)
+#              + (D * N1+(w2*) / N1+(*w2*)) * Pc(w3)
+#   Pc(w3)     = (N1+(*w3) + beta) / (N1+(**) + beta * V)
+#
+# where N1+(x) counts DISTINCT completions/contexts and the bigram-level
+# quantities come from the trigram type table (Chen & Goodman's "lower
+# order built from types"). Totality for novel histories: c(w1w2) = 0
+# backs off to Pkn(w3|w2); N1+(*w2*) = 0 backs off to Pc(w3); novel w3
+# carries the add-beta floor — same documented variant as the bigram
+# scorer above.
+#
+# Spark shape: trigram counts are ONE corpus aggregation; every other
+# statistic is a groupBy over the trigram TYPE table (tiny by
+# comparison); scoring is the doc-trigram stream left-joined to five
+# narrow count tables. Engine-stable: integer counts, CAST-double D and
+# beta, one pinned association order, fround(6) + DECIMAL(27,6) nll sum.
+
+
+def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, w3) — one row per consecutive token triple."""
+    t = _doc_tokens(docs, id_col, text_col)
+    n3 = F.greatest(F.size("toks") - 2, F.lit(0))
+    tri = F.arrays_zip(
+        F.slice("toks", 1, n3).alias("w1"),
+        F.slice(F.col("toks"), 2, n3).alias("w2"),
+        F.slice(F.col("toks"), 3, n3).alias("w3"),
+    )
+    return t.select(id_col, F.explode(tri).alias("p")).select(
+        id_col,
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.col("p.w3").alias("w3"),
+    )
+
+
+def kn3_score_docs(
+    docs: DataFrame,
+    trigrams: DataFrame,
+    v: int,
+    d: float = KN_D,
+    beta: float = KN_BETA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_trigrams, avg_nll) under trigram interpolated Kneser-Ney.
+    ``trigrams`` is the (w1, w2, w3, n) corpus count table; ``v`` the
+    vocabulary size. Documents with fewer than three tokens are absent
+    (no trigrams to judge)."""
+    # history counts c(w1w2) + distinct continuations N1+(w1w2*)
+    hist = trigrams.groupBy("w1", "w2").agg(
+        F.sum("n").alias("c_hist"), F.count(F.lit(1)).alias("n1p_hist")
+    )
+    # bigram-level continuation stats from the trigram TYPE table:
+    # N1+(*w2w3), N1+(*w2*) and the middle's distinct right types N1+(w2*)
+    cont23 = trigrams.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("n1p_c23")
+    )
+    mid = cont23.groupBy("w2").agg(
+        F.sum("n1p_c23").alias("n1p_mid"), F.count(F.lit(1)).alias("n1p_right")
+    )
+    # unigram continuation N1+(*w3) over distinct (w2, w3) types and the
+    # global bigram type count N1+(**)
+    cont3 = cont23.groupBy("w3").agg(F.count(F.lit(1)).alias("n1p_c3"))
+    types = cont23.agg(F.count(F.lit(1)).alias("n_types"))
+
+    dd = F.lit(float(d))
+    bb = F.lit(float(beta))
+    db = _doc_trigrams(docs, id_col, text_col)
+    j = (
+        db.join(trigrams, ["w1", "w2", "w3"], "left")
+        .join(hist, ["w1", "w2"], "left")
+        .join(cont23, ["w2", "w3"], "left")
+        .join(mid, ["w2"], "left")
+        .join(cont3, ["w3"], "left")
+        .crossJoin(F.broadcast(types))
+    )
+    pc = (F.coalesce(F.col("n1p_c3"), F.lit(0)).cast("double") + bb) / (
+        F.col("n_types").cast("double") + bb * F.lit(float(v))
+    )
+    n1p_mid = F.col("n1p_mid").cast("double")
+    disc2 = (
+        F.greatest(
+            F.coalesce(F.col("n1p_c23"), F.lit(0)).cast("double") - dd, F.lit(0.0)
+        )
+        / n1p_mid
+    )
+    lam2 = dd * F.col("n1p_right").cast("double") / n1p_mid
+    pkn2 = F.when(F.col("n1p_mid").isNull(), pc).otherwise(disc2 + lam2 * pc)
+    c_hist = F.col("c_hist").cast("double")
+    disc3 = (
+        F.greatest(F.coalesce(F.col("n"), F.lit(0)).cast("double") - dd, F.lit(0.0))
+        / c_hist
+    )
+    lam3 = dd * F.col("n1p_hist").cast("double") / c_hist
+    p = F.when(F.col("c_hist").isNull(), pkn2).otherwise(disc3 + lam3 * pkn2)
+    from carrot_transform_spark.functions.rounding import fround
+
+    nll = fround(-F.log(p), 6).cast("decimal(27,6)")
+    return (
+        j.select(id_col, nll.alias("nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )
+
+
+def kn3_nll_docs(
+    docs: DataFrame,
+    d: float = KN_D,
+    beta: float = KN_BETA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-train + trigram-KN-score in one call (the sub-check shape)."""
+    tri = (
+        _doc_trigrams(docs, id_col, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    v = vocab_size(docs, text_col)
+    return kn3_score_docs(docs, tri, v, d, beta, id_col, text_col)
+
+
+def kn3_nll_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: float = KN_D,
+    beta: float = KN_BETA,
+) -> str:
+    """DuckDB twin of kn3_nll_docs: identical tokenisation, type-count
+    recursion, pinned probability association order and the
+    fround+DECIMAL(27,6) nll sum."""
+    from carrot_transform_spark.functions.rounding import fround_sql
+
+    dd = f"CAST({float(d)!r} AS DOUBLE)"
+    bb = f"CAST({float(beta)!r} AS DOUBLE)"
+    pc = (
+        f"(CAST(COALESCE(c3.n1p_c3, 0) AS DOUBLE) + {bb})"
+        f" / (CAST(t.n_types AS DOUBLE) + {bb} * CAST((SELECT v FROM v) AS DOUBLE))"
+    )
+    disc2 = (
+        f"GREATEST(CAST(COALESCE(c23.n1p_c23, 0) AS DOUBLE) - {dd}, 0.0)"
+        f" / CAST(m.n1p_mid AS DOUBLE)"
+    )
+    lam2 = f"{dd} * CAST(m.n1p_right AS DOUBLE) / CAST(m.n1p_mid AS DOUBLE)"
+    pkn2 = f"CASE WHEN m.n1p_mid IS NULL THEN {pc} ELSE ({disc2}) + ({lam2}) * ({pc}) END"
+    disc3 = (
+        f"GREATEST(CAST(COALESCE(tr.n, 0) AS DOUBLE) - {dd}, 0.0)"
+        f" / CAST(h.c_hist AS DOUBLE)"
+    )
+    lam3 = f"{dd} * CAST(h.n1p_hist AS DOUBLE) / CAST(h.c_hist AS DOUBLE)"
+    p = f"CASE WHEN h.c_hist IS NULL THEN {pkn2} ELSE ({disc3}) + ({lam3}) * ({pkn2}) END"
+    nll = f"CAST({fround_sql(f'-ln({p})', 6)} AS DECIMAL(27,6))"
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT {id_col},
+               list_filter(regexp_split_to_array({text_col}, '{_WS}'),
+                           t -> t <> '') AS l
+        FROM {table}
+    ),
+    db3 AS MATERIALIZED (
+        SELECT {id_col}, l[u.i] AS w1, l[u.i + 1] AS w2, l[u.i + 2] AS w3
+        FROM toks, UNNEST(range(1, len(l) - 1)) AS u(i)
+    ),
+    tri AS MATERIALIZED (
+        SELECT w1, w2, w3, COUNT(*) AS n FROM db3 GROUP BY w1, w2, w3
+    ),
+    hist AS MATERIALIZED (
+        SELECT w1, w2, SUM(n) AS c_hist, COUNT(*) AS n1p_hist
+        FROM tri GROUP BY w1, w2
+    ),
+    cont23 AS MATERIALIZED (
+        SELECT w2, w3, COUNT(*) AS n1p_c23 FROM tri GROUP BY w2, w3
+    ),
+    mid AS MATERIALIZED (
+        SELECT w2, SUM(n1p_c23) AS n1p_mid, COUNT(*) AS n1p_right
+        FROM cont23 GROUP BY w2
+    ),
+    cont3 AS MATERIALIZED (
+        SELECT w3, COUNT(*) AS n1p_c3 FROM cont23 GROUP BY w3
+    ),
+    kn3_types AS (SELECT COUNT(*) AS n_types FROM cont23),
+    v AS (
+        SELECT COUNT(DISTINCT w) AS v FROM (
+            SELECT unnest(l) AS w FROM toks
+        )
+    )
+    SELECT dx.{id_col},
+           COUNT(*) AS n_trigrams,
+           CAST(SUM({nll}) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM db3 dx
+    LEFT JOIN tri tr ON tr.w1 = dx.w1 AND tr.w2 = dx.w2 AND tr.w3 = dx.w3
+    LEFT JOIN hist h ON h.w1 = dx.w1 AND h.w2 = dx.w2
+    LEFT JOIN cont23 c23 ON c23.w2 = dx.w2 AND c23.w3 = dx.w3
+    LEFT JOIN mid m ON m.w2 = dx.w2
+    LEFT JOIN cont3 c3 ON c3.w3 = dx.w3
+    CROSS JOIN kn3_types t
+    GROUP BY dx.{id_col}
+    """

@@ -71,7 +71,7 @@ from carrot_transform_spark.operators.logreg import logreg_sql
 from carrot_transform_spark.operators.unigram import unigram_sql
 from carrot_transform_spark.operators.wordpiece import wordpiece_sql
 from carrot_transform_spark.operators.editjoin import edit_join_words_sql
-from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql, kn_nll_sql
+from carrot_transform_spark.operators.ngram_lm import bigram_nll_sql, kn3_nll_sql, kn_nll_sql
 from carrot_transform_spark.operators.chunking import (
     chunk_token_windows,
     chunk_token_windows_sql,
@@ -852,6 +852,18 @@ def txt_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_nll_docs(d).orderBy("doc_id")
 
 
+def txt_kn3_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram interpolated Kneser-Ney scoring (operators/ngram_lm.py):
+    the full Chen & Goodman recursion — discounted trigram counts
+    interpolating into a type-count bigram KN distribution into the
+    add-beta continuation floor. Self-trained like its siblings; the
+    DuckDB twin re-derives the whole type-count recursion."""
+    from carrot_transform_spark.operators.ngram_lm import kn3_nll_docs
+
+    d = load(spark, sf_dir, "documents")
+    return kn3_nll_docs(d).orderBy("doc_id")
+
+
 _DSIR_TMOD = 7
 _DSIR_K = 100
 
@@ -1596,6 +1608,12 @@ register_suite(
             txt_kn_nll,
             kn_nll_sql() + " ORDER BY doc_id",
             [("doc_id", "i"), ("n_bigrams", "i"), ("avg_nll", "f")],
+        ),
+        (
+            "txt_kn3_nll",
+            txt_kn3_nll,
+            kn3_nll_sql() + " ORDER BY doc_id",
+            [("doc_id", "i"), ("n_trigrams", "i"), ("avg_nll", "f")],
         ),
         (
             "txt_unigram_encode",

@@ -256,3 +256,126 @@ def test_kn_sql_twin_matches_spark(spark, sf_dir):
     )
     orows = sorted(tuple(r) for r in con.execute(kn_nll_sql()).fetchall())
     assert srows == orows
+
+
+# ---- trigram interpolated Kneser-Ney ------------------------------------
+
+def py_kn3_nll(
+    train: dict[int, str],
+    score: dict[int, str] | None = None,
+    d: float = 0.75,
+    beta: float = 0.5,
+):
+    """Pure-Python trigram-KN reference (Chen & Goodman recursion with
+    type-count lower order), mirroring the operator's aggregation."""
+    toks = {i: [w for w in t.split() if w] for i, t in train.items()}
+    tri: Counter = Counter()
+    vocab = set()
+    for ws in toks.values():
+        vocab.update(ws)
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            tri[(a, b, c)] += 1
+    hist_c: Counter = Counter()
+    hist_n1p: Counter = Counter()
+    cont23: Counter = Counter()
+    for (a, b, c), n in tri.items():
+        hist_c[(a, b)] += n
+        hist_n1p[(a, b)] += 1
+        cont23[(b, c)] += 1
+    mid_sum: Counter = Counter()
+    mid_right: Counter = Counter()
+    cont3: Counter = Counter()
+    for (b, c), n in cont23.items():
+        mid_sum[b] += n
+        mid_right[b] += 1
+        cont3[c] += 1
+    n_types = len(cont23)
+    v = len(vocab)
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    stoks = toks if score is None else {
+        i: [w for w in t.split() if w] for i, t in score.items()
+    }
+    out = {}
+    for i, ws in stoks.items():
+        triples = list(zip(ws, ws[1:], ws[2:]))
+        if not triples:
+            continue
+        tot = 0.0
+        for a, b, c in triples:
+            pc = (cont3.get(c, 0) + beta) / (n_types + beta * v)
+            if b not in mid_sum:
+                pkn2 = pc
+            else:
+                disc2 = max(cont23.get((b, c), 0) - d, 0.0) / mid_sum[b]
+                lam2 = d * mid_right[b] / mid_sum[b]
+                pkn2 = disc2 + lam2 * pc
+            if (a, b) not in hist_c:
+                p = pkn2
+            else:
+                disc3 = max(tri.get((a, b, c), 0) - d, 0.0) / hist_c[(a, b)]
+                lam3 = d * hist_n1p[(a, b)] / hist_c[(a, b)]
+                p = disc3 + lam3 * pkn2
+            tot = round(tot + q6(-math.log(p)), 6)
+        out[i] = (len(triples), tot / len(triples))
+    return out
+
+
+def test_kn3_matches_python_reference(spark):
+    from carrot_transform_spark.operators.ngram_lm import kn3_nll_docs
+
+    docs = _kn_corpus(seed=13)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_nll"])
+        for r in kn3_nll_docs(df).collect()
+    }
+    exp = py_kn3_nll(docs)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i] == exp[i], (i, got[i], exp[i])
+
+
+def test_kn3_unseen_histories_degrade_smoothly(spark):
+    from carrot_transform_spark.operators.ngram_lm import (
+        _doc_trigrams,
+        kn3_score_docs,
+        vocab_size,
+    )
+    import pyspark.sql.functions as FF
+
+    train = _kn_corpus(seed=13)
+    tdf = spark.createDataFrame(list(train.items()), "doc_id long, text string")
+    tri = (
+        _doc_trigrams(tdf, "doc_id", "text")
+        .groupBy("w1", "w2", "w3")
+        .agg(FF.count(FF.lit(1)).alias("n"))
+    )
+    v = vocab_size(tdf)
+    new = {100: "zzz qqq unseen the cat sat", 101: "the zzz cat"}
+    ndf = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_nll"] for r in kn3_score_docs(ndf, tri, v).collect()}
+    assert all(math.isfinite(x) and x > 0 for x in got.values())
+    exp = py_kn3_nll(train, new)
+    for i in exp:
+        assert got[i] == exp[i][1], (i, got[i], exp[i])
+
+
+def test_kn3_sql_twin_matches_spark(spark, sf_dir):
+    from carrot_transform_spark.operators.ngram_lm import kn3_nll_docs, kn3_nll_sql
+    from carrot_transform_spark.queries import load
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    srows = sorted(
+        (r["doc_id"], r["n_trigrams"], r["avg_nll"])
+        for r in kn3_nll_docs(d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet') WHERE doc_id < 120"
+    )
+    orows = sorted(tuple(r) for r in con.execute(kn3_nll_sql()).fetchall())
+    assert srows == orows
+    assert len(srows) > 0
