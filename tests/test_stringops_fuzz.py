@@ -169,3 +169,20 @@ def test_ndcg_fuzz(spark, seed):
         ).fetchall()
     )
     assert srows == orows, f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_kn3_fuzz(spark, seed):
+    from carrot_transform_spark.operators.ngram_lm import kn3_nll_docs, kn3_nll_sql
+
+    rng = random.Random(6000 + seed)
+    rows = _corpus(rng, rng.randrange(5, 25))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    srows = sorted(
+        (r["doc_id"], r["n_trigrams"], r["avg_nll"])
+        for r in kn3_nll_docs(df).collect()
+    )
+    con = duckdb.connect()
+    _duck_docs(con, rows)
+    orows = sorted(tuple(r) for r in con.execute(kn3_nll_sql()).fetchall())
+    assert srows == orows, f"seed {seed}"
