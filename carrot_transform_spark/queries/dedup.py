@@ -337,20 +337,31 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # the verify joins are already candidate-restricted physically: cand is
-    # tiny (bucket collisions only), so Catalyst broadcasts it and the index
-    # is scanned narrowly — no full-index shuffle. A semi-join pre-filter of
-    # the index was measured SLOWER (extra barrier + shuffles for no gain),
-    # and at scale it has the same cost structure as the join itself.
+    # Verify joins: the index e must NEVER be a broadcast build side — its
+    # InMemoryRelation stats come from the pre-explode child (5k rows) so
+    # Catalyst undercounts the exploded frame ~50x and, left to stats, it
+    # broadcast TWO full copies of the corpus-sized index per run (plan
+    # audit r15: BroadcastExchange over both InMemoryTableScans, 29 s of
+    # task CPU rebuilding 260k-row hash relations at sf0.1; at 100 TB it
+    # is a corpus broadcast). Both joins now hint the candidate-bounded
+    # side explicitly (guide §3.1): cand is LSH bucket collisions only,
+    # and cand⋈ea is ≤ |cand| x shingles-per-doc — both bounded by the
+    # banding design, never by corpus size — so e always streams in place
+    # (cache-partitioned by doc_id, no shuffle, no build).
     ea = e.alias("ea")
     eb = e.alias("eb")
+    hits_a = F.broadcast(cand).join(ea, F.col("ea.doc_id") == F.col("doc_a"))
     verified = (
-        cand.join(ea, F.col("ea.doc_id") == F.col("doc_a"))
-        .join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.s") == F.col("ea.s")))
+        F.broadcast(
+            hits_a.select(
+                "doc_a", "doc_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
+            )
+        )
+        .join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.s") == F.col("s_a")))
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
-            F.any_value(F.col("ea.n")).alias("na"),
+            F.any_value(F.col("na")).alias("na"),
             F.any_value(F.col("eb.n")).alias("nb"),
         )
     )

@@ -93,6 +93,18 @@ def get_spark(
         # used to enrich error messages with user call sites; measured ~45%
         # of driver-side plan-construction time on expression-heavy plans
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # the generated-class cache defaults to 100 entries; this engine's
+        # query battery produces ~200 distinct codegen units per pass, so
+        # at the default EVERY pass recompiles everything (measured: ~200
+        # janino compilations per bench repeat, ~3 s/pass). 4096 entries
+        # keeps the whole working set resident (warm passes: 0 compiles);
+        # JVM-wide cache of compiled classes, scale-independent — a
+        # long-running cluster session with a wide query mix benefits the
+        # same way (guide §1.2 step 3: config after algorithm+per-task).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         # engine-wide temporal contract: parquet timestamp[us] without UTC
         # adjustment reads as session-tz TIMESTAMP (not TIMESTAMP_NTZ), so
         # loaders need no cast projection over the scan
