@@ -38,6 +38,7 @@ from carrot_transform_spark.queries import (
     FROM orders
     """,
     tags=("window", "running"),
+    prepared=True,
 )
 def win_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -578,6 +579,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY supplier_cnt DESC, p_brand, p_size
     """,
     tags=("tpch", "distinct-agg"),
+    prepared=True,
 )
 def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(

@@ -26,6 +26,7 @@ from carrot_transform_spark.queries import davg, davg_sql, dsum, dsum_sql, load,
     ORDER BY bucket_start, event_type
     """,
     tags=("events", "agg", "bench"),
+    prepared=True,
 )
 def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -81,6 +82,7 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_id
     """,
     tags=("events", "window", "session"),
+    prepared=True,
 )
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min timeout): lag + running sum of

@@ -81,6 +81,7 @@ BRUTE_TOPK_SQL = f"""
     "sim_topk_bruteforce",
     oracle=BRUTE_TOPK_SQL + " ORDER BY query_id, rnk",
     tags=("similarity", "ann", "bench"),
+    prepared=True,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 8 query vectors. Query side is tiny ->

@@ -154,6 +154,7 @@ def txt_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY w ORDER BY freq DESC, word
     """,
     tags=("text", "explode", "agg"),
+    prepared=True,
 )
 def txt_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency — explode + count, the building block for

@@ -49,6 +49,7 @@ from carrot_transform_spark.queries import (
     ORDER BY l_returnflag, l_linestatus
     """,
     tags=("tpch", "agg", "bench"),
+    prepared=True,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
@@ -88,6 +89,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("tpch", "join", "topk", "bench"),
+    prepared=True,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -126,6 +128,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, n_name
     """,
     tags=("tpch", "join", "bench"),
+    prepared=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale-shaped plan: restrict customer AND supplier to the region's ~5
@@ -187,6 +190,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
     tags=("tpch", "scan", "bench"),
+    prepared=True,
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
@@ -217,6 +221,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation, o_year DESC
     """,
     tags=("tpch", "join", "bench"),
+    prepared=True,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
@@ -288,6 +293,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
     """,
     tags=("tpch", "semi-join", "agg"),
+    prepared=True,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
