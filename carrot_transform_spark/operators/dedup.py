@@ -178,20 +178,31 @@ def jaccard_verify(
     """Exact Jaccard for candidate pairs via the shingle index; keeps pairs
     at or above threshold. (id_a, id_b, jaccard).
 
-    Physically candidate-restricted without any pre-filter: pairs is tiny
-    (bucket collisions only), so Catalyst broadcasts it and the index is
-    scanned narrowly — the joins never shuffle the full index. (A semi-join
-    pre-filter of the index was measured slower: it adds a barrier and
-    shuffles while having the same asymptotic cost as the join itself.)"""
+    The candidate-bounded side of BOTH joins carries an explicit broadcast
+    hint (guide §3.1): `pairs` is bucket collisions only, and pairs⋈ea is
+    ≤ |pairs| x shingles-per-doc — bounded by the banding design, never by
+    corpus size. Left to size estimates, Catalyst did the OPPOSITE: a
+    persisted index's InMemoryRelation stats come from the pre-explode
+    child, undercounting the exploded frame ~50x, so the planner broadcast
+    two full copies of the corpus-sized index per run (r15 plan audit) —
+    at scale a corpus broadcast. With the hints the index always streams
+    in place. (A semi-join pre-filter of the index was measured slower: it
+    adds a barrier and shuffles while having the same asymptotic cost as
+    the join itself.)"""
     ea = index.alias("ea")
     eb = index.alias("eb")
+    hits_a = F.broadcast(pairs).join(ea, F.col("ea.id") == F.col("id_a"))
     verified = (
-        pairs.join(ea, F.col("ea.id") == F.col("id_a"))
-        .join(eb, (F.col("eb.id") == F.col("id_b")) & (F.col("eb.s") == F.col("ea.s")))
+        F.broadcast(
+            hits_a.select(
+                "id_a", "id_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
+            )
+        )
+        .join(eb, (F.col("eb.id") == F.col("id_b")) & (F.col("eb.s") == F.col("s_a")))
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
-            F.any_value(F.col("ea.n")).alias("na"),
+            F.any_value(F.col("na")).alias("na"),
             F.any_value(F.col("eb.n")).alias("nb"),
         )
     )
