@@ -181,6 +181,80 @@ class CarrotPlanner:
             self._main_fields_memo[src_file] = (dt, pid)
         return dt, pid
 
+    def _file_needs_date_components(self, src_file: str) -> bool:
+        """Whether ANY target fed by this file can write date-component
+        columns (the year/month/day split, D3) — only then do the cached
+        __ct_y/__ct_mo/__ct_dd columns have a consumer. A file feeding only
+        component-less targets (e.g. an events file mapped to observation)
+        otherwise pays three strict-date parses per row at cache
+        materialization and caches three dead string columns. Conservative:
+        any doubt keeps the columns."""
+        try:
+            return any(
+                bool(self.omop.date_components(t))
+                for t in self.rules.targets_for_source(src_file)
+            )
+        except Exception:
+            return True
+
+    def _needed_file_columns(self, src_file: str, df: DataFrame) -> list[str] | None:
+        """The source columns any target mapping of this file can reference,
+        resolved case-insensitively against the header — the projection for
+        the per-file normalised cache. Without it every unmapped column
+        (wide payloads especially) rides the spread exchange AND the cache.
+        Mirrors the grouped-template collector but unions over ALL targets
+        of the file (the cache is shared across them) and over the v1
+        person-bucket model. Returns None (keep everything) when nothing
+        prunes or the walk is uncertain."""
+
+        def _add(keep: set[str], name: str | None) -> None:
+            if name:
+                actual = _try_resolve_name(df, name)
+                if actual is not None:
+                    keep.add(actual)
+
+        def _add_cm(keep: set[str], cm) -> None:
+            _add(keep, cm.source_field)
+            for _d, fld in getattr(cm, "copy_fields", ()):
+                _add(keep, fld)
+            for fld in getattr(cm, "companion_term_fields", ()):
+                _add(keep, fld)
+            for s, _d in getattr(cm, "date_writes", ()):
+                _add(keep, s)
+
+        try:
+            keep: set[str] = set()
+            main_dt, main_pid = self._file_main_fields(src_file)
+            _add(keep, main_dt)
+            _add(keep, main_pid)
+            for target in self.rules.targets_for_source(src_file):
+                tm = self.rules.mappings[target][src_file]
+                if tm.person_id_mapping:
+                    _add(keep, tm.person_id_mapping.source_field)
+                if tm.date_mapping:
+                    _add(keep, tm.date_mapping.source_field)
+                for cm in tm.concept_mappings.values():
+                    _add_cm(keep, cm)
+                for b in tm.v1_person_buckets or ():
+                    _add(keep, b.key_field)
+                    for f in b.pid_fields:
+                        _add(keep, f)
+                    for f in b.date_fields:
+                        _add(keep, f)
+                    for cm in b.concept_mappings.values():
+                        _add_cm(keep, cm)
+                if tm.person_lookup_sources:
+                    _add(keep, tm.person_lookup_sources[0])
+                    _add(keep, tm.person_lookup_sources[1])
+                for f in tm.v1_date_sources or ():
+                    _add(keep, f)
+        except Exception:
+            return None
+        keep.add(LINE_COL)
+        if len(keep) >= len(df.columns):
+            return None
+        return [c for c in df.columns if c in keep]
+
     def _lit(self, v) -> Column:
         """Memoized F.lit for the scalar literals a rules set repeats
         thousands of times (field names, combo indexes, mapped values)."""
@@ -579,20 +653,31 @@ class CarrotPlanner:
             # thousands of py4j Column round trips
             # (_standard_records_col). ONE select — every extra withColumn
             # re-analyzes the whole plan
+            # project the cache to the columns the file's rules can actually
+            # reference (guide §2.3: project before the exchange/persist) —
+            # the pruning pushes below the spread exchange into the scan, so
+            # an unmapped wide payload column costs nothing anywhere
+            proj = self._needed_file_columns(src_file, df)
+            base = df.select(*proj) if proj is not None else df
             norm = (
-                normalise_to8601(_resolve(df, date_field))
+                normalise_to8601(_resolve(base, date_field))
                 if date_field is not None
                 else F.lit(None).cast("string")
             ).alias("__ct_norm")
             d10 = F.substring(F.col("__ct_norm"), 1, 10)
-            sd = strict_date(d10)
-            raw = df.select("*", norm).select(
-                "*",
-                d10.alias("__ct_d10"),
-                F.year(sd).cast("string").alias("__ct_y"),
-                F.month(sd).cast("string").alias("__ct_mo"),
-                F.dayofmonth(sd).cast("string").alias("__ct_dd"),
-            )
+            aux = [d10.alias("__ct_d10")]
+            if self._file_needs_date_components(src_file):
+                # the y/m/d component columns cost three strict-date parses
+                # per row — only materialize them when some target of this
+                # file can write date components (guide §1.2 step 1: don't
+                # compute what you throw away)
+                sd = strict_date(d10)
+                aux += [
+                    F.year(sd).cast("string").alias("__ct_y"),
+                    F.month(sd).cast("string").alias("__ct_mo"),
+                    F.dayofmonth(sd).cast("string").alias("__ct_dd"),
+                ]
+            raw = base.select("*", norm).select("*", *aux)
             with self._compile_lock:
                 # double-checked: a racing thread may have built the same
                 # file's scan — keep the first one so only ONE gets persisted
@@ -1104,7 +1189,15 @@ class CarrotPlanner:
         _need(LINE_COL)
 
         fids = tuple(fi for _s, _t, _d, fi in items)
-        norm_key = (fids, date_field, tuple(needed))
+        # same component gate as the per-block cache: a group whose files
+        # never feed a component-writing target skips materializing
+        # __ct_y/__ct_mo/__ct_dd (three strict-date parses per row); the
+        # gate is part of the cache key because the scan is shared across
+        # targets
+        needs_comp = any(
+            self._file_needs_date_components(sf) for sf, _t, _d, _fi in items
+        )
+        norm_key = (fids, date_field, tuple(needed), needs_comp)
         u_norm = self._group_norm_cache.get(norm_key)
         if u_norm is None:
             parts: list[DataFrame] = []
@@ -1122,14 +1215,15 @@ class CarrotPlanner:
             u0 = parts[0]
             norm = normalise_to8601(_resolve(u0, date_field)).alias("__ct_norm")
             d10 = F.substring(F.col("__ct_norm"), 1, 10)
-            sd = strict_date(d10)
-            u_norm = u0.select("*", norm).select(
-                "*",
-                d10.alias("__ct_d10"),
-                F.year(sd).cast("string").alias("__ct_y"),
-                F.month(sd).cast("string").alias("__ct_mo"),
-                F.dayofmonth(sd).cast("string").alias("__ct_dd"),
-            )
+            aux = [d10.alias("__ct_d10")]
+            if needs_comp:
+                sd = strict_date(d10)
+                aux += [
+                    F.year(sd).cast("string").alias("__ct_y"),
+                    F.month(sd).cast("string").alias("__ct_mo"),
+                    F.dayofmonth(sd).cast("string").alias("__ct_dd"),
+                ]
+            u_norm = u0.select("*", norm).select("*", *aux)
             u_norm = u_norm.persist()
             self._persisted.append(u_norm)
             self._group_norm_cache[norm_key] = u_norm

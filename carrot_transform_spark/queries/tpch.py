@@ -164,7 +164,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(oc, l.l_orderkey == oc.o_orderkey)
+        # size bounded by the orders SCAN: oc is a join output whose
+        # stats are meaningless without CBO — left to the planner, it
+        # picked LINEITEM as the broadcast build side at sf<=1 (the fact
+        # table collected to the driver and hashed; plan audit r15).
+        # Hinting the date+region-reduced side keeps the fact table
+        # streaming at every scale; above the threshold the hint lapses
+        # and the join degrades to the correct big x big shuffle.
+        .join(maybe_broadcast(oc, size_like=o), l.l_orderkey == oc.o_orderkey)
         .join(
             # size bounded by the supplier SCAN (the asia join only shrinks
             # it); without the bound the join-output stats block the hint
