@@ -493,7 +493,31 @@ def register_suite(name: str, parts: list[SuitePart], tags: tuple[str, ...] = ()
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _disable_df_debugging(spark)
         release_query_caches()
-        dfs = [checksum_df(fn(spark, sf_dir), cols, cname) for cname, fn, _, cols in parts]
+
+        def build(part: SuitePart) -> DataFrame:
+            cname, fn, _, cols = part
+            return checksum_df(fn(spark, sf_dir), cols, cname)
+
+        # Overlap independent sub-check builders from a small driver thread
+        # pool (guide §2.6): the iterative operators (GD rounds, BPE merges,
+        # CC fixpoints, EM refinement) drive many small sequential jobs at
+        # BUILD time, so one builder's stage tail back-fills with the next
+        # builder's jobs instead of idling the executor. Each sub-check's
+        # one-row checksum is order-insensitive (md5-sig SUM) and the union
+        # keeps the parts-list order, so results are bit-identical to the
+        # sequential build. SPARK_GRAFT_SUITE_THREADS=1 restores sequential.
+        import os
+
+        workers = int(os.environ.get("SPARK_GRAFT_SUITE_THREADS", "4"))
+        if workers > 1 and len(parts) > 2:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            with ThreadPoolExecutor(min(workers, len(parts))) as ex:
+                dfs = list(ex.map(inheritable_thread_target(build), parts))
+        else:
+            dfs = [build(p) for p in parts]
         return reduce(DataFrame.unionByName, dfs).orderBy("check_name")
 
     oracle = (
