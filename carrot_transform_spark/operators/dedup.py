@@ -178,25 +178,26 @@ def jaccard_verify(
     """Exact Jaccard for candidate pairs via the shingle index; keeps pairs
     at or above threshold. (id_a, id_b, jaccard).
 
-    The candidate-bounded side of BOTH joins carries an explicit broadcast
-    hint (guide §3.1): `pairs` is bucket collisions only, and pairs⋈ea is
-    ≤ |pairs| x shingles-per-doc — bounded by the banding design, never by
-    corpus size. Left to size estimates, Catalyst did the OPPOSITE: a
-    persisted index's InMemoryRelation stats come from the pre-explode
-    child, undercounting the exploded frame ~50x, so the planner broadcast
-    two full copies of the corpus-sized index per run (r15 plan audit) —
-    at scale a corpus broadcast. With the hints the index always streams
-    in place. (A semi-join pre-filter of the index was measured slower: it
-    adds a barrier and shuffles while having the same asymptotic cost as
-    the join itself.)"""
+    Join hints (guide §3.1): `pairs` (bucket collisions only, a handful of
+    bytes per pair) carries an explicit broadcast hint. The SECOND join is
+    deliberately left to the planner: its left side pairs⋈ea grows as
+    |pairs| x shingles-per-doc — linear in corpus size — so a forced
+    broadcast diverges at scale (sf10 A/B: forced 13.0-32.2 s vs
+    planner-chosen 9.9-10.5 s over a 26M-row index; the 1.3M-row forced
+    hash relation was the whole regression). The planner's choice is
+    size-aware here because callers materialize the persisted index BEFORE
+    planning the verify join (the memo/builder runs index.count() first),
+    so InMemoryRelation stats are the ACTUAL cached bytes: at small scale
+    it broadcasts the sub-threshold side, at corpus scale it degrades to
+    the correct big x big shuffle. (A semi-join pre-filter of the index
+    was measured slower: it adds a barrier and shuffles while having the
+    same asymptotic cost as the join itself.)"""
     ea = index.alias("ea")
     eb = index.alias("eb")
     hits_a = F.broadcast(pairs).join(ea, F.col("ea.id") == F.col("id_a"))
     verified = (
-        F.broadcast(
-            hits_a.select(
-                "id_a", "id_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
-            )
+        hits_a.select(
+            "id_a", "id_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
         )
         .join(eb, (F.col("eb.id") == F.col("id_b")) & (F.col("eb.s") == F.col("s_a")))
         .groupBy("id_a", "id_b")

@@ -360,25 +360,23 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify joins: the index e must NEVER be a broadcast build side — its
-    # InMemoryRelation stats come from the pre-explode child (5k rows) so
-    # Catalyst undercounts the exploded frame ~50x and, left to stats, it
-    # broadcast TWO full copies of the corpus-sized index per run (plan
-    # audit r15: BroadcastExchange over both InMemoryTableScans, 29 s of
-    # task CPU rebuilding 260k-row hash relations at sf0.1; at 100 TB it
-    # is a corpus broadcast). Both joins now hint the candidate-bounded
-    # side explicitly (guide §3.1): cand is LSH bucket collisions only,
-    # and cand⋈ea is ≤ |cand| x shingles-per-doc — both bounded by the
-    # banding design, never by corpus size — so e always streams in place
-    # (cache-partitioned by doc_id, no shuffle, no build).
+    # Verify joins (guide §3.1): cand (LSH bucket collisions, pairs only)
+    # carries an explicit broadcast hint. The SECOND join is deliberately
+    # left to the planner: its cand⋈ea side grows as |cand| x shingles-
+    # per-doc — linear in corpus size — and the r15 session-1 forced
+    # broadcast of it regressed sf10 ~30% (13.0-32.2 s vs 9.9-10.5 s
+    # planner-chosen; a 1.3M-row hash relation built per run). The
+    # planner's choice is size-aware because e.count() above materializes
+    # the cache BEFORE this join is planned, so InMemoryRelation stats are
+    # the ACTUAL cached bytes (not the pre-explode child estimate): at
+    # sf<=0.1 it broadcasts whichever side is genuinely sub-threshold, at
+    # corpus scale it degrades to the correct big x big shuffle.
     ea = e.alias("ea")
     eb = e.alias("eb")
     hits_a = F.broadcast(cand).join(ea, F.col("ea.doc_id") == F.col("doc_a"))
     verified = (
-        F.broadcast(
-            hits_a.select(
-                "doc_a", "doc_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
-            )
+        hits_a.select(
+            "doc_a", "doc_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
         )
         .join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.s") == F.col("s_a")))
         .groupBy("doc_a", "doc_b")
