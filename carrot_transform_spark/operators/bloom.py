@@ -49,33 +49,52 @@ def bloom_build(build: DataFrame, key_col: str, k: int = 5, m_bits: int = 1 << 2
     return bitmap
 
 
-def bloom_might_contain(key: Column, bitmap: list[int], k: int = 5, m_bits: int = 1 << 20) -> Column:
+DEFAULT_WORDS_COL = "__bloom_words"
+
+
+def with_bitmap(
+    df: DataFrame, bitmap: list[int], words_col: str = DEFAULT_WORDS_COL
+) -> DataFrame:
+    """Attach the bitmap as a single array column via a broadcast 1-row
+    frame (LocalRelation DATA, not 16k literal expressions — the PQ
+    codebook pattern: O(1) plan size). The cross join is a broadcast of
+    one row; the probe side is not shuffled or reordered by it. Pair with
+    ``bloom_might_contain(key, words_col=...)`` and drop the column after
+    filtering."""
+    spark = df.sparkSession
+    bits_df = spark.createDataFrame([(bitmap,)], f"{words_col} array<bigint>")
+    return df.crossJoin(F.broadcast(bits_df))
+
+
+def bloom_might_contain(
+    key: Column,
+    k: int = 5,
+    m_bits: int = 1 << 20,
+    words_col: str = DEFAULT_WORDS_COL,
+) -> Column:
     """Probe-side predicate: all k bit positions set in the bitmap.
 
-    ``bitmap`` is referenced via the column expression this returns — the
-    caller must make a ``words`` array column available (see
-    ``_with_bitmap``); building the array as a per-probe literal embedded
-    the 16k-long bitmap k times in the expression tree (~80k literal
-    nodes), and analyzing/optimizing/codegen'ing that tree cost ~13 s of
-    pure driver time per query at m=1 Mbit (r15 measurement). The bitmap
-    now rides as broadcast DATA, the plan stays O(1)."""
-    words = F.col("__bloom_words")
+    The bitmap is referenced via ``words_col``, an array<bigint> column the
+    caller attaches with ``with_bitmap`` — building the array as a
+    per-probe literal embedded the 16k-long bitmap k times in the
+    expression tree (~80k literal nodes), and analyzing/optimizing/
+    codegen'ing that tree cost ~13 s of pure driver time per query at
+    m=1 Mbit (r15 measurement). The bitmap rides as broadcast DATA, the
+    plan stays O(1)."""
+    if isinstance(k, (list, tuple)):
+        raise TypeError(
+            "bloom_might_contain no longer takes the bitmap itself: attach it "
+            "with with_bitmap(df, bitmap) and pass words_col (default "
+            f"'{DEFAULT_WORDS_COL}') — embedding the bitmap as literals cost "
+            "~13 s of driver time per query"
+        )
+    words = F.col(words_col)
     cond = None
     for pos in _positions(key.cast("string"), k, m_bits):
         w = F.element_at(words, (pos / 64).cast("int") + 1)
         c = F.getbit(w, F.pmod(pos, F.lit(64))) == 1
         cond = c if cond is None else (cond & c)
     return cond if cond is not None else F.lit(True)
-
-
-def _with_bitmap(df: DataFrame, bitmap: list[int]) -> DataFrame:
-    """Attach the bitmap as a single array column via a broadcast 1-row
-    frame (LocalRelation DATA, not 16k literal expressions — the PQ
-    codebook pattern: O(1) plan size). The cross join is a broadcast of
-    one row; the probe side is not shuffled or reordered by it."""
-    spark = df.sparkSession
-    bits_df = spark.createDataFrame([(bitmap,)], "__bloom_words array<bigint>")
-    return df.crossJoin(F.broadcast(bits_df))
 
 
 def bloom_semi_join(
@@ -91,9 +110,9 @@ def bloom_semi_join(
     Bloom's false positives, so the result equals a plain semi-join."""
     bitmap = bloom_build(build, build_key, k, m_bits)
     pruned = (
-        _with_bitmap(probe, bitmap)
-        .filter(bloom_might_contain(F.col(probe_key), bitmap, k, m_bits))
-        .drop("__bloom_words")
+        with_bitmap(probe, bitmap)
+        .filter(bloom_might_contain(F.col(probe_key), k, m_bits))
+        .drop(DEFAULT_WORDS_COL)
     )
     return pruned.join(
         F.broadcast(build.select(F.col(build_key).alias("__bk")).distinct()),

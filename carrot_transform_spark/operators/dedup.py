@@ -16,12 +16,24 @@ Scale design:
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from carrot_transform_spark.functions.rounding import fround
+
+# _constraint_propagation_off is re-entrant across DRIVER THREADS: suite
+# builders run from a thread pool (queries/__init__.register_suite) and the
+# conf is session-wide, so a naive save/set/restore races — one thread's
+# restore could re-enable propagation while another is mid checkpoint/union
+# loop (the exact crash the guard prevents), and a thread that read 'false'
+# as the old value would leave the conf disabled session-wide. Refcount per
+# session id: only the FIRST entrant records the old value and flips the
+# conf; only the LAST exiter restores it.
+_CP_LOCK = threading.Lock()
+_CP_STATE: dict[int, tuple[int, str]] = {}  # session id -> (refcount, old value)
 
 
 @contextmanager
@@ -35,17 +47,29 @@ def _constraint_propagation_off(spark):
     propagation off, checkpoints capture an empty constraint set and the
     loop's unions never compute constraints. The only cost inside the
     scope is losing InferFiltersFromConstraints on already-trivial
-    equi-join plans; the conf is restored on exit and every returned frame
-    is materialized (eager checkpoint) inside the scope, so downstream
-    consumers re-optimize clean LogicalRDD-backed plans at full strength.
+    equi-join plans; the conf is restored when the LAST concurrent scope
+    exits and every returned frame is materialized (eager checkpoint)
+    inside the scope, so downstream consumers re-optimize clean
+    LogicalRDD-backed plans at full strength. Thread-safe: see _CP_STATE.
     """
     key = "spark.sql.constraintPropagation.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
+    sid = id(spark)
+    with _CP_LOCK:
+        count, old = _CP_STATE.get(sid, (0, "true"))
+        if count == 0:
+            old = spark.conf.get(key, "true")
+            spark.conf.set(key, "false")
+        _CP_STATE[sid] = (count + 1, old)
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        with _CP_LOCK:
+            count, old = _CP_STATE[sid]
+            if count == 1:
+                del _CP_STATE[sid]
+                spark.conf.set(key, old)
+            else:
+                _CP_STATE[sid] = (count - 1, old)
 
 
 def h32(col: Column) -> Column:

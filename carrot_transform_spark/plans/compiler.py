@@ -27,6 +27,8 @@ orchestrator.py.
 
 from __future__ import annotations
 
+import threading as _threading
+from contextlib import contextmanager as _contextmanager
 from dataclasses import dataclass, field as dc_field, replace as dc_replace
 
 import pyspark.sql.functions as F
@@ -587,6 +589,29 @@ class CarrotPlanner:
     # ------------------------------------------------------------------
 
     def _file_records(
+        self,
+        df: DataFrame,
+        tm: TableMapping,
+        schema: TableSchema,
+        stats: RejectStats | None,
+        fileidx: int = 0,
+    ) -> DataFrame:
+        # Drift tripwire (see _try_resolve_name): within this file's compile,
+        # a resolve MISS on a column the cache projection dropped is a hard
+        # error — the collector and the compile-side enumeration diverged.
+        # Misses on never-existed columns stay silent (reference semantics),
+        # and pre-prune resolves against the unprojected df can never
+        # trigger it (a dropped name always HITS the unprojected header).
+        proj = self._needed_file_columns(tm.source_table, df)
+        dropped = (
+            frozenset(c.lower() for c in df.columns if c not in set(proj))
+            if proj is not None
+            else None
+        )
+        with _pruned_columns_guard(dropped):
+            return self._file_records_impl(df, tm, schema, stats, fileidx)
+
+    def _file_records_impl(
         self,
         df: DataFrame,
         tm: TableMapping,
@@ -2505,9 +2530,44 @@ def _try_resolve(df: DataFrame, name: str) -> Column | None:
 
 def _try_resolve_name(df: DataFrame, name: str) -> str | None:
     """The ACTUAL column name behind a case-insensitive reference — the
-    SQL-text builder emits names, not Column handles."""
+    SQL-text builder emits names, not Column handles.
+
+    Misses are silent BY DESIGN (the reference skips unknown source fields)
+    — except when a _pruned_columns_guard scope is active: inside it a miss
+    on a column that existed in the UNPROJECTED header means the
+    _needed_file_columns collector drifted from the compile-side
+    enumeration, and returning None would produce silently wrong OMOP
+    output. Fail loudly instead."""
     lower = {c.lower(): c for c in df.columns}
-    return lower.get(name.lower())
+    actual = lower.get(name.lower())
+    if actual is None:
+        dropped = getattr(_PRUNE_GUARD, "dropped", None)
+        if dropped and name.lower() in dropped:
+            raise RuntimeError(
+                f"column '{name}' was pruned from the per-file cache by "
+                f"_needed_file_columns but the compile stage references it — "
+                f"the projection collector drifted from the compile-side "
+                f"field enumeration (add the field to _needed_file_columns)"
+            )
+    return actual
+
+
+_PRUNE_GUARD = _threading.local()
+
+
+@_contextmanager
+def _pruned_columns_guard(dropped: frozenset[str] | None):
+    """Scope in which a _try_resolve_name miss on a pruned-away column is a
+    hard error (see _try_resolve_name). ``dropped``: lowercased original
+    column names removed by the per-file cache projection; None/empty is a
+    no-op scope. Nested scopes (threaded compile of several files) are
+    per-thread, so concurrent files can't see each other's dropped sets."""
+    prev = getattr(_PRUNE_GUARD, "dropped", None)
+    _PRUNE_GUARD.dropped = dropped or None
+    try:
+        yield
+    finally:
+        _PRUNE_GUARD.dropped = prev
 
 
 def _sql_str(s: str) -> str:

@@ -369,3 +369,30 @@ def test_grouped_path_actually_groups_v1(spark):
     # the 6 same-shape v1 files grouped; v1odd.csv (different companion
     # literal) fell back to the per-block path
     assert calls == [V1_BLOCKS]
+
+
+def test_pruned_column_guard_trips_on_collector_drift(spark):
+    """A _try_resolve_name miss inside a _pruned_columns_guard scope on a
+    column the cache projection dropped must raise (silently-wrong-output
+    tripwire for _needed_file_columns drift); misses on never-existed
+    columns stay silent, and outside a scope nothing changes."""
+    import pytest as _pytest
+
+    from carrot_transform_spark.plans.compiler import (
+        _pruned_columns_guard,
+        _try_resolve_name,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id int, kept string")
+    # outside any scope: silent miss (reference semantics)
+    assert _try_resolve_name(df, "payload") is None
+    with _pruned_columns_guard(frozenset({"payload"})):
+        # pruned-away column referenced by compile -> loud error
+        with _pytest.raises(RuntimeError, match="_needed_file_columns"):
+            _try_resolve_name(df, "PAYLOAD")
+        # never-existed column: still a silent miss
+        assert _try_resolve_name(df, "ghost") is None
+        # present column resolves normally
+        assert _try_resolve_name(df, "KEPT") == "kept"
+    # scope restored
+    assert _try_resolve_name(df, "payload") is None

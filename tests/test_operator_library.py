@@ -951,3 +951,80 @@ def test_sample_exact_n_weighted_contracts(spark):
     plan = sample_exact_n_weighted(df, "k", "w", 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_bloom_public_probe_api(spark):
+    """The documented probe-side API: with_bitmap + bloom_might_contain as a
+    plain (df -> filtered df) pair, no bloom_semi_join wrapper. Also pins
+    the loud TypeError for the pre-r16 call shape that passed the bitmap
+    list directly into the predicate (it silently read a magic column)."""
+    import pytest as _pytest
+
+    from carrot_transform_spark.operators.bloom import (
+        DEFAULT_WORDS_COL,
+        bloom_build,
+        bloom_might_contain,
+        with_bitmap,
+    )
+
+    build = spark.range(0, 50).selectExpr("id AS k")
+    probe = spark.range(0, 500).selectExpr("id AS k")
+    bitmap = bloom_build(build, "k", k=3, m_bits=4096)
+    kept = (
+        with_bitmap(probe, bitmap)
+        .filter(bloom_might_contain(F.col("k"), k=3, m_bits=4096))
+        .drop(DEFAULT_WORDS_COL)
+    )
+    got = {r["k"] for r in kept.collect()}
+    # no false negatives: every build key survives the probe filter
+    assert set(range(50)) <= got
+    # the filter actually prunes (4096 bits over 50 keys -> tiny FP rate)
+    assert len(got) < 500
+    # custom words column name works end to end
+    kept2 = (
+        with_bitmap(probe, bitmap, words_col="wc")
+        .filter(bloom_might_contain(F.col("k"), k=3, m_bits=4096, words_col="wc"))
+        .drop("wc")
+    )
+    assert {r["k"] for r in kept2.collect()} == got
+    # old call shape (bitmap as 2nd positional) fails loudly, not at analysis
+    with _pytest.raises(TypeError, match="with_bitmap"):
+        bloom_might_contain(F.col("k"), bitmap)
+
+
+def test_constraint_propagation_toggle_threadsafe(spark):
+    """The suite thread pool runs conf-toggling builders concurrently; the
+    refcounted context manager must keep the conf OFF while any scope is
+    live and restore the ORIGINAL value only when the last scope exits."""
+    import threading
+    import time
+
+    from carrot_transform_spark.operators.dedup import _constraint_propagation_off
+
+    key = "spark.sql.constraintPropagation.enabled"
+    orig = spark.conf.get(key, "true")
+    inside_values: list[str] = []
+    barrier = threading.Barrier(3)
+
+    def worker():
+        with _constraint_propagation_off(spark):
+            barrier.wait(timeout=10)  # all three scopes live at once
+            inside_values.append(spark.conf.get(key))
+            time.sleep(0.05)
+        # after MY exit the conf may still be off (others live) but must
+        # never be left 'false' once all exit — checked below
+
+    threads = [threading.Thread(target=worker) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert inside_values == ["false", "false", "false"]
+    assert spark.conf.get(key) == orig
+    # nested use on one thread restores correctly too
+    with _constraint_propagation_off(spark):
+        assert spark.conf.get(key) == "false"
+        with _constraint_propagation_off(spark):
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == orig

@@ -68,3 +68,17 @@ def test_prepared_queries_are_cache_free(spark, sf_dir):
             f"{name} is marked prepared but its plan reads a cache — "
             "prepared reuse is only safe for cache-free builders"
         )
+
+
+def test_fresh_rewrap_hook_present(spark):
+    """_fresh_rewrap rides the private Dataset.ofRows hook; every call site
+    falls back to a silent rebuild when it breaks, which would erase the
+    prepared-plan optimization (~0.5 s/query) without any test failing.
+    Assert the hook itself works on the CURRENT Spark so a version bump
+    surfaces as a loud failure, not a quiet regression."""
+    from carrot_transform_spark.queries import _fresh_rewrap
+
+    df = spark.range(5).selectExpr("id", "id * 2 AS d")
+    rewrapped = _fresh_rewrap(df)  # must NOT raise (fallbacks would mask it)
+    assert rewrapped._jdf.queryExecution() != df._jdf.queryExecution()
+    assert sorted(map(tuple, rewrapped.collect())) == sorted(map(tuple, df.collect()))
