@@ -29,8 +29,42 @@ def _pad(col: Column, n: int) -> Column:
     return F.lpad(col.cast("int").cast("string"), n, "0")
 
 
+# Canonical shapes take a one-regex fast path: the permissive pipeline
+# below costs ~9 regex matches + 2 splits per row — and once it sits in a
+# CaseWhen ELSE branch it additionally loses whole-stage-codegen common-
+# subexpression elimination (measured ~3x on the branch itself) — while
+# real feeds are overwhelmingly one of four shapes: ISO datetime (with an
+# optional trailing-zero-trimmed fraction, the timestamp->string cast
+# shape), ISO date, or the two reference strict formats d-m-Y / d/m/Y.
+# For inputs matching these anchored shapes the permissive pipeline
+# reduces to a substring/concat (components already zero-padded; int()
+# round-trips; the exactly-two-token rule is satisfied; a fractional
+# second is dropped by the time regex either way), so the rewrites are
+# bit-identical — pinned by tests/test_dates_property.py's independent
+# model over generated inputs including all four shapes. The OMOP
+# normalise stage at sf10 (10M rows) motivated this: 572 executor-seconds
+# were regex evaluation (guide §1.2 step 2: per-task work).
+_CANON_DT_RE = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d{1,6})?$"
+_CANON_D_RE = r"^\d{4}-\d{2}-\d{2}$"
+_CANON_REV_RE = r"^\d{2}([-/])\d{2}\1\d{4}$"
+
+
 def normalise_to8601(col: Column) -> Column:
     """Permissive normalisation to 'YYYY-MM-DD HH:MM:SS'; NULL on no-match."""
+    rev = F.concat(
+        F.substring(col, 7, 4), F.lit("-"),
+        F.substring(col, 4, 2), F.lit("-"),
+        F.substring(col, 1, 2), F.lit(" 00:00:00"),
+    )
+    return (
+        F.when(col.rlike(_CANON_DT_RE), F.substring(col, 1, 19))
+        .when(col.rlike(_CANON_D_RE), F.concat(col, F.lit(" 00:00:00")))
+        .when(col.rlike(_CANON_REV_RE), rev)
+        .otherwise(_normalise_to8601_permissive(col))
+    )
+
+
+def _normalise_to8601_permissive(col: Column) -> Column:
     date_part = F.split(col, " ").getItem(0)
     # the reference parses the time token ONLY when the split has exactly
     # two elements (date_helpers.py: len(item.split(' ')) == 2); with any
@@ -76,6 +110,21 @@ def strict_date(col: Column) -> Column:
         F.try_to_date(col, "d/M/yyyy"),
     )
     return F.when(F.year(d) >= 1, d)
+
+
+def strict_date_ok(col: Column) -> Column:
+    """Boolean twin of ``strict_date(col).isNotNull()`` that evaluates the
+    3-format parse coalesce ONCE instead of twice (the CASE WHEN in
+    strict_date inlines the parse into both the condition and the value,
+    and the isNotNull wrapper re-evaluates the condition's copy — measured
+    as half the person-map scan CPU at sf10). NULL-safe: never returns
+    NULL, so negation (~) in the reject counters stays well-defined."""
+    d = F.coalesce(
+        F.try_to_date(col, "yyyy-M-d"),
+        F.try_to_date(col, "d-M-yyyy"),
+        F.try_to_date(col, "d/M/yyyy"),
+    )
+    return F.coalesce(F.year(d) >= 1, F.lit(False))
 
 
 def strict_date_sql(expr: str) -> str:

@@ -39,6 +39,7 @@ def with_dense_ids(
     small_threshold: int = SMALL_THRESHOLD,
     persist_registry: list[DataFrame] | None = None,
     size_bound: int | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = offset + dense rank 1..N in (order_cols) order.
 
@@ -52,10 +53,23 @@ def with_dense_ids(
     window goes straight into the plan — one pass over the data instead of
     two. An over-estimate is safe (worst case: a single-partition sort of a
     larger-than-ideal input); correctness never depends on it.
+
+    bucket_col: name of an integer column whose VALUE order agrees with
+    the (order_cols) order — every row of bucket b sorts strictly before
+    every row of any bucket with a higher key range (e.g. a deterministic
+    range bucket of the leading order column). When given, ids come from
+    the zero-shuffle bucket path (see _bucket_dense_ids); a runtime
+    disjointness check over the actual data falls back to the generic
+    path if the promise doesn't hold, so correctness never depends on it.
     """
     if size_bound is not None and size_bound <= small_threshold:
         w = Window.orderBy(*order_cols)
         return df.withColumn(id_col, (F.row_number().over(w) + F.lit(offset)).cast("long"))
+
+    if bucket_col is not None:
+        out = _bucket_dense_ids(df, order_cols, id_col, offset, bucket_col)
+        if out is not None:
+            return out
 
     src = df.persist(StorageLevel.MEMORY_AND_DISK)
     n_rows = src.count()  # materializes the cache; also sizes the fast path
@@ -93,3 +107,80 @@ def with_dense_ids(
         .drop(_PID)
     )
     return out
+
+
+def _bucket_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str,
+    offset: int,
+    bucket_col: str,
+) -> DataFrame | None:
+    """Zero-extra-shuffle dense ids over a bucket-clustered input.
+
+    The generic range path costs a full repartitionByRange of the payload
+    plus TWO persists of it (the sampling pass must not recompute an
+    expensive lineage, and the window consumer re-reads the ranged frame) —
+    at sf10 that was a 799 MB shuffle and a second multi-GB cache per
+    bench repeat, and the range sampler's seed depends on the RDD id, so
+    partition boundaries (hence per-partition offsets) are only stable
+    while the cache lives. This path instead keys EVERYTHING on the bucket
+    VALUE, which is a pure function of the row:
+
+    1. one narrow aggregation computes per-bucket counts + min/max of the
+       order-cols tuple (runs once per plan build, not per execution);
+    2. the driver verifies bucket key ranges are strictly disjoint and
+       ordered — the caller's promise, checked against the actual data —
+       and turns counts into cumulative start offsets (guide §2.5:
+       deterministic synthetic keys, no sampling);
+    3. ids = row_number over Window.partitionBy(bucket) + broadcast-joined
+       per-bucket start. When the input is already hash-partitioned by
+       the bucket column (the callers arrange this at the source spread
+       exchange, which existed anyway), the window needs NO exchange and
+       the join broadcasts a few thousand rows — the payload is never
+       shuffled or cached at all.
+
+    Returns None when the promise fails (overlapping/NULL ranges): caller
+    falls back to the generic path. Everything here is value-determined,
+    so re-materialization (bench cache isolation) reproduces identical
+    ids regardless of physical partitioning.
+    """
+    stats = (
+        df.groupBy(bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("__ct_n"),
+            F.min(F.struct(*[F.col(c) for c in order_cols])).alias("__ct_lo"),
+            F.max(F.struct(*[F.col(c) for c in order_cols])).alias("__ct_hi"),
+        )
+        .collect()
+    )
+    try:
+        rows = sorted(stats, key=lambda r: tuple(r["__ct_lo"]))
+    except TypeError:
+        return None  # NULLs or incomparable types in the order tuple
+    starts: list[tuple[int, int]] = []
+    acc = offset
+    prev_hi: tuple | None = None
+    for r in rows:
+        b, lo, hi = r[bucket_col], r["__ct_lo"], r["__ct_hi"]
+        if b is None or lo is None or hi is None:
+            return None
+        lo_t, hi_t = tuple(lo), tuple(hi)
+        if any(v is None for v in lo_t) or any(v is None for v in hi_t):
+            return None
+        if prev_hi is not None and not prev_hi < lo_t:
+            return None  # ranges overlap: the bucket promise is false
+        prev_hi = hi_t
+        starts.append((int(b), acc))
+        acc += r["__ct_n"]
+    spark = df.sparkSession
+    starts_df = spark.createDataFrame(
+        starts, f"{bucket_col} bigint, __ct_start bigint"
+    )
+    w = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__ct_rn", F.row_number().over(w))
+        .join(F.broadcast(starts_df), bucket_col)
+        .withColumn(id_col, (F.col("__ct_rn") + F.col("__ct_start")).cast("long"))
+        .drop("__ct_rn", "__ct_start")
+    )

@@ -37,13 +37,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from carrot_transform_spark.functions.dates import (
     normalise_to8601,
     strict_date,
+    strict_date_ok,
     strict_date_sql,
     valid_value,
 )
 from carrot_transform_spark.omop.ddl import OmopSchemas, TableSchema
 from carrot_transform_spark.operators.ids import with_dense_ids
 from carrot_transform_spark.rules.ir import RuleSet, TableMapping
-from carrot_transform_spark.sources.registry import LINE_COL, Source
+from carrot_transform_spark.sources.registry import BUCKET_COL, LINE_COL, Source
 
 SRC_COL = "__ct_src"
 FIELD_COL = "__ct_field"
@@ -253,6 +254,8 @@ class CarrotPlanner:
         except Exception:
             return None
         keep.add(LINE_COL)
+        if BUCKET_COL in df.columns:
+            keep.add(BUCKET_COL)  # dense-id bucket rider (ids._bucket_dense_ids)
         if len(keep) >= len(df.columns):
             return None
         return [c for c in df.columns if c in keep]
@@ -316,7 +319,7 @@ class CarrotPlanner:
         df = self._spread(source.read(self.person_table), source, self.person_table)
         pid = _resolve(df, pid_field)
         dob = _resolve(df, dob_field)
-        valid = df.filter(valid_value(pid) & strict_date(dob).isNotNull())
+        valid = df.filter(valid_value(pid) & strict_date_ok(dob))
         first = valid.groupBy(pid.alias("source_subject")).agg(
             F.min(LINE_COL).alias(LINE_COL)
         )
@@ -423,10 +426,23 @@ class CarrotPlanner:
                 grouped_idx.update(idxs)
             inputs = [it for i, it in enumerate(inputs) if i not in grouped_idx]
 
+        # single-block targets whose source carries the deterministic line
+        # bucket keep it as a meta rider so dense-id assignment can take
+        # the zero-shuffle bucket path (ids._bucket_dense_ids). Multi-part
+        # targets skip it: the positional union requires every part to end
+        # in the identical select, and grouped/person parts don't emit it.
+        use_bucket = (
+            not grouped_parts
+            and len(inputs) == 1
+            and target != "person"
+            and BUCKET_COL in inputs[0][2].columns
+        )
+
         def build(item: tuple[str, TableMapping, DataFrame]) -> DataFrame:
             src_file, tm, df = item
             part = self._file_records(
-                df, tm, schema, stats, fileidx=global_files.index(src_file)
+                df, tm, schema, stats, fileidx=global_files.index(src_file),
+                keep_bucket=use_bucket,
             )
             part.schema  # force analysis inside the worker thread
             return part
@@ -488,8 +504,11 @@ class CarrotPlanner:
                 offset=self.last_used_ids.get(target, 0),
                 persist_registry=self._persisted,
                 size_bound=cand_bound,
+                bucket_col=BUCKET_COL if use_bucket else None,
             )
             out = out.withColumn(auto_col, F.col("__ct_auto").cast("string")).drop("__ct_auto")
+        if use_bucket:
+            out = out.drop(BUCKET_COL)
         return out
 
     def target_records(
@@ -595,6 +614,7 @@ class CarrotPlanner:
         schema: TableSchema,
         stats: RejectStats | None,
         fileidx: int = 0,
+        keep_bucket: bool = False,
     ) -> DataFrame:
         # Drift tripwire (see _try_resolve_name): within this file's compile,
         # a resolve MISS on a column the cache projection dropped is a hard
@@ -609,7 +629,7 @@ class CarrotPlanner:
             else None
         )
         with _pruned_columns_guard(dropped):
-            return self._file_records_impl(df, tm, schema, stats, fileidx)
+            return self._file_records_impl(df, tm, schema, stats, fileidx, keep_bucket)
 
     def _file_records_impl(
         self,
@@ -618,6 +638,7 @@ class CarrotPlanner:
         schema: TableSchema,
         stats: RejectStats | None,
         fileidx: int = 0,
+        keep_bucket: bool = False,
     ) -> DataFrame:
         target = tm.target_table
         src_file = tm.source_table
@@ -660,6 +681,7 @@ class CarrotPlanner:
                 F.lit(0).alias(COMBO_COL),
                 F.col(LINE_COL),
                 F.lit(fileidx).alias(FILEIDX_COL),
+                *([F.col(BUCKET_COL)] if keep_bucket else []),
             )
         date_field = main_dt
         # the target's own date source; None when it IS the main column, in
@@ -730,11 +752,11 @@ class CarrotPlanner:
             # on its RAW cell split at the first space; a source missing
             # from the header writes no dates and can never strict-reject
             if source_f is None or source_f == date_field:
-                return strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
+                return strict_date_ok(F.substring(F.col("__ct_norm"), 1, 10))
             c = _try_resolve(raw, source_f)
             if c is None:
                 return F.lit(True)
-            return strict_date(F.substring_index(c, " ", 1)).isNotNull()
+            return strict_date_ok(F.substring_index(c, " ", 1))
 
         strict_ok_col = _strict_for(raw_date_field)
 
@@ -1011,6 +1033,8 @@ class CarrotPlanner:
             # re-analyze the whole record projection once more per file
             F.lit(fileidx).alias(FILEIDX_COL),
         ]
+        if keep_bucket:
+            meta.append(F.col(BUCKET_COL))  # dense-id bucket rider
         return exploded.select(*cols, *meta)
 
     # -- same-shape block grouping (WIDE targets) -----------------------
@@ -1317,11 +1341,11 @@ class CarrotPlanner:
 
         def _strict_for(source_f: str | None) -> Column:
             if source_f is None or source_f == date_field:
-                return strict_date(F.substring(F.col("__ct_norm"), 1, 10)).isNotNull()
+                return strict_date_ok(F.substring(F.col("__ct_norm"), 1, 10))
             c = _try_resolve(u, source_f)
             if c is None:
                 return F.lit(True)
-            return strict_date(F.substring_index(c, " ", 1)).isNotNull()
+            return strict_date_ok(F.substring_index(c, " ", 1))
 
         # ---- metrics: ONE groupBy(file ordinal) agg for the whole group --
         if stats is not None:

@@ -21,6 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 LINE_COL = "__ct_line"
 
+# Optional deterministic range-bucket of LINE_COL (an integer column added
+# by sources that can compute the line-key bounds cheaply, e.g. from
+# parquet footer statistics). Monotone non-decreasing in LINE_COL by
+# construction, so every bucket owns a disjoint line range — the dense-id
+# operator can then assign ids with zero extra shuffles and no range
+# sampling (operators/ids._bucket_dense_ids). Sources that add it also
+# hash-repartition their output on it, making it the spread exchange key.
+BUCKET_COL = "__ct_bucket"
+
 
 def _max_partition_bytes(spark: SparkSession) -> int:
     """spark.sql.files.maxPartitionBytes as an int (values like '128MB' or

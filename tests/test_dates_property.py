@@ -15,7 +15,11 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from carrot_transform_spark.functions.dates import normalise_to8601, strict_date
+from carrot_transform_spark.functions.dates import (
+    normalise_to8601,
+    strict_date,
+    strict_date_ok,
+)
 
 # -- independent model of the permissive normaliser ------------------------
 
@@ -98,10 +102,11 @@ def run_exprs(spark):
             df.select(
                 normalise_to8601(F.col("raw")).alias("n"),
                 strict_date(F.col("raw")).alias("s"),
+                strict_date_ok(F.col("raw")).alias("ok"),
             )
             .collect()
         )
-        return [(r["n"], r["s"]) for r in rows]
+        return [(r["n"], r["s"], r["ok"]) for r in rows]
 
     return run
 
@@ -111,7 +116,7 @@ def run_exprs(spark):
 def test_normalise_matches_model(run_exprs, pairs):
     values = [d + t for d, t in pairs]
     got = run_exprs(values)
-    for v, (norm, strict) in zip(values, got):
+    for v, (norm, strict, ok) in zip(values, got):
         assert norm == model_normalise(v), f"normalise({v!r}): {norm!r} != model"
 
 
@@ -119,6 +124,33 @@ def test_normalise_matches_model(run_exprs, pairs):
 @given(st.lists(date_like, min_size=1, max_size=40))
 def test_strict_matches_model(run_exprs, values):
     got = run_exprs(values)
-    for v, (_norm, strict) in zip(values, got):
+    for v, (_norm, strict, ok) in zip(values, got):
         expect = model_strict(v)
         assert strict == expect, f"strict({v!r}): {strict!r} != {expect!r}"
+        # the single-eval boolean twin: ok == (strict is not None), never NULL
+        assert ok == (expect is not None), f"strict_ok({v!r}): {ok!r}"
+
+
+def test_normalise_fast_path_shapes_exact(run_exprs):
+    """Deterministic pin of the r16 canonical fast paths against the model
+    (hypothesis usually hits these shapes, but never guarantees it)."""
+    values = [
+        "2020-05-06 10:11:22",   # canonical datetime -> identity
+        "2020-05-06",            # canonical date -> + ' 00:00:00'
+        "0002-00-99 23:59:59",   # calendar-invalid but shape-canonical
+        "2020-5-6 10:11:22",     # NOT canonical (unpadded) -> permissive path
+        "06/05/2020 10:11:22",   # reversed with slashes -> permissive path
+        "2020-05-06 10:11:22.123456",  # micros -> permissive path
+        "2020-05-06 10:11",      # no seconds -> permissive path
+        "2020-05-06  10:11:22",  # three tokens -> time forfeited
+        "06-05-2020",            # reversed canonical -> fast rearrange
+        "06/05/2020",            # reversed canonical, slashes
+        "06-05/2020",            # MIXED separators -> permissive path
+        "2020-05-06 10:11:22.985529",  # trimmed-fraction datetime -> fast
+        "2020-05-06 10:11:22.9",       # 1-digit fraction -> fast
+        "garbage",
+        "",
+    ]
+    got = run_exprs(values)
+    for v, (norm, _s, _ok) in zip(values, got):
+        assert norm == model_normalise(v), f"normalise({v!r}): {norm!r} != model"
