@@ -196,6 +196,35 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def prefer_shuffle_hash(index: DataFrame) -> bool:
+    """Whether the second verify join should carry a SHUFFLE_HASH hint.
+
+    The hint beats the planner only at corpus scale (it suppresses the
+    broadcast the planner correctly picks when a side is sub-threshold —
+    forcing it at sf0.1 cost ~0.7 s/run). Size the decision on the INDEX,
+    whose stats are the ACTUAL cached bytes because every caller
+    materializes the persisted index before planning the verify join: an
+    index too big for any broadcast means the join is big x big and the
+    shuffled-hash build of the bounded pairs⋈shingles side wins (r16 sf10
+    A/B: 20.3 s vs 27.0 s SMJ). Unknown stats keep the planner's choice."""
+    try:
+        spark = index.sparkSession
+        raw = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).lower().strip()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+            if raw.endswith(suf):
+                raw, mult = raw[: -len(suf)], m
+                break
+        bthreshold = int(raw) * mult
+        size = int(index._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return bthreshold >= 0 and size > bthreshold
+    except Exception:
+        return False
+
+
 def jaccard_verify(
     pairs: DataFrame, index: DataFrame, threshold: float = 0.7
 ) -> DataFrame:
@@ -203,27 +232,32 @@ def jaccard_verify(
     at or above threshold. (id_a, id_b, jaccard).
 
     Join hints (guide §3.1): `pairs` (bucket collisions only, a handful of
-    bytes per pair) carries an explicit broadcast hint. The SECOND join is
-    deliberately left to the planner: its left side pairs⋈ea grows as
+    bytes per pair) carries an explicit broadcast hint. The SECOND join's
+    pairs⋈ea side carries a SHUFFLE_HASH hint: that side grows as
     |pairs| x shingles-per-doc — linear in corpus size — so a forced
-    broadcast diverges at scale (sf10 A/B: forced 13.0-32.2 s vs
-    planner-chosen 9.9-10.5 s over a 26M-row index; the 1.3M-row forced
-    hash relation was the whole regression). The planner's choice is
-    size-aware here because callers materialize the persisted index BEFORE
-    planning the verify join (the memo/builder runs index.count() first),
-    so InMemoryRelation stats are the ACTUAL cached bytes: at small scale
-    it broadcasts the sub-threshold side, at corpus scale it degrades to
-    the correct big x big shuffle. (A semi-join pre-filter of the index
-    was measured slower: it adds a barrier and shuffles while having the
+    BROADCAST diverges at scale (r15 sf10 A/B: forced 13.0-32.2 s vs
+    9.9-10.5 s; the 1.3M-row driver-built hash relation was the whole
+    regression), but as a shuffled-hash BUILD side it is bounded per
+    partition (|pairs⋈ea| / shuffle partitions) and skips the sort-merge
+    sort of the far larger index side (26M rows at sf10). r16 sf10 A/B,
+    interleaved 3 rounds, identical 25,593 pairs: SHUFFLE_HASH 20.3 s
+    total vs planner-chosen SMJ 27.0 s. The hint is size-gated
+    (prefer_shuffle_hash): below the broadcast threshold the planner's
+    broadcast is strictly better and the hint would suppress it. Hinting
+    the INDEX side instead OOMs the per-partition hash map (measured) —
+    never build the index. (A semi-join pre-filter of the index was
+    measured slower: it adds a barrier and shuffles while having the
     same asymptotic cost as the join itself.)"""
     ea = index.alias("ea")
     eb = index.alias("eb")
     hits_a = F.broadcast(pairs).join(ea, F.col("ea.id") == F.col("id_a"))
+    left = hits_a.select(
+        "id_a", "id_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
+    )
+    if prefer_shuffle_hash(index):
+        left = left.hint("shuffle_hash")
     verified = (
-        hits_a.select(
-            "id_a", "id_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
-        )
-        .join(eb, (F.col("eb.id") == F.col("id_b")) & (F.col("eb.s") == F.col("s_a")))
+        left.join(eb, (F.col("eb.id") == F.col("id_b")) & (F.col("eb.s") == F.col("s_a")))
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),

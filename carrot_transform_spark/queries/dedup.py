@@ -377,24 +377,32 @@ def _build_minhash_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
         .distinct()
     )
     # Verify joins (guide §3.1): cand (LSH bucket collisions, pairs only)
-    # carries an explicit broadcast hint. The SECOND join is deliberately
-    # left to the planner: its cand⋈ea side grows as |cand| x shingles-
-    # per-doc — linear in corpus size — and the r15 session-1 forced
-    # broadcast of it regressed sf10 ~30% (13.0-32.2 s vs 9.9-10.5 s
-    # planner-chosen; a 1.3M-row hash relation built per run). The
-    # planner's choice is size-aware because e.count() above materializes
-    # the cache BEFORE this join is planned, so InMemoryRelation stats are
-    # the ACTUAL cached bytes (not the pre-explode child estimate): at
-    # sf<=0.1 it broadcasts whichever side is genuinely sub-threshold, at
-    # corpus scale it degrades to the correct big x big shuffle.
+    # carries an explicit broadcast hint. The SECOND join's cand⋈ea side
+    # carries a SHUFFLE_HASH hint: that side grows as |cand| x shingles-
+    # per-doc — linear in corpus size — so the r15 session-1 forced
+    # BROADCAST of it regressed sf10 ~30% (a 1.3M-row driver-built hash
+    # relation per run), but as a shuffled-hash BUILD side it is bounded
+    # per partition and skips the sort of the far larger index side
+    # (26M rows at sf10). r16 interleaved sf10 A/B (identical 25,593
+    # pairs): SHUFFLE_HASH 20.3 s vs planner-chosen SMJ 27.0 s over 3
+    # rounds. The hint is size-gated (prefer_shuffle_hash on the
+    # materialized index — e.count() above makes its stats the ACTUAL
+    # cached bytes): below the broadcast threshold the planner's
+    # broadcast is strictly better and the hint would suppress it
+    # (measured +0.7 s/run at sf0.1). Hinting the INDEX side instead
+    # OOMs the per-partition hash map (measured) — never build the index.
+    from carrot_transform_spark.operators.dedup import prefer_shuffle_hash
+
     ea = e.alias("ea")
     eb = e.alias("eb")
     hits_a = F.broadcast(cand).join(ea, F.col("ea.doc_id") == F.col("doc_a"))
+    left = hits_a.select(
+        "doc_a", "doc_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
+    )
+    if prefer_shuffle_hash(e):
+        left = left.hint("shuffle_hash")
     verified = (
-        hits_a.select(
-            "doc_a", "doc_b", F.col("ea.s").alias("s_a"), F.col("ea.n").alias("na")
-        )
-        .join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.s") == F.col("s_a")))
+        left.join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.s") == F.col("s_a")))
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
