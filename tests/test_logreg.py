@@ -193,3 +193,34 @@ def test_save_load_score_new_docs(spark, tmp_path):
     assert got[0] > 0.9 and got[1] < 0.1
     # all-unknown text and empty text both collapse to the bias-only score
     assert got[2] == got[3]
+
+
+def test_local_gd_path_matches_distributed(spark, sf_dir):
+    """The size-gated driver-side GD loop must reproduce the distributed
+    loop's weight table EXACTLY (same IEEE op sequence + 1e-9 per-round
+    quantisation), and the final scores must match bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    import carrot_transform_spark.operators.logreg as lr
+    from carrot_transform_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    labels = docs.select("doc_id", (F.col("lang") == "en").cast("double").alias("y"))
+
+    def train(local: bool):
+        feats = lr.presence_features(docs, "doc_id", "text", 256).persist()
+        old = lr.LOCAL_TRAIN_ROWS
+        lr.LOCAL_TRAIN_ROWS = 10**9 if local else 0
+        try:
+            w = lr.logreg_train(feats, labels, "doc_id", rounds=4, lr=8.0)
+            wt = sorted(map(tuple, w.collect()))
+            sc = sorted(map(tuple, lr.logreg_score(feats, w, "doc_id").collect()))
+        finally:
+            lr.LOCAL_TRAIN_ROWS = old
+            feats.unpersist()
+        return wt, sc
+
+    w_local, s_local = train(local=True)
+    w_dist, s_dist = train(local=False)
+    assert w_local == w_dist
+    assert s_local == s_dist
