@@ -145,6 +145,11 @@ def _bucket_dense_ids(
     so re-materialization (bench cache isolation) reproduces identical
     ids regardless of physical partitioning.
     """
+    # the collect is bounded by the DISTINCT bucket count; cap it so a
+    # degenerate bucket expression (near-unique values) can never pull a
+    # row-sized result to the driver — over the cap means the caller's
+    # bucketing is too fine, fall back to the generic path
+    max_buckets = 1 << 18
     stats = (
         df.groupBy(bucket_col)
         .agg(
@@ -152,8 +157,11 @@ def _bucket_dense_ids(
             F.min(F.struct(*[F.col(c) for c in order_cols])).alias("__ct_lo"),
             F.max(F.struct(*[F.col(c) for c in order_cols])).alias("__ct_hi"),
         )
+        .limit(max_buckets + 1)
         .collect()
     )
+    if len(stats) > max_buckets:
+        return None
     try:
         rows = sorted(stats, key=lambda r: tuple(r["__ct_lo"]))
     except TypeError:

@@ -103,7 +103,7 @@ class _SyntheticSource(Source):
         except Exception:
             return None
 
-    def _line_bounds(self, table: str) -> tuple[int, int] | None:
+    def line_bounds(self, table: str) -> tuple[int, int] | None:
         """(min, max) of the line-key column from parquet footer statistics
         — a driver-side metadata read, no scan. None when unavailable."""
         col = self._LINE_SOURCES.get(table)
@@ -147,7 +147,7 @@ class _SyntheticSource(Source):
         # one-file parquet scan gets. Measured 2-3x on the scan stage.
         df = df.withColumn(LINE_COL, line)
         nparts = self.spark.sparkContext.defaultParallelism
-        bounds = self._line_bounds(table)
+        bounds = self.line_bounds(table)
         bucketed = False
         if bounds is not None and bounds[1] > bounds[0]:
             # deterministic range bucket of the line key (footer min/max, no

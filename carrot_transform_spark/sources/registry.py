@@ -70,6 +70,14 @@ class Source:
         conversion of df.rdd.getNumPartitions()."""
         return None
 
+    def line_bounds(self, table: str) -> tuple[int, int] | None:
+        """(min, max) of read(table)'s LINE_COL values when knowable
+        without a scan (e.g. parquet footer statistics of the natural-key
+        column), else None. Lets dense-id assignment derive deterministic
+        range buckets of the line key (ids._bucket_dense_ids) instead of
+        a sampling range exchange."""
+        return None
+
     def _finalize(self, df: DataFrame) -> DataFrame:
         keep = [c for c in df.columns if c.strip() != ""]
         if len(keep) != len(df.columns):
