@@ -54,8 +54,25 @@ def qpersist(df: DataFrame, eager: bool = True) -> DataFrame:
     return df
 
 
+# Set (per thread) while a suite sub-check builder runs on the pool: a
+# builder that released the query caches from a worker thread would
+# unpersist a SIBLING builder's live cache mid-build — a racy, hard-to-
+# diagnose recompute. No current sub-builder does; this makes the
+# invariant structural instead of conventional.
+_IN_SUITE_BUILD = __import__("threading").local()
+
+
 def release_query_caches() -> None:
-    """Unpersist every query-local cache recorded since the last release."""
+    """Unpersist every query-local cache recorded since the last release.
+
+    Must NOT be called from a suite worker thread (see _IN_SUITE_BUILD)."""
+    if getattr(_IN_SUITE_BUILD, "active", False):
+        raise AssertionError(
+            "release_query_caches() called from a suite sub-check builder "
+            "thread — it would unpersist sibling builders' live caches "
+            "mid-build. Suite parts must not call registered queries or "
+            "release caches; the suite wrapper releases once up front."
+        )
     while _QUERY_CACHES:
         df = _QUERY_CACHES.pop()
         try:
@@ -496,7 +513,11 @@ def register_suite(name: str, parts: list[SuitePart], tags: tuple[str, ...] = ()
 
         def build(part: SuitePart) -> DataFrame:
             cname, fn, _, cols = part
-            return checksum_df(fn(spark, sf_dir), cols, cname)
+            _IN_SUITE_BUILD.active = True
+            try:
+                return checksum_df(fn(spark, sf_dir), cols, cname)
+            finally:
+                _IN_SUITE_BUILD.active = False
 
         # Overlap independent sub-check builders from a small driver thread
         # pool (guide §2.6): the iterative operators (GD rounds, BPE merges,

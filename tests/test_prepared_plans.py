@@ -82,3 +82,18 @@ def test_fresh_rewrap_hook_present(spark):
     rewrapped = _fresh_rewrap(df)  # must NOT raise (fallbacks would mask it)
     assert rewrapped._jdf.queryExecution() != df._jdf.queryExecution()
     assert sorted(map(tuple, rewrapped.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_release_query_caches_guarded_in_suite_threads():
+    """A suite sub-check builder that releases the query caches would
+    unpersist sibling builders' live caches mid-build; the guard makes
+    that a loud AssertionError instead of a racy recompute."""
+    from carrot_transform_spark import queries as q
+
+    q._IN_SUITE_BUILD.active = True
+    try:
+        with pytest.raises(AssertionError, match="suite sub-check"):
+            q.release_query_caches()
+    finally:
+        q._IN_SUITE_BUILD.active = False
+    q.release_query_caches()  # outside a suite build: normal no-op release
