@@ -24,11 +24,6 @@ _REV_RE = r"^(\d{2})[-/](\d{2})[-/](\d{4})"
 _TIME_RE = r"^(\d{2}):(\d{2})(:(\d{2})(\.\d{6})?)?"
 
 
-def _pad(col: Column, n: int) -> Column:
-    # str(int(x)).zfill(n): strips leading zeros then left-pads
-    return F.lpad(col.cast("int").cast("string"), n, "0")
-
-
 # Canonical shapes take a one-regex fast path: the permissive pipeline
 # below costs ~9 regex matches + 2 splits per row — and once it sits in a
 # CaseWhen ELSE branch it additionally loses whole-stage-codegen common-
@@ -65,37 +60,49 @@ def normalise_to8601(col: Column) -> Column:
 
 
 def _normalise_to8601_permissive(col: Column) -> Column:
-    date_part = F.split(col, " ").getItem(0)
+    # Sized for JIT, not just for regex count: as the ELSE branch of the
+    # fast-path CaseWhen this expression dominated the generated method
+    # size, and at 10147 bytecode bytes the method exceeded the JVM's
+    # 8000-byte HugeMethodLimit — the ENTIRE projection ran interpreted
+    # (measured maxMethodCodeSize via explain('codegen'); ~3x on the OMOP
+    # normalize stage). Three equivalences shrink it ~2x while the
+    # property tests pin bit-identity to the reference model:
+    # - every regex group here is a FIXED-WIDTH digit class, so the
+    #   reference's str(int(x)).zfill(n) re-pad is the identity and the
+    #   lpad/cast chains are dropped outright;
+    # - the ISO arm keeps the whole match (group 0) and normalizes the
+    #   separators with translate — one regex run instead of three;
+    # - concat propagates NULL, so the final when(ymd.isNotNull(), ...)
+    #   double-inline of ymd collapses to a single evaluation.
+    date_part = F.substring_index(col, " ", 1)
     # the reference parses the time token ONLY when the split has exactly
-    # two elements (date_helpers.py: len(item.split(' ')) == 2); with any
-    # trailing token the time defaults to 00:00:00
-    time_part = F.when(F.size(F.split(col, " ")) == 2, F.split(col, " ").getItem(1))
+    # two elements (date_helpers.py: len(item.split(' ')) == 2) — i.e. the
+    # value has exactly one space; with any trailing token the time
+    # defaults to 00:00:00. '' (no match / empty token) behaves like the
+    # old NULL: every downstream extract yields '' and the default wins.
+    time_part = F.regexp_extract(col, r"^[^ ]* ([^ ]*)$", 1)
 
-    iso_y = F.regexp_extract(date_part, _ISO_RE, 1)
-    iso_m = F.regexp_extract(date_part, _ISO_RE, 2)
-    iso_d = F.regexp_extract(date_part, _ISO_RE, 3)
+    iso = F.regexp_extract(date_part, _ISO_RE, 0)
     rev_d = F.regexp_extract(date_part, _REV_RE, 1)
     rev_m = F.regexp_extract(date_part, _REV_RE, 2)
     rev_y = F.regexp_extract(date_part, _REV_RE, 3)
-
-    ymd = F.when(
-        iso_y != "", F.concat_ws("-", _pad(iso_y, 4), _pad(iso_m, 2), _pad(iso_d, 2))
-    ).when(rev_y != "", F.concat_ws("-", _pad(rev_y, 4), _pad(rev_m, 2), _pad(rev_d, 2)))
+    ymd = F.when(iso != "", F.translate(iso, "/", "-")).when(
+        rev_y != "",
+        F.concat(rev_y, F.lit("-"), rev_m, F.lit("-"), rev_d),
+    )
 
     t_h = F.regexp_extract(time_part, _TIME_RE, 1)
     t_m = F.regexp_extract(time_part, _TIME_RE, 2)
     t_s = F.regexp_extract(time_part, _TIME_RE, 4)
     time_str = F.when(
-        time_part.isNotNull() & (t_h != ""),
-        F.concat_ws(
-            ":",
-            _pad(t_h, 2),
-            _pad(t_m, 2),
-            _pad(F.when(t_s != "", t_s).otherwise(F.lit("0")), 2),
+        t_h != "",
+        F.concat(
+            t_h, F.lit(":"), t_m, F.lit(":"),
+            F.when(t_s != "", t_s).otherwise(F.lit("00")),
         ),
     ).otherwise(F.lit("00:00:00"))
 
-    return F.when(ymd.isNotNull(), F.concat(ymd, F.lit(" "), time_str))
+    return F.concat(ymd, F.lit(" "), time_str)
 
 
 def strict_date(col: Column) -> Column:

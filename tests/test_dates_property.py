@@ -148,6 +148,11 @@ def test_normalise_fast_path_shapes_exact(run_exprs):
         "06-05/2020",            # MIXED separators -> permissive path
         "2020-05-06 10:11:22.985529",  # trimmed-fraction datetime -> fast
         "2020-05-06 10:11:22.9",       # 1-digit fraction -> fast
+        "2020-05/06",            # MIXED-separator ISO -> translate arm
+        "2020-05-06trailing",    # prefix match, trailing garbage dropped
+        "06-05-2020 10:11",      # reversed WITH time token
+        "a 10:11:22",            # time token but no date -> NULL
+        "2020-05-06 ",           # exactly-two-token with EMPTY time token
         "garbage",
         "",
     ]
