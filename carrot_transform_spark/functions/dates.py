@@ -25,9 +25,9 @@ _TIME_RE = r"^(\d{2}):(\d{2})(:(\d{2})(\.\d{6})?)?"
 
 
 # Canonical shapes take a one-regex fast path: the permissive pipeline
-# below costs ~9 regex matches + 2 splits per row — and once it sits in a
-# CaseWhen ELSE branch it additionally loses whole-stage-codegen common-
-# subexpression elimination (measured ~3x on the branch itself) — while
+# below costs several regex matches per row (and its sheer generated-code
+# size matters even when it never executes — see the JIT note on
+# _normalise_to8601_permissive) — while
 # real feeds are overwhelmingly one of four shapes: ISO datetime (with an
 # optional trailing-zero-trimmed fraction, the timestamp->string cast
 # shape), ISO date, or the two reference strict formats d-m-Y / d/m/Y.
